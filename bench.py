@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every registered (bench-eligible) query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the ``noop`` DataSourceV2 sink (no
+driver-side collect — results never leave the executors, which is also the
+honest way to measure at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from toy_map_reduce_spark.registry import all_specs
+from toy_map_reduce_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("tmr-bench")
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+
+    # warm the JVM + parquet footer caches on the flagship before timing
+    if "wordcount" in specs:
+        materialize(specs["wordcount"].builder(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        try:
+            materialize(spec.builder(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # a broken query shouldn't zero the whole bench
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,16 @@
+"""Universal parity gate: every registered query vs its DuckDB oracle at
+sf0.001 — the local mirror of the driver's t2 check (sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.parity import run_parity
+from toy_map_reduce_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS), ids=sorted(SPECS))
+def test_parity(spark, duck, sf_dir, name):
+    run_parity(spark, duck, SPECS[name], sf_dir)

@@ -1,0 +1,39 @@
+"""Table loaders for the driver-generated parquet fixtures.
+
+Replaces the reference's hard-coded input catalog (reference
+``master/data/MapTask.scala:19-87`` — a literal ``Map[String, MapTask]`` of
+13 file paths) with ``spark.read.parquet``: Catalyst gets column pruning,
+predicate pushdown, and split-based parallelism for free, none of which the
+reference's whole-file-per-task model had.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
