@@ -1,0 +1,160 @@
+"""Join operators (G tier). The reference has NO joins (SURVEY.md §2.D) —
+its model could express them only as hand-built reduce-side merges; here
+each variant is declared and Catalyst/AQE picks the physical strategy.
+
+Scale notes (100 TB):
+
+* ``join_broadcast`` pins the strategy with ``F.broadcast`` for dimension
+  tables — no shuffle of the 100 TB fact side at all.
+* The fact-fact equi-joins shuffle both sides on the join key; AQE
+  (enabled in the session factory) coalesces post-shuffle partitions and
+  splits skewed ones at runtime.
+* ``join_range`` keeps an equi conjunct (`l_orderkey = o_orderkey`) so the
+  planner can hash/sort-merge on it and evaluate the interval predicate as
+  a post-join filter — a pure theta join would be a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+
+_JOIN_INNER_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+       l.l_extendedprice * (1 - l.l_discount) AS net_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus <> 'P'
+"""
+
+
+@register("join_inner", "G", oracle=_JOIN_INNER_ORACLE,
+          doc="Equi inner join fact-to-fact (shuffle hash / sort-merge, AQE-tuned)")
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey, "inner").select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+_JOIN_LEFT_ORACLE = """
+SELECT o.o_orderkey, o.o_totalprice, b.l_linenumber, b.l_quantity
+FROM orders o
+LEFT JOIN (SELECT l_orderkey, l_linenumber, l_quantity
+           FROM lineitem WHERE l_quantity > 45) b
+  ON o.o_orderkey = b.l_orderkey
+"""
+
+
+@register("join_left", "G", oracle=_JOIN_LEFT_ORACLE,
+          doc="Left outer join with an unmatched right side (null-extension semantics)")
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bulky = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    return orders.join(bulky, orders.o_orderkey == bulky.l_orderkey, "left").select(
+        "o_orderkey", "o_totalprice", "l_linenumber", "l_quantity"
+    )
+
+
+_JOIN_SEMI_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+"""
+
+
+@register("join_semi", "G", oracle=_JOIN_SEMI_ORACLE,
+          doc="Left semi join (EXISTS): customers having a big order")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_JOIN_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@register("join_anti", "G", oracle=_JOIN_ANTI_ORACLE,
+          doc="Left anti join (NOT EXISTS): customers with no urgent orders")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_JOIN_BROADCAST_ORACLE = """
+SELECT p.p_brand,
+       round(SUM(l.l_quantity), 2) AS sum_qty,
+       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+@register("join_broadcast", "G", oracle=_JOIN_BROADCAST_ORACLE,
+          doc="Broadcast hash join: dimension (part) broadcast to every "
+              "executor — the 100 TB fact side never shuffles for the join")
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+_JOIN_RANGE_ORACLE = """
+SELECT o.o_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+FROM orders o
+JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <  o.o_orderdate + INTERVAL 60 DAY
+"""
+
+
+@register("join_range", "G", oracle=_JOIN_RANGE_ORACLE,
+          doc="Equi + interval-range join: ships within 60 days of order date; "
+              "the equi conjunct keeps it hash-joinable (no cross product)")
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    )
+    return orders.join(li, cond, "inner").select(
+        "o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate"
+    )

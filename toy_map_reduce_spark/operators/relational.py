@@ -1,0 +1,206 @@
+"""Relational generalization tier (G): scan/project/filter/aggregate/sort.
+
+The reference's MapReduce model (map → partition → shuffle → grouped
+reduce, reference ``user/UserDefinedFunctions.scala`` +
+``worker/services/WorkerServiceImpl.scala:58-154``) provably expresses the
+relational algebra (grouping = shuffle key, selection/projection = map,
+aggregation = reduce); here each algebra operator is declared directly to
+Catalyst instead of being hand-compiled to map/reduce stages.
+
+Scale notes (100 TB):
+
+* Projections/filters are expressed on the scan so Catalyst pushes them
+  into the parquet reader (``PushedFilters`` / pruned ``ReadSchema`` —
+  verified in tests/test_plans.py). The reference read whole files and
+  filtered nothing (``WorkerServiceImpl.scala:60``).
+* Aggregations run as partial (map-side) + final HashAggregate — the
+  combiner the reference lacked; shuffle volume is |groups|, not |rows|.
+* ``sort_limit`` is a top-k: Spark plans ``TakeOrderedAndProject``, which
+  keeps a per-partition k-heap and merges k·partitions rows at the driver
+  — never a global sort of 100 TB.
+* Aggregated doubles are ``round()``-ed identically on both engine and
+  oracle side: cross-engine float summation order differs (SURVEY.md §7.4)
+  and the driver hash-compares values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+
+_SCAN_PROJECT_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+       l_quantity > 25 AS bulky
+FROM lineitem
+"""
+
+
+@register("scan_project", "G", oracle=_SCAN_PROJECT_ORACLE,
+          doc="Scan + projection + per-row arithmetic (column-pruned parquet read)")
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charged"),
+        (F.col("l_quantity") > 25).alias("bulky"),
+    )
+
+
+_FILTER_PRED_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_shipdate
+FROM lineitem
+WHERE l_quantity BETWEEN 5 AND 45
+  AND l_returnflag IN ('A', 'R')
+  AND (l_discount < 0.03 OR l_tax >= 0.06)
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_linestatus LIKE 'F%'
+"""
+
+
+@register("filter_pred", "G", oracle=_FILTER_PRED_ORACLE,
+          doc="Conjunctive/disjunctive predicates, BETWEEN, IN, LIKE (parquet pushdown)")
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_quantity").between(5, 45)
+        & F.col("l_returnflag").isin("A", "R")
+        & ((F.col("l_discount") < 0.03) | (F.col("l_tax") >= 0.06))
+        & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & F.col("l_linestatus").like("F%")
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag", "l_shipdate",
+    )
+
+
+# TPC-H Q1-shaped: the canonical partial+final hash aggregation.
+_AGG_BASIC_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(AVG(l_quantity), 6) AS avg_qty,
+       round(MIN(l_discount), 6) AS min_disc,
+       round(MAX(l_discount), 6) AS max_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_basic", "G", oracle=_AGG_BASIC_ORACLE,
+          doc="Hash aggregation: sum/avg/min/max/count per group (TPC-H Q1 shape)")
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.min("l_discount"), 6).alias("min_disc"),
+        F.round(F.max("l_discount"), 6).alias("max_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_AGG_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_distinct", "G", oracle=_AGG_DISTINCT_ORACLE,
+          doc="Exact distinct aggregation (expand + two-phase agg under the hood)")
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register("agg_approx_distinct", "G", oracle=None,
+          doc="HyperLogLog++ approximate count-distinct — no exact SQL oracle "
+              "(DuckDB's HLL differs); rows-only check + pytest bound test")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB this is THE way to count distincts: fixed-size sketch per
+    group, mergeable map-side, no expand+reshuffle like exact distinct."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+_AGG_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", "G", oracle=_AGG_ROLLUP_ORACLE,
+          doc="ROLLUP grouping-set hierarchy (subtotals + grand total)")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+_AGG_CUBE_ORACLE = """
+SELECT c_mktsegment, c_nationkey,
+       round(SUM(c_acctbal), 2) AS sum_bal,
+       round(AVG(c_acctbal), 6) AS avg_bal,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer
+GROUP BY CUBE (c_mktsegment, c_nationkey)
+"""
+
+
+@register("agg_cube", "G", oracle=_AGG_CUBE_ORACLE,
+          doc="CUBE over all grouping-set combinations")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.cube("c_mktsegment", "c_nationkey").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+_SORT_LIMIT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+@register("sort_limit", "G", oracle=_SORT_LIMIT_ORACLE,
+          doc="Top-k: ORDER BY ... LIMIT plans TakeOrderedAndProject (per-"
+              "partition heap, no global sort); o_orderkey tiebreak makes it deterministic")
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(100)
+    )

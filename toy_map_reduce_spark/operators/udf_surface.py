@@ -1,0 +1,96 @@
+"""The PySpark UDF surface, reproducing the reference's three user-defined
+functions (reference ``user/UserDefinedFunctions.scala:5-30``) on their
+idiomatic Spark equivalents:
+
+* ``mapFunction``  → a Python UDF returning ``array<string>`` + ``explode``
+  (1 record → N records, the flatMap/UDTF shape);
+* ``reduceFunction`` → a Pandas GROUPED_AGG UDF with the reference's
+  garbage-tolerant fold: ``acc + Try(v.toInt).getOrElse(0)``
+  (``UserDefinedFunctions.scala:23`` — unparseable values count as 0);
+* ``partitionBy`` → a row Python UDF computing ``upper(first_char)``
+  (``UserDefinedFunctions.scala:27-28``).
+
+These exist to prove the UDF plumbing; the hot path everywhere else uses
+built-in column expressions (JVM-side, codegen'd). At 100 TB the Pandas UDF
+is the acceptable slow path (Arrow batches), the row UDF is demo-only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+
+@F.udf(T.ArrayType(T.StringType()))
+def py_tokenize(text: str) -> list[str]:
+    """Row-at-a-time port of the reference mapFunction tokenizer
+    (split on single space, lowercase, strip ASCII non-word)."""
+    import re
+
+    if text is None:
+        return []
+    return [re.sub(r"[^0-9A-Za-z_]", "", t.lower()) for t in text.split(" ")]
+
+
+@F.udf(T.StringType())
+def py_partition_key(word: str) -> str:
+    """Reference partitionBy: first character, uppercased."""
+    return word[:1].upper() if word else ""
+
+
+@F.pandas_udf(T.LongType())
+def tolerant_int_sum(v: pd.Series) -> int:
+    """Reference reduceFunction fold: sum of int-parses, garbage → 0."""
+    return int(pd.to_numeric(v, errors="coerce").fillna(0).sum())
+
+
+@F.pandas_udf(T.LongType())
+def pandas_count(v: pd.Series) -> int:
+    """COUNT(*) as a grouped-agg pandas UDF — Spark disallows mixing pandas
+    and non-pandas aggregates in one agg(), so the count rides the same
+    Arrow batch."""
+    return int(len(v))
+
+
+_UDF_SURFACE_ORACLE = """
+SELECT part_key,
+       CAST(SUM(CASE WHEN TRY_CAST(val AS INTEGER) IS NULL THEN 0
+                     ELSE CAST(val AS INTEGER) END) AS BIGINT) AS tolerant_sum,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT upper(substr(word, 1, 1)) AS part_key,
+         CASE WHEN length(word) % 7 = 3 THEN 'garbage' ELSE CAST(length(word) AS VARCHAR) END AS val
+  FROM (
+    SELECT regexp_replace(lower(unnest(string_split(text, ' '))), '[^0-9a-z_]', '', 'g') AS word
+    FROM documents
+  )
+)
+GROUP BY part_key
+"""
+
+
+@register("udf_surface", "X", oracle=_UDF_SURFACE_ORACLE,
+          doc="Reference UDF trio on the PySpark UDF surface: python-UDF "
+              "flatMap + python-UDF partitioner + pandas grouped-agg "
+              "garbage-tolerant sum", bench=False)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline: py_tokenize (flatMap) → py_partition_key (partitioner) →
+    tolerant_int_sum (reduce) — the full reference dataflow, with planted
+    garbage values exercising the try-parse-else-0 rule."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(py_tokenize(F.col("text"))).alias("word"))
+    shaped = words.select(
+        py_partition_key(F.col("word")).alias("part_key"),
+        F.when(F.length("word") % 7 == 3, F.lit("garbage"))
+        .otherwise(F.length("word").cast("string"))
+        .alias("val"),
+    )
+    return shaped.groupBy("part_key").agg(
+        tolerant_int_sum(F.col("val")).alias("tolerant_sum"),
+        pandas_count(F.col("val")).alias("cnt"),
+    )
