@@ -30,7 +30,9 @@ def _cell(v) -> str:
             ts = ts.tz_convert("UTC").tz_localize(None)
         return ts.isoformat()
     if isinstance(v, date):
-        return v.isoformat()
+        # normalize DATE to midnight-timestamp form: pandas renders DuckDB
+        # DATE columns as datetime64 while Spark yields datetime.date
+        return v.isoformat() + "T00:00:00"
     if isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":
         return "[" + ",".join(_cell(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray)):

@@ -1,0 +1,217 @@
+"""Scalar function library (G tier) — string / datetime / math / array /
+map / JSON batches. The reference's entire scalar "library" is three inline
+calls in its map UDF (``split``/``toLowerCase``/``replaceAll``, reference
+``user/UserDefinedFunctions.scala:12-13``); everything here is the
+generalization to a real engine surface, built exclusively from
+``pyspark.sql.functions`` (JVM-side, whole-stage-codegen'd — no Python in
+the hot path).
+
+Cross-engine parity pins (verified against DuckDB 1.0, SURVEY.md §7.4):
+
+* ``ceil``/``floor`` return BIGINT in Spark but DOUBLE in DuckDB → oracle
+  casts to BIGINT.
+* Spark ``dayofweek`` is 1=Sunday..7=Saturday; DuckDB ``dayofweek`` is
+  0=Sunday → oracle adds 1.
+* Transcendentals (ln/log10/exp) are within-1-ulp, not bit-identical,
+  across libm implementations → rounded to 8 decimals on both sides.
+  ``sqrt``/``power(int exponent)`` are IEEE-exact and left unrounded.
+* float32 array elements are cast to DOUBLE before rounding on both sides
+  (float32 repr differs between engines).
+* DuckDB map extraction returns a single-element LIST → oracle unwraps
+  with ``[1]``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+
+_SCALAR_STRING_ORACLE = """
+SELECT c_custkey,
+       upper(c_name) AS up_name,
+       lower(c_mktsegment) AS lo_seg,
+       substr(c_name, 1, 8) AS name8,
+       concat(c_mktsegment, '-', c_name) AS seg_name,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+       replace(c_name, 'Customer', 'Cust') AS renamed,
+       reverse(c_mktsegment) AS rev_seg,
+       c_name LIKE '%1%' AS has_one
+FROM customer
+"""
+
+
+@register("scalar_string", "G", oracle=_SCALAR_STRING_ORACLE,
+          doc="String functions: case, substr, concat, length, regexp_extract, pad, replace, reverse, LIKE")
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.expr("replace(c_name, 'Customer', 'Cust')").alias("renamed"),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.col("c_name").like("%1%").alias("has_one"),
+    )
+
+
+_SCALAR_DATETIME_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dy,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       date_trunc('month', o_orderdate) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS due_ts,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+"""
+
+
+@register("scalar_datetime", "G", oracle=_SCALAR_DATETIME_ORACLE,
+          doc="Datetime functions: extract parts, trunc, interval add, diff, last_day "
+              "(orders.o_orderdate is midnight-aligned ms — safe cross-engine)")
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+_SCALAR_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS price_r1,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(ceil(l_quantity * 1.5) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_quantity * 1.5) AS BIGINT) AS qty_floor,
+       l_linenumber % 3 AS line_mod,
+       power(l_quantity, 2) AS qty_sq,
+       sqrt(l_extendedprice) AS price_sqrt,
+       round(ln(l_extendedprice), 8) AS price_ln,
+       round(log10(l_extendedprice), 8) AS price_log10,
+       round(exp(l_discount), 8) AS disc_exp,
+       CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate
+FROM lineitem
+"""
+
+
+@register("scalar_math", "G", oracle=_SCALAR_MATH_ORACLE,
+          doc="Math functions: round, abs, ceil/floor, mod, power, sqrt, ln/log10/exp, sign, greatest/least")
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") * 1.5).alias("qty_ceil"),
+        F.floor(F.col("l_quantity") * 1.5).alias("qty_floor"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 8).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 8).alias("price_log10"),
+        F.round(F.exp("l_discount"), 8).alias("disc_exp"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+_SCALAR_ARRAY_ORACLE = """
+SELECT vec_id, label,
+       CAST(len(embedding) AS INTEGER) AS n_dims,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, x) -> a + x), 6) AS vec_sum,
+       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max,
+       list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 6)) AS head4,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+FROM embeddings
+"""
+
+
+@register("scalar_array", "G", oracle=_SCALAR_ARRAY_ORACLE,
+          doc="Array functions over embeddings: size, element_at, fold-sum, max, slice+transform, filter — "
+              "the building blocks the similarity ops compose")
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
+        F.transform(F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 6)).alias("head4"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+_SCALAR_MAP_ORACLE = """
+SELECT doc_id,
+       MAP {'lang': lang, 'source': source}['lang'][1] AS lang_val,
+       MAP {'lang': lang, 'source': source}['source'][1] AS source_val,
+       CAST(cardinality(MAP {'lang': lang, 'source': source}) AS INTEGER) AS m_size
+FROM documents
+"""
+
+
+@register("scalar_map", "G", oracle=_SCALAR_MAP_ORACLE,
+          doc="Map construction + key access + cardinality (typed metadata columns)")
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return docs.select(
+        "doc_id",
+        m.getItem("lang").alias("lang_val"),
+        m.getItem("source").alias("source_val"),
+        F.size(m).alias("m_size"),
+    )
+
+
+_SCALAR_JSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
+       json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+FROM events
+"""
+
+
+@register("scalar_json", "G", oracle=_SCALAR_JSON_ORACLE,
+          doc="JSON extraction from events.props: path extraction (get_json_object) "
+              "and schema-on-read (from_json struct)")
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        F.from_json("props", "k INT").getField("k").alias("k_struct"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )

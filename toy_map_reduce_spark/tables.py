@@ -34,6 +34,22 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table.
+
+    ``events`` needs special handling: its ``ts`` is TIMESTAMP(NANOS)
+    parquet, which Spark's parquet reader rejects outright. We flip the
+    runtime conf ``spark.sql.legacy.parquet.nanosAsLong`` (settable on any
+    session — the external driver supplies its own) to read raw nanos, then
+    truncate to a microsecond TimestampType column. The DuckDB oracle keeps
+    native ns precision, so any query surfacing ``ts`` must ``date_trunc``
+    to SECOND or coarser on both sides (SURVEY.md §7.4).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(table_path(sf_dir, name))
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
