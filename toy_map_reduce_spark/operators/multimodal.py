@@ -1,0 +1,152 @@
+"""Multimodal columns (X tier): image/audio/video as opaque ``binary``
+columns with typed metadata, decoded/feature-extracted through Arrow-batched
+``mapInPandas``.
+
+The container has no real media libraries or media fixtures, so the
+*content* transforms are deterministic fakes clearly marked below — but the
+Spark-side plumbing is real and tested: binary column construction, schema
+declaration, Arrow batch iteration, per-batch vectorized numpy work, and
+partition-preserving flow (no shuffle: mapInPandas is a narrow
+transformation, which is exactly what you want for a 100 TB decode pass —
+each executor decodes its own split, nothing moves).
+
+Real-decoder seam: ``_decode_image_batch`` gates on PIL import; with the
+library absent it falls back to the deterministic byte-level fake. Swap in
+a real decoder and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+
+_MULTIMODAL_META_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       upper(substr(hex(CAST(text AS BLOB)), 1, 16)) AS head_hex,
+       CAST(64 + doc_id % 512 AS INTEGER) AS fake_width,
+       CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS fake_height,
+       3 AS channels
+FROM documents
+"""
+
+
+@register("multimodal_meta", "X", oracle=_MULTIMODAL_META_ORACLE,
+          doc="Opaque binary column + typed metadata: blob length, hex prefix, "
+              "deterministic (doc_id-derived) media dimensions")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-cast as the opaque payload blob (UTF-8 bytes); the
+    width/height metadata is synthesized deterministically from doc_id —
+    standing in for the typed sidecar a real ingest would carry."""
+    docs = load(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.upper(F.substring(F.hex(blob), 1, 16)).alias("head_hex"),
+        (64 + F.col("doc_id") % 512).cast("int").alias("fake_width"),
+        (64 + (F.col("doc_id") * 7) % 512).cast("int").alias("fake_height"),
+        F.lit(3).alias("channels"),
+    )
+
+
+_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, byte_sum long, byte_mean double, "
+    "head_bytes array<int>, thumb_width int, thumb_height int, n_frames int"
+)
+
+
+def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
+    """The decode seam. With PIL present this would decode real images;
+    here (no media libs in the container, text-derived payloads) it runs
+    the deterministic byte-level fake: byte histogram stats + a fake
+    thumbnail geometry + a fake frame count.
+    """
+    try:  # pragma: no cover - exercised only when a real decoder exists
+        import PIL.Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    rows = []
+    for payload in payloads:
+        b = np.frombuffer(payload, dtype=np.uint8)
+        if have_pil:
+            # Real path would be: PIL.Image.open(io.BytesIO(payload)) → resize
+            # → np.asarray. The payloads here are not images, so even with
+            # PIL installed we fall through to the deterministic fake.
+            pass
+        rows.append(
+            {
+                "n_bytes": int(b.size),
+                "byte_sum": int(b.sum()),
+                "byte_mean": round(float(b.mean()) if b.size else 0.0, 6),
+                "head_bytes": b[:8].astype(np.int32).tolist(),
+                "thumb_width": int(32 + (b.size % 32)),
+                "thumb_height": int(32 + ((b.size * 3) % 32)),
+                "n_frames": int(1 + b.size % 4),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@register("multimodal_features", "X", oracle=None, bench=True,
+          doc="mapInPandas decode/feature-extract pass over binary payloads: "
+              "Arrow-batched, partition-preserving (narrow — no shuffle). "
+              "Decode step is a deterministic fake (no media libs in env); "
+              "plumbing (schema, batching, vectorized numpy) is real. "
+              "Rows-only + pytest determinism check")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = _decode_image_batch(pdf["payload"])
+            feats.insert(0, "doc_id", pdf["doc_id"].values)
+            yield feats
+
+    return docs.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+@register("multimodal_frame_sample", "X", oracle=None, bench=False,
+          doc="Frame-sampling plumbing for video-like payloads: mapInPandas "
+              "emits one row per sampled 'frame' (1 row in → N rows out, the "
+              "UDTF shape). Deterministic fake frames; rows-only")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = int(1 + b.size % 4)
+                stride = max(b.size // n_frames, 1)
+                for f in range(n_frames):
+                    chunk = b[f * stride : (f + 1) * stride]
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": f,
+                            "frame_bytes": int(chunk.size),
+                            "frame_checksum": int(chunk.sum()),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, frame_bytes long, frame_checksum long"
+    )

@@ -1,0 +1,230 @@
+"""Text-analysis operators (X tier): per-document statistics, heuristic
+language ID, quality scoring, token counting, and document fingerprinting —
+the text half of an LLM training-data pipeline, all pure column expressions
+(JVM codegen, zero Python on the data path).
+
+The fixture corpus is single-space-separated lowercase ASCII (verified in
+TESTDATA exploration), which keeps every one of these exactly
+SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+# tiny deterministic marker lists; fixed priority order breaks ties
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de", "le", "shi", "bu"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+
+def _tokens(col):
+    return F.split(F.col(col), " ")
+
+
+_TEXT_STATS_ORACLE = """
+WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks, length(text) AS len FROM documents)
+SELECT doc_id, lang,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len AS INTEGER) AS n_chars_computed,
+       n_chars,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+       round(CAST(len - (len(toks) - 1) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS type_token_ratio
+FROM t
+"""
+
+
+@register("text_stats", "X", oracle=_TEXT_STATS_ORACLE,
+          doc="Per-document stats: token/char counts, distinct tokens, "
+              "avg token length, type-token ratio")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    ln = F.length("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        ln.alias("n_chars_computed"),
+        "n_chars",
+        n_dis.alias("n_distinct"),
+        F.round((ln - (n_tok - 1)).cast("double") / n_tok, 6).alias("avg_token_len"),
+        F.round(n_dis.cast("double") / n_tok, 6).alias("type_token_ratio"),
+    )
+
+
+def _marker_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(toks, x -> x IN ({words}))) AS INTEGER)"
+
+
+_LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+_TEXT_LANG_ID_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_marker_score_sql(lg)} AS s_{lg}" for lg in _LANG_ORDER)}
+  FROM t
+)
+SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+       CASE
+         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh'
+       END AS lang_guess
+FROM s
+"""
+
+
+@register("text_lang_id", "X", oracle=_TEXT_LANG_ID_ORACLE,
+          doc="Heuristic language ID: marker-token counts per language, "
+              "argmax with fixed priority tie-break")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", _tokens("text").alias("toks"))
+    def _isin(markers):
+        # single-param lambda factory: a two-param lambda would be treated
+        # by F.filter as (element, index)
+        return lambda x: x.isin(*markers)
+
+    for lg in _LANG_ORDER:
+        d = d.withColumn(
+            f"s_{lg}",
+            F.size(F.filter(F.col("toks"), _isin(LANG_MARKERS[lg]))),
+        )
+    guess = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")) & (F.col("s_en") >= F.col("s_zh")),
+            "en",
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr"))
+            & (F.col("s_es") >= F.col("s_zh")),
+            "es",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_zh")), "de")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id", "lang", "s_en", "s_es", "s_de", "s_fr", "s_zh", guess.alias("lang_guess")
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_TEXT_QUALITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS len FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS n_stop,
+         len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS n_numeric,
+         CAST(len - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_wlen
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       round(CAST(n_numeric AS DOUBLE) / n_tokens, 6) AS numeric_ratio,
+       round(mean_wlen, 6) AS mean_word_len,
+       round(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+             + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.2 * (1.0 - CAST(n_numeric AS DOUBLE) / n_tokens), 6) AS quality_score
+FROM m
+"""
+
+
+@register("text_quality", "X", oracle=_TEXT_QUALITY_ORACLE,
+          doc="Quality scoring: stopword ratio, numeric ratio, mean word "
+              "length, composite [0,1] score")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_num = F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$")))
+    mean_wlen = (F.length("text") - (n_tok - 1)).cast("double") / n_tok
+    score = (
+        0.5 * (n_stop.cast("double") / n_tok)
+        + 0.3 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + 0.2 * (1.0 - n_num.cast("double") / n_tok)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        F.round(n_num.cast("double") / n_tok, 6).alias("numeric_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+_TEXT_TOKENS_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+FROM documents
+"""
+
+
+@register("text_tokens", "X", oracle=_TEXT_TOKENS_ORACLE,
+          doc="Token counting: whitespace split, BPE-ish regex segmentation, "
+              "chars/4 LLM-token estimate")
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens("text")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars"),
+        F.ceil(F.length("text") / 4.0).alias("approx_llm_tokens"),
+    )
+
+
+_TEXT_FINGERPRINT_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(toks, s -> CAST(length(s) * 131 + ascii(substr(s, 1, 1)) AS BIGINT))),
+         (h, x) -> (h * 1000003 + x) % 2147483647
+       ) AS fingerprint
+FROM t
+"""
+
+
+@register("text_fingerprint", "X", oracle=_TEXT_FINGERPRINT_ORACLE,
+          doc="Rolling polynomial document fingerprint over the token stream "
+              "(portable integer arithmetic — exact cross-engine parity)")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok_codes = F.transform(
+        _tokens("text"),
+        lambda s: (F.length(s) * 131 + F.ascii(F.substring(s, 1, 1))).cast("long"),
+    )
+    fp = F.aggregate(
+        tok_codes,
+        F.lit(0).cast("long"),
+        lambda h, x: (h * 1000003 + x) % 2147483647,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
