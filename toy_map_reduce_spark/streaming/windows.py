@@ -1,0 +1,246 @@
+"""Structured Streaming operators (S tier) — the streaming generalization
+the reference entirely lacks (strictly two-phase batch, SURVEY.md §2.D).
+
+Each query here is REAL streaming: ``readStream`` over the events parquet →
+event-time transformation with watermark → memory sink, driven to
+completion synchronously with an ``availableNow`` trigger, then the sink
+table is returned as the result DataFrame (the driver contract wants a
+DataFrame). The DuckDB oracles verify batch equivalence — the defining
+property of Structured Streaming's incremental execution model.
+
+Determinism: ``availableNow`` + file source + fixed event-time data — never
+wall-clock triggers (SURVEY.md §7.4). Aggregations run in ``complete`` mode
+so final window states are emitted regardless of watermark progress;
+watermark *late-drop* semantics are pinned separately in
+tests/test_streaming.py with a crafted two-batch replay.
+
+Scale notes: tumbling/sliding window aggs keep one state row per
+(window, key) — bounded by watermark eviction; ``session_window`` merges
+adjacent state; ``dropDuplicates`` state is bounded by the watermark too.
+This is exactly the state-store design you want for an unbounded 100 TB/day
+event feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import table_path
+
+# events schema with ts as raw nanos (TIMESTAMP(NANOS) parquet read under
+# spark.sql.legacy.parquet.nanosAsLong — see tables.load)
+_EVENTS_LONG_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with a proper event-time column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source only accepts directories; filter to the one table
+    raw = (
+        spark.readStream.schema(_EVENTS_LONG_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink and
+    return the sink table."""
+    spark = stream_df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_TUMBLING_ORACLE = """
+SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       round(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling", "S", oracle=_STREAM_TUMBLING_ORACLE,
+          doc="Streaming tumbling-window count/sum (5 min windows, 10 min "
+              "watermark) — batch-equivalence verified against the oracle")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    out = run_to_table(agg, "stream_tumbling_sink", "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value"
+    )
+
+
+_STREAM_SLIDING_ORACLE = """
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       round(SUM(value), 2) AS sum_value
+FROM (
+  SELECT unnest([
+           to_timestamp(floor(epoch(ts) / 300) * 300),
+           to_timestamp(floor(epoch(ts) / 300) * 300 - 300)
+         ]) AS window_start,
+         event_type, value
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+@register("stream_sliding", "S", oracle=_STREAM_SLIDING_ORACLE,
+          doc="Streaming sliding-window agg (10 min window / 5 min slide — "
+              "each event lands in 2 windows)")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    out = run_to_table(agg, "stream_sliding_sink", "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value"
+    )
+
+
+_STREAM_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 5 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       date_trunc('second', MIN(ts)) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("stream_session", "S", oracle=_STREAM_SESSION_ORACLE,
+          doc="Streaming session windows (5 min gap) per user — oracle is the "
+              "batch lag/gap-cumsum sessionization")
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_table(agg, "stream_session_sink", "complete")
+    return out.select(
+        "user_id",
+        F.date_trunc("second", F.col("session_window.start")).alias("session_start"),
+        "n_events",
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("stream_dedup_state", "S", oracle=_STREAM_DEDUP_ORACLE,
+          doc="Stateful streaming dedup: first (user_id, event_type) occurrence "
+              "survives; state bounded by the watermark")
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_table(deduped, "stream_dedup_sink", "append")
+
+
+_STREAM_STATEFUL_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_stateful_custom", "S", oracle=_STREAM_STATEFUL_ORACLE, bench=False,
+          doc="Custom stateful streaming operator via applyInPandasWithState: "
+              "per-user running totals held in GroupState, final flush on "
+              "stream end")
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState escape hatch — the shape any custom
+    stateful operator (counters, CDC folds, per-key ML features) takes when
+    Spark's built-in stateful ops don't fit."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    result = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    out = run_to_table(result, "stream_stateful_sink", "update")
+    # update-mode memory sink keeps every emitted row; the last emit per key
+    # is the final state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
