@@ -1,0 +1,256 @@
+"""Extended relational coverage (G tier): statistical and percentile
+aggregates, pivot, grouping sets, scalar subqueries, and a scalable as-of
+join — rounding out the surface a reference user would expect from a full
+engine (the reference itself has none of these, SURVEY.md §2.D).
+
+Scale notes:
+
+* ``join_asof`` uses the union-tag formulation: tag both sides, sort once
+  per key inside a window, carry the last right-side row forward with
+  ``last(ignorenulls)``. One shuffle on the key, linear in rows — versus
+  the quadratic join+filter+rank formulation (which is what the DuckDB
+  oracle uses, since correctness not scale is its job).
+* ``agg_percentile`` uses exact interpolated percentiles (sort-based); at
+  real scale you'd reach for ``percentile_approx`` (fixed-size sketch,
+  mergeable) — both surfaces are exposed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+
+_AGG_STATS_ORACLE = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS qty_stddev,
+       round(var_samp(l_quantity), 6) AS qty_var,
+       round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+       round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+       -- DuckDB skewness is the sample-corrected G1; Spark's is population
+       -- g1 — rescale: g1 = G1 * (n-2) / sqrt(n*(n-1))
+       round(skewness(l_quantity) * (COUNT(*) - 2) / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 6) AS qty_skew
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_stats", "G", oracle=_AGG_STATS_ORACLE,
+          doc="Statistical aggregates: stddev/variance/correlation/covariance/skewness")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
+        F.round(F.skewness("l_quantity"), 6).alias("qty_skew"),
+    )
+
+
+_AGG_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_percentile", "G", oracle=_AGG_PERCENTILE_ORACLE,
+          doc="Exact interpolated percentiles (median/p25/p75/p99) per group; "
+              "percentile_approx is the 100 TB path (see agg_approx_percentile)")
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_price"),
+    )
+
+
+@register("agg_approx_percentile", "G", oracle=None, bench=True,
+          doc="Approximate percentiles via the Greenwald-Khanna sketch — "
+              "mergeable fixed-size state, the scale path for quantiles; "
+              "rows-only (sketch differs from DuckDB's), pytest-bounded")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("approx_p99"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       round(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS status_O,
+       round(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS status_F
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("pivot_sum", "G", oracle=_PIVOT_ORACLE,
+          doc="Pivot (wide aggregation): one column per l_linestatus value")
+def pivot_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("status_O"),
+        F.col("F").alias("status_F"),
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderkey, metric, value FROM (
+  SELECT o_orderkey,
+         unnest(['totalprice', 'custkey']) AS metric,
+         unnest([o_totalprice, CAST(o_custkey AS DOUBLE)]) AS value
+  FROM orders
+)
+"""
+
+
+@register("unpivot_melt", "G", oracle=_UNPIVOT_ORACLE,
+          doc="Unpivot/melt: wide columns to (metric, value) rows")
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double").alias("custkey_d")
+    ).unpivot(
+        "o_orderkey",
+        ["o_totalprice", "custkey_d"],
+        "metric",
+        "value",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "o_totalprice", "totalprice").otherwise("custkey"),
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("agg_grouping_sets", "G", oracle=_GROUPING_SETS_ORACLE,
+          doc="Explicit GROUPING SETS (beyond rollup/cube shapes)")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_SCALAR_SUBQUERY_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+"""
+
+
+@register("scalar_subquery", "G", oracle=_SCALAR_SUBQUERY_ORACLE,
+          doc="Scalar subquery in a predicate: orders above the global mean "
+              "(Catalyst plans the subquery as a broadcast one-row join)")
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM sq_orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM sq_orders)
+        """
+    )
+
+
+_CORRELATED_EXISTS_ORACLE = """
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@register("correlated_subquery", "G", oracle=_CORRELATED_EXISTS_ORACLE,
+          doc="Correlated scalar subquery (above own nation's average) — "
+              "Catalyst decorrelates to an aggregate + join")
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("cs_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM cs_customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM cs_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+_JOIN_ASOF_ORACLE = """
+SELECT c.event_id AS click_id, c.user_id,
+       date_trunc('second', c.ts) AS click_sec,
+       v.event_id AS view_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+  SELECT event_id FROM events v
+  WHERE v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
+  ORDER BY v.ts DESC, v.event_id DESC
+  LIMIT 1
+) v ON TRUE
+"""
+
+
+@register("join_asof", "G", oracle=_JOIN_ASOF_ORACLE,
+          doc="As-of join (click attributed to the user's most recent prior "
+              "view) via the scalable union-tag + last(ignorenulls) window — "
+              "one shuffle, linear; oracle uses the quadratic LATERAL form")
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("long").alias("view_id"), F.lit(1).alias("is_click")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.col("event_id").alias("view_id"), F.lit(0).alias("is_click")
+    )
+    # union-tag: sort each user's merged stream by (ts, click-after-view on
+    # ties, event_id) and carry the latest view forward
+    tagged = clicks.unionByName(views)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    attributed = tagged.withColumn("last_view", F.last("view_id", ignorenulls=True).over(w))
+    return (
+        attributed.where(F.col("is_click") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.date_trunc("second", "ts").alias("click_sec"),
+            F.col("last_view").alias("view_id"),
+        )
+    )
