@@ -81,6 +81,45 @@ GROUP BY 1, 2
 """
 
 
+@register("wordcount_rdd", "R", oracle=_WORDCOUNT_ORACLE, bench=False,
+          doc="The literal RDD translation of the reference pipeline: flatMap "
+              "(mapFunction) → partitionBy first-char partitioner → reduceByKey "
+              "(reduceFunction). Demo of the MapReduce-literal surface; the "
+              "DataFrame wordcount is the production path")
+def wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:1 mapping of the reference's three UDFs onto the RDD API
+    (reference user/UserDefinedFunctions.scala:5-30):
+
+    * ``mapFunction``  → ``flatMap`` emitting (token, 1)
+    * ``partitionBy``  → ``partitionBy(26+10+1, first-char partitioner)``
+    * ``reduceFunction`` → ``reduceByKey(add)`` — Spark additionally runs it
+      map-side as a combiner, which the reference never did
+    """
+    import re
+
+    non_word = re.compile(r"[^0-9A-Za-z_]")
+
+    def tokenize_py(text: str) -> list[str]:
+        return [non_word.sub("", t.lower()) for t in text.split(" ")]
+
+    def first_char_partition(word: str) -> int:
+        # reference partition key = upper(first char), mapped into the fixed
+        # partition space. NOT python hash(): str hashing is seed-randomized
+        # per process, which would scatter one key across partitions
+        return (ord(word[0].upper()) if word else 0) % 37
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("text").rdd
+        .flatMap(lambda row: [(w, 1) for w in tokenize_py(row.text)])
+        .partitionBy(37, first_char_partition)
+        .reduceByKey(lambda a, b: a + b)
+    )
+    return spark.createDataFrame(counts, ["word", "cnt"]).select(
+        "word", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 @register("wordcount_partitioned", "R", oracle=_WORDCOUNT_PART_ORACLE,
           doc="Word count keyed by the reference partitioner (first char, uppercased)")
 def wordcount_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:

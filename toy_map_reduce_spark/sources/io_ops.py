@@ -1,0 +1,160 @@
+"""Source/sink connectors as roundtrip queries: CSV, JSON-lines,
+partitioned parquet, and the reference's own ``key,value`` line-text
+shuffle format.
+
+The reference's entire I/O surface is plain text read with
+``scala.io.Source`` and naive ``"$k,$v\\n"`` CSV concatenation (reference
+``worker/services/WorkerServiceImpl.scala:60,72,92-96``, decode ``:132-135``
+— first-comma split, silent ``("","")`` on malformed lines). Here each
+format is a ``spark.read``/``df.write`` pair with explicit schemas (never
+``inferSchema`` on a 100 TB feed) and ``mode("overwrite")`` sinks — the
+reference's append-mode re-run duplication hazard (SURVEY.md §4.3) is
+deliberately NOT reproduced.
+
+Roundtrips write under the repo-local scratch dir (driver may invoke from
+any cwd; nothing outside the repo is touched).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(SCRATCH, tag, name)
+
+
+_CSV_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag,
+       round(SUM(round(l_extendedprice, 2)), 2) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("source_csv_roundtrip", "G", oracle=_CSV_ROUNDTRIP_ORACLE,
+          doc="CSV sink + source roundtrip with explicit schema (values "
+              "pre-rounded so text serialization is lossless), then aggregate")
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.round("l_extendedprice", 2).alias("price")
+    )
+    path = _scratch(sf_dir, "csv_roundtrip")
+    li.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(path)
+    return back.groupBy("l_returnflag").agg(
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+_JSON_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus,
+       round(SUM(round(o_totalprice, 2)), 2) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("source_json_roundtrip", "G", oracle=_JSON_ROUNDTRIP_ORACLE,
+          doc="JSON-lines sink + source roundtrip with explicit schema")
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    path = _scratch(sf_dir, "json_roundtrip")
+    orders.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy(F.col("o_orderstatus")).agg(
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+_PARTITIONED_SINK_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+       round(SUM(round(o_totalprice, 2)), 2) AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("sink_partitioned_parquet", "G", oracle=_PARTITIONED_SINK_ORACLE,
+          doc="Hive-style partitioned parquet sink (write.partitionBy) + "
+              "partition-pruned read-back — the layout that enables partition "
+              "pruning on a 100 TB table")
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    path = _scratch(sf_dir, "part_parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+    )
+
+
+_KV_TEXT_ORACLE = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT regexp_replace(lower(unnest(string_split(text, ' '))), '[^0-9a-z_]', '', 'g') AS word
+  FROM documents
+)
+GROUP BY word
+"""
+
+
+@register("source_kv_text_roundtrip", "R", oracle=_KV_TEXT_ORACLE,
+          doc="The reference's shuffle-file format end-to-end: word counts "
+              "serialized as 'key,value' text lines (WorkerServiceImpl.scala:72), "
+              "read back with first-comma-split decode (:132-135), re-aggregated")
+def source_kv_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes ``word,count`` lines exactly like the reference's map-side
+    shuffle spill, then decodes with the same first-comma split (Spark
+    ``substring_index`` ≡ Scala ``case s"$a,$b"`` on the first comma) and
+    sums the parsed counts — proving the text shuffle format roundtrips."""
+    from toy_map_reduce_spark.operators.wordcount import wordcount
+
+    wc = wordcount(spark, sf_dir)
+    path = _scratch(sf_dir, "kv_text")
+    wc.select(F.concat_ws(",", "word", "cnt").alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+    lines = spark.read.text(path)
+    decoded = lines.select(
+        F.substring_index("value", ",", 1).alias("word"),
+        # reference semantics: garbage parses as 0 (UserDefinedFunctions.scala:23)
+        F.coalesce(
+            F.substring_index("value", ",", -1).cast("long"), F.lit(0)
+        ).alias("cnt"),
+    )
+    return decoded.groupBy("word").agg(F.sum("cnt").alias("cnt"))
