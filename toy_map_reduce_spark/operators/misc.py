@@ -1,0 +1,112 @@
+"""Remaining operator surface (G tier): skew-mitigation patterns,
+distribution windows, deterministic collections, cross join, limit/offset
+pagination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+from toy_map_reduce_spark.operators.wordcount import tokenize, _WORDCOUNT_ORACLE
+
+
+@register("wordcount_salted", "R", oracle=_WORDCOUNT_ORACLE, bench=True,
+          doc="Two-phase salted aggregation: groupBy(salt, word) partial → "
+              "groupBy(word) final. THE skew-mitigation pattern for hot keys "
+              "(the reference's first-letter partitioning was maximally "
+              "skewed and unmitigated, SURVEY.md §4.1); result identical to "
+              "plain wordcount")
+def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same oracle as wordcount — salting must never change results. The
+    salt spreads any single hot key over 16 reducers in phase 1; phase 2
+    combines 16 partial rows per word. On skew-free data this costs one
+    extra tiny shuffle; on a hot-key corpus it removes the straggler."""
+    words = tokenize(load(spark, sf_dir, "documents"))
+    salted = words.withColumn("salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(16)))
+    partial = salted.groupBy("salt", "word").agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy("word").agg(F.sum("c").cast("long").alias("cnt"))
+
+
+_WINDOW_DISTRIBUTION_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+@register("window_distribution", "G", oracle=_WINDOW_DISTRIBUTION_ORACLE,
+          doc="Distribution windows: ntile quartiles, percent_rank, cume_dist")
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_AGG_COLLECT_ORACLE = """
+SELECT c_mktsegment,
+       list_sort(list(DISTINCT c_nationkey)) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_collect_set", "G", oracle=_AGG_COLLECT_ORACLE,
+          doc="Deterministic collection aggregate: sort_array(collect_set) — "
+              "raw collect_list order is execution-dependent and never exposed")
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+_JOIN_CROSS_ORACLE = """
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+"""
+
+
+@register("join_cross", "G", oracle=_JOIN_CROSS_ORACLE,
+          doc="Explicit cross join (tiny dimension × dimension; Catalyst "
+              "plans broadcast nested loop)")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+_SORT_OFFSET_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 50 OFFSET 100
+"""
+
+
+@register("sort_limit_offset", "G", oracle=_SORT_OFFSET_ORACLE,
+          doc="Keyset-free pagination: ORDER BY ... LIMIT with OFFSET "
+              "(deterministic via unique-key tiebreak)")
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )

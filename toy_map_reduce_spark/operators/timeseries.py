@@ -1,0 +1,132 @@
+"""Time-series operators (G/X tier) over the events stream table:
+gap-filled per-minute resampling and hypertable-style multi-resolution
+rollups — the continuous-aggregate shapes a telemetry/feature pipeline
+needs.
+
+Scale notes: gap-fill generates the dense minute spine with ``sequence``
++ ``explode`` per group (spine size = time-range/step, independent of event
+count) and left-joins events onto it — one shuffle on the group key. The
+multi-resolution rollup computes the finest grain once, then re-aggregates
+coarser grains FROM the finer one (minute → hour → day), so the raw table
+is scanned exactly once regardless of how many resolutions are served.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+
+_GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT event_type,
+         date_trunc('hour', MIN(ts)) AS t0,
+         date_trunc('hour', MAX(ts)) AS t1
+  FROM events GROUP BY event_type
+),
+spine AS (
+  SELECT b.event_type, s.minute_start
+  FROM bounds b,
+       LATERAL (SELECT unnest(generate_series(b.t0, b.t1, INTERVAL 1 MINUTE)) AS minute_start) s
+),
+actual AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute_start,
+         CAST(COUNT(*) AS BIGINT) AS cnt, round(SUM(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT sp.event_type, sp.minute_start,
+       COALESCE(a.cnt, 0) AS cnt,
+       COALESCE(a.sum_value, 0.0) AS sum_value
+FROM spine sp
+LEFT JOIN actual a
+  ON a.event_type = sp.event_type AND a.minute_start = sp.minute_start
+"""
+
+
+@register("timeseries_gapfill", "X", oracle=_GAPFILL_ORACLE,
+          doc="Dense per-minute resample with gap filling: sequence+explode "
+              "spine per event_type, left join of actual minute aggregates, "
+              "zero-fill for empty minutes")
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute_start"),
+    )
+    actual = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute_start"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return (
+        spine.join(actual, ["event_type", "minute_start"], "left")
+        .select(
+            "event_type",
+            "minute_start",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+_ROLLUP_MULTI_ORACLE = """
+WITH minute AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket,
+         COUNT(*) AS cnt, SUM(value) AS sv
+  FROM events GROUP BY 1, 2
+),
+hour AS (
+  SELECT event_type, date_trunc('hour', bucket) AS bucket, SUM(cnt) AS cnt, SUM(sv) AS sv
+  FROM minute GROUP BY 1, 2
+),
+day AS (
+  SELECT event_type, date_trunc('day', bucket) AS bucket, SUM(cnt) AS cnt, SUM(sv) AS sv
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'minute' AS grain, event_type, bucket, CAST(cnt AS BIGINT) AS cnt, round(sv, 2) AS sum_value FROM minute
+UNION ALL
+SELECT 'hour', event_type, bucket, CAST(cnt AS BIGINT), round(sv, 2) FROM hour
+UNION ALL
+SELECT 'day', event_type, bucket, CAST(cnt AS BIGINT), round(sv, 2) FROM day
+"""
+
+
+@register("timeseries_rollup_multi", "X", oracle=_ROLLUP_MULTI_ORACLE,
+          doc="Hypertable-style multi-resolution rollup: minute grain computed "
+              "from raw once, hour re-aggregated from minute, day from hour — "
+              "single raw scan for all resolutions")
+def timeseries_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+    )
+    hour = (
+        minute.groupBy("event_type", F.date_trunc("hour", "bucket").alias("bucket"))
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv"))
+    )
+    day = (
+        hour.groupBy("event_type", F.date_trunc("day", "bucket").alias("bucket"))
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv"))
+    )
+
+    def shape(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "event_type",
+            "bucket",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("sv", 2).alias("sum_value"),
+        )
+
+    return shape(minute, "minute").unionByName(shape(hour, "hour")).unionByName(
+        shape(day, "day")
+    )

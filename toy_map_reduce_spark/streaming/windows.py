@@ -191,6 +191,51 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(deduped, "stream_dedup_sink", "append")
 
 
+_STREAM_FOREACHBATCH_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       round(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_foreachbatch_sink", "S", oracle=_STREAM_FOREACHBATCH_ORACLE, bench=False,
+          doc="Exactly-once streaming sink via foreachBatch: each epoch's agg "
+              "state overwrites an idempotent parquet target (the anti-pattern "
+              "the reference's append-mode FileWriter got wrong, SURVEY.md "
+              "§4.3); result read back from the sink files")
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from toy_map_reduce_spark.sources.io_ops import _scratch
+
+    target = _scratch(sf_dir, "stream_febatch")
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        # overwrite per epoch = idempotent under retries (exactly-once
+        # observable state), unlike append-mode accumulation
+        batch_df.write.mode("overwrite").parquet(target)
+
+    for q in spark.streams.active:
+        if q.name == "stream_febatch_q":
+            q.stop()
+    query = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_epoch)
+        .queryName("stream_febatch_q")
+        .option("checkpointLocation", os.path.join(target + "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(target)
+
+
 _STREAM_STATEFUL_ORACLE = """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
