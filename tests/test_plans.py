@@ -6,20 +6,24 @@ top-k never global-sorts, aggregations have a map-side partial phase.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
-import pytest
-
+from toy_map_reduce_spark.plans import explain_str, plan_properties
 from toy_map_reduce_spark.registry import get_spec
 
 
 def plan_of(spark, sf_dir, name: str, mode: str = "formatted") -> str:
-    df = get_spec(name).builder(spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+    return explain_str(get_spec(name).builder(spark, sf_dir), mode)
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    # join_cross is the one intentional cross join; everything else must
+    # plan a keyed join
+    from toy_map_reduce_spark.registry import all_specs
+
+    for name, spec in all_specs().items():
+        if spec.tier == "S" or name == "join_cross":
+            continue
+        props = plan_properties(spec.builder(spark, sf_dir))
+        assert not props["has_cartesian"], f"{name} plans CartesianProduct"
 
 
 def test_scan_project_prunes_columns(spark, sf_dir):

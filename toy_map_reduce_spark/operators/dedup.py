@@ -35,10 +35,7 @@ NUM_BANDS = 8
 BAND_ROWS = NUM_HASHES // NUM_BANDS
 
 
-def _norm_text(col):
-    """Normalization shared by the dedup family: lowercase, trim, collapse
-    whitespace runs."""
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+from toy_map_reduce_spark.functions.text import norm_text as _norm_text
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:

@@ -44,16 +44,9 @@ LSH_BITS = 8
 EMB_DIM = 64
 
 
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _norm(e):
-    return F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+from toy_map_reduce_spark.functions.vector import as_double as _as_double
+from toy_map_reduce_spark.functions.vector import dot as _dot
+from toy_map_reduce_spark.functions.vector import l2_norm as _norm
 
 
 def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:

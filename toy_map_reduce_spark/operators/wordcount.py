@@ -35,9 +35,7 @@ from pyspark.sql import functions as F
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
 
-# Java's \w is ASCII-only; spell the class out so Spark (Java regex) and
-# DuckDB (RE2) agree — SURVEY.md §7.4.
-NON_WORD_CLASS = "[^0-9a-z_]"
+from toy_map_reduce_spark.functions.text import NON_WORD_CLASS
 
 
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:

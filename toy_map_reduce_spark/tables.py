@@ -46,6 +46,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # the external driver supplies its own session; timestamps must be
+    # interpreted as UTC (parquet stores naive micros, DuckDB reads naive)
+    # or every timestamp-bearing query shifts by the host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 
