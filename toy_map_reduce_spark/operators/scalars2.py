@@ -1,0 +1,138 @@
+"""Scalar function library, part 2 (G tier): conditional expressions,
+cryptographic hashes, bitwise operators, and cast/coercion semantics.
+
+Parity pins (measured against DuckDB 1.0):
+
+* ``md5`` / ``sha256`` produce identical lowercase hex in both engines —
+  safe for exact oracles (they also back ``dedup_exact``).
+* DuckDB ``^`` is exponentiation; XOR is the ``xor()`` function.
+* double→int casts DIFFER (Spark truncates toward zero, DuckDB rounds
+  half-even) — deliberately NOT exercised; the cast battery sticks to
+  value-preserving and TRY_CAST paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+
+_SCALAR_CONDITIONAL_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity > 40 THEN 'bulk'
+            WHEN l_quantity > 20 THEN 'mid'
+            ELSE 'small' END AS qty_band,
+       COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+       CASE WHEN l_discount > l_tax THEN l_discount ELSE l_tax END AS max_rate,
+       l_quantity BETWEEN 10 AND 20 AS mid_qty,
+       CASE WHEN l_linestatus = 'O' THEN NULL ELSE l_linenumber END AS masked_line
+FROM lineitem
+"""
+
+
+@register("scalar_conditional", "G", oracle=_SCALAR_CONDITIONAL_ORACLE,
+          doc="Conditional expressions: CASE chains, COALESCE, NULLIF, "
+              "NULL-producing branches")
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > 40, "bulk")
+        .when(F.col("l_quantity") > 20, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("flag_or_none"),
+        F.when(F.col("l_discount") > F.col("l_tax"), F.col("l_discount"))
+        .otherwise(F.col("l_tax"))
+        .alias("max_rate"),
+        F.col("l_quantity").between(10, 20).alias("mid_qty"),
+        F.when(F.col("l_linestatus") == "O", F.lit(None).cast("int"))
+        .otherwise(F.col("l_linenumber"))
+        .alias("masked_line"),
+    )
+
+
+_SCALAR_HASH_ORACLE = """
+SELECT doc_id,
+       md5(text) AS text_md5,
+       sha256(text) AS text_sha256,
+       md5(concat(lang, '|', source)) AS meta_md5
+FROM documents
+"""
+
+
+@register("scalar_hash", "G", oracle=_SCALAR_HASH_ORACLE,
+          doc="Cryptographic digests (md5/sha256) — identical lowercase hex "
+              "cross-engine; the primitives behind content-addressed dedup")
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.concat_ws("|", "lang", "source")).alias("meta_md5"),
+    )
+
+
+_SCALAR_BITWISE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & 255 AS low_byte,
+       l_orderkey | 1 AS with_low_bit,
+       xor(l_orderkey, l_linenumber) AS xored,
+       l_orderkey << 2 AS shifted_l,
+       l_orderkey >> 3 AS shifted_r,
+       ~l_linenumber AS inverted
+FROM lineitem
+"""
+
+
+@register("scalar_bitwise", "G", oracle=_SCALAR_BITWISE_ORACLE,
+          doc="Bitwise AND/OR/XOR/shifts/NOT (DuckDB ^ is power — xor() pinned)")
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(1)).alias("with_low_bit"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("long")).alias("xored"),
+        F.shiftleft(F.col("l_orderkey"), 2).alias("shifted_l"),
+        F.shiftright(F.col("l_orderkey"), 3).alias("shifted_r"),
+        F.bitwise_not(F.col("l_linenumber")).alias("inverted"),
+    )
+
+
+_SCALAR_CAST_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+       TRY_CAST(substr(CAST(o_orderkey AS VARCHAR), 1, 2) AS INTEGER) AS key_prefix_int,
+       CAST(o_custkey AS DOUBLE) AS cust_double,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(o_totalprice > 100000 AS INTEGER) AS is_big_int
+FROM orders
+"""
+
+
+@register("scalar_cast", "G", oracle=_SCALAR_CAST_ORACLE,
+          doc="Cast/coercion battery: int↔string roundtrip, TRY_CAST "
+              "null-on-garbage (the reference's toInt-or-0 rule done right), "
+              "int→double widening, timestamp→date, bool→int")
+def scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    key_str = F.col("o_orderkey").cast("string")
+    return orders.select(
+        "o_orderkey",
+        key_str.alias("key_str"),
+        key_str.cast("long").alias("key_roundtrip"),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.substring(key_str, 1, 2).try_cast("int").alias("key_prefix_int"),
+        F.col("o_custkey").cast("double").alias("cust_double"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        (F.col("o_totalprice") > 100000).cast("int").alias("is_big_int"),
+    )

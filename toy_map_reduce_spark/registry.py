@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "toy_map_reduce_spark.operators.windows",
     "toy_map_reduce_spark.operators.setops",
     "toy_map_reduce_spark.operators.scalars",
+    "toy_map_reduce_spark.operators.scalars2",
     "toy_map_reduce_spark.operators.udf_surface",
     "toy_map_reduce_spark.operators.dedup",
     "toy_map_reduce_spark.operators.similarity",
