@@ -1,0 +1,159 @@
+"""Further operator coverage (G tier): RANGE window frames, argmin/argmax
+aggregates, the regexp function family, explicit NULL ordering, and a
+MERGE-style upsert composed from anti-join + union (the pattern used when
+no transactional table format is on the classpath).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+
+_WINDOW_RANGE_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_similar,
+       round(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                                     RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS sum_similar
+FROM orders
+"""
+
+
+@register("window_range_frame", "G", oracle=_WINDOW_RANGE_ORACLE,
+          doc="RANGE window frame (value-based, tie-inclusive — distinct "
+              "semantics from ROWS frames): orders within $10k below each order")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-10000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_similar"),
+    )
+
+
+_MIN_MAX_BY_ORACLE = """
+SELECT o_custkey,
+       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+       arg_min(o_orderkey, o_totalprice) AS smallest_order,
+       round(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("agg_min_max_by", "G", oracle=_MIN_MAX_BY_ORACLE,
+          doc="Argmin/argmax aggregates (max_by/min_by ≡ DuckDB arg_max/arg_min). "
+              "Deterministic here: o_totalprice has no exact duplicates per customer "
+              "(verified for the fixture seed); tie-breaking is engine-defined otherwise")
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+_SCALAR_REGEX_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INTEGER) AS n_long_words,
+       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+       regexp_matches(text, 'data|query') AS mentions_data,
+       regexp_replace(text, '([a-z]+)ing', '\\1ed', 'g') AS ing_to_ed,
+       CAST(len(regexp_extract_all(lang, '[aeiou]')) AS INTEGER) AS lang_vowels
+FROM documents
+"""
+
+
+@register("scalar_regex", "G", oracle=_SCALAR_REGEX_ORACLE,
+          doc="Regexp family: extract (group n), extract_all count, matches, "
+              "group-referencing replace (Spark $1 vs DuckDB \\1 pinned)")
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]{5,}")).alias("n_long_words"),
+        F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.col("text").rlike("data|query").alias("mentions_data"),
+        # Spark (Java regex) uses $1 for group refs; DuckDB (RE2) uses \1
+        F.regexp_replace("text", r"([a-z]+)ing", r"$1ed").alias("ing_to_ed"),
+        F.regexp_count("lang", F.lit("[aeiou]")).alias("lang_vowels"),
+    )
+
+
+_SORT_NULLS_ORACLE = """
+SELECT o_orderkey, masked_price FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN NULL ELSE round(o_totalprice, 2) END AS masked_price
+  FROM orders
+)
+ORDER BY masked_price DESC NULLS LAST, o_orderkey ASC
+LIMIT 200
+"""
+
+
+@register("sort_nulls", "G", oracle=_SORT_NULLS_ORACLE,
+          doc="Explicit NULL ordering in sorts (engine defaults differ — "
+              "SURVEY.md §7.4 — so every ORDER BY involving NULLs pins "
+              "NULLS FIRST/LAST)")
+def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    masked = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("double"))
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("masked_price"),
+    )
+    return masked.orderBy(
+        F.col("masked_price").desc_nulls_last(), F.col("o_orderkey").asc()
+    ).limit(200)
+
+
+_MERGE_UPSERT_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal, 'updated' AS row_status
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+kept AS (
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, 'unchanged' AS row_status
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+)
+SELECT * FROM updates UNION ALL SELECT * FROM kept
+"""
+
+
+@register("merge_upsert", "G", oracle=_MERGE_UPSERT_ORACLE,
+          doc="MERGE INTO emulation without a transactional format: "
+              "updates ∪ (target anti-join updates) — the upsert pattern for "
+              "plain-parquet targets (Delta/Iceberg MERGE replaces it when "
+              "their jars are present; see sources/lakehouse.py)")
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    updates = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit("updated").alias("row_status"),
+    )
+    kept = (
+        cust.join(updates.select("c_custkey"), "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.lit("unchanged").alias("row_status"),
+        )
+    )
+    return updates.unionByName(kept)

@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "toy_map_reduce_spark.operators.wordcount",
     "toy_map_reduce_spark.operators.relational",
     "toy_map_reduce_spark.operators.extras",
+    "toy_map_reduce_spark.operators.extras2",
     "toy_map_reduce_spark.operators.misc",
     "toy_map_reduce_spark.operators.timeseries",
     "toy_map_reduce_spark.operators.joins",

@@ -191,6 +191,42 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(deduped, "stream_dedup_sink", "append")
 
 
+_STREAM_STREAM_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND v.ts >= c.ts - INTERVAL 10 MINUTE
+ AND v.ts <= c.ts
+"""
+
+
+@register("stream_stream_join", "S", oracle=_STREAM_STREAM_JOIN_ORACLE,
+          doc="Stream-stream interval join: clicks joined to same-user views "
+              "within the preceding 10 minutes; watermarks on both sides "
+              "bound the join state")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("v_ts") <= F.col("c_ts")),
+        "inner",
+    ).select("click_id", "view_id", F.col("c_user").alias("user_id"))
+    return run_to_table(joined, "stream_ss_join_sink", "append")
+
+
 _STREAM_FOREACHBATCH_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS cnt,
