@@ -1,0 +1,101 @@
+"""Property-based tests (SURVEY.md §5.2 #4): tokenizer equivalence against
+an independent reference reimplementation on random inputs, aggregation
+invariants, and top-k stability under repartitioning.
+
+Hypothesis drives the data; each example batches many strings into ONE
+Spark job (a session per example would be prohibitively slow).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from tests.test_wordcount import reference_wordcount
+from toy_map_reduce_spark.operators.wordcount import tokenize
+from toy_map_reduce_spark.tables import load
+
+# printable ASCII + whitespace runs + a few safe non-ASCII chars (they get
+# stripped by the ASCII word class after lowering — exercising the strip
+# path). Turkish dotted-I / ligatures excluded: Java and Python case
+# mappings genuinely differ there and the reference is JVM-only anyway.
+_ALPHABET = st.sampled_from(
+    list("abcXYZ012_ .,!?-@#\t") + ["é", "ü", "ñ", "日", "語"]
+)
+_TEXT = st.text(alphabet=_ALPHABET, min_size=0, max_size=60)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=30))
+def test_tokenizer_matches_reference(spark, texts):
+    """Spark pipeline count == independent Python reference tokenizer count
+    (modulo the pinned trailing-empty-token difference, normalized the same
+    way as the golden corpus test)."""
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = Counter()
+    for r in tokenize(df).groupBy("word").agg(F.count(F.lit(1)).alias("c")).collect():
+        got[r.word] = r.c
+    expected = reference_wordcount(texts)
+    # Spark's split(-1) keeps trailing empties that Scala String.split drops
+    # — count them exactly per text
+    def n_trailing(t: str) -> int:
+        parts = t.split(" ")
+        k = 0
+        while parts and parts[-1] == "":
+            parts.pop()
+            k += 1
+        return k
+
+    trailing = sum(n_trailing(t) for t in texts)
+    diff = got[""] - expected[""]
+    assert diff == trailing, (got[""], expected[""], trailing)
+    got[""] = expected[""]
+    assert {k: v for k, v in got.items() if v} == {
+        k: v for k, v in expected.items() if v
+    }
+
+
+def test_sum_over_union_equals_sum_of_sums(spark, sf_dir):
+    """Partition-invariance of aggregation: splitting by any predicate and
+    re-combining partial sums gives the global sum (exact in integers)."""
+    li = load(spark, sf_dir, "lineitem")
+    total = li.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("s")
+    ).collect()[0]
+    lo = li.where(F.col("l_quantity") <= 25)
+    hi = li.where(F.col("l_quantity") > 25)
+    parts = [
+        d.agg(F.count(F.lit(1)).alias("n"), F.sum("l_orderkey").alias("s")).collect()[0]
+        for d in (lo, hi)
+    ]
+    assert total.n == sum(p.n for p in parts)
+    assert total.s == sum(p.s for p in parts)
+
+
+def test_topk_stable_under_repartition(spark, sf_dir):
+    """sort_limit has a unique-key tiebreak, so any physical partitioning
+    must give the identical top-k."""
+    from toy_map_reduce_spark.registry import get_spec
+
+    base = [tuple(r) for r in get_spec("sort_limit").builder(spark, sf_dir).collect()]
+    orders = load(spark, sf_dir, "orders").repartition(7)
+    shuffled = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(100)
+    )
+    assert [tuple(r) for r in shuffled.collect()] == base
+
+
+def test_dedup_survivors_unique_and_complete(spark, sf_dir):
+    """Exact dedup partitions the input: survivor hashes unique, dup_counts
+    sum back to the corpus size."""
+    from toy_map_reduce_spark.registry import get_spec
+
+    out = get_spec("dedup_exact").builder(spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").count()
+    rows = out.collect()
+    assert len({r.text_hash for r in rows}) == len(rows)
+    assert sum(r.dup_count for r in rows) == n_docs

@@ -173,6 +173,24 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARRAY_EXPLODE_ORACLE = """
+SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, round(CAST(embedding[i] AS DOUBLE), 6) AS val
+FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+WHERE i <= 8
+"""
+
+
+@register("scalar_array_explode", "G", oracle=_ARRAY_EXPLODE_ORACLE,
+          doc="posexplode: array to (position, value) rows with ordinality "
+              "(first 8 dims per vector)")
+def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v"))
+        .select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
+    )
+
+
 _SCALAR_MAP_ORACLE = """
 SELECT doc_id,
        MAP {'lang': lang, 'source': source}['lang'][1] AS lang_val,
