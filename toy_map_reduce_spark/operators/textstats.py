@@ -201,6 +201,71 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_FREQ_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+  FROM toks
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi
+GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC
+LIMIT 100
+"""
+
+
+@register("text_ngram_freq", "X", oracle=_NGRAM_FREQ_ORACLE,
+          doc="Corpus-wide top-100 bigram frequencies (n-gram language-model "
+              "statistics; deterministic (cnt, bigram) ordering)")
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(_tokens("text").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", (i + 1).cast("int")), F.element_at("t", (i + 2).cast("int"))
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(100)
+    )
+
+
+_LENGTH_HISTOGRAM_ORACLE = """
+SELECT CAST(least(n_chars // 50, 16) AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("text_length_histogram", "X", oracle=_LENGTH_HISTOGRAM_ORACLE,
+          doc="Document-length histogram: 50-char integer buckets, top-capped "
+              "(corpus length distribution for quality filtering; exact int "
+              "arithmetic — DuckDB 1.0 has no width_bucket)")
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 50), F.lit(16)).cast("int")
+    return (
+        docs.select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 _TEXT_FINGERPRINT_ORACLE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,
