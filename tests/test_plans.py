@@ -78,6 +78,15 @@ def test_agg_basic_partial_final(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    # the whole point of the bucketed layout: join + same-key groupBy with
+    # ZERO Exchange in the plan
+    df = get_spec("join_bucketed").builder(spark, sf_dir)
+    props = plan_properties(df)
+    assert props["exchanges"] == 0, f"bucketed join must not shuffle: {props}"
+    assert props["sort_merge_join"]
+
+
 def test_sim_topk_broadcasts_queries(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sim_topk")
     assert "Broadcast" in plan, "query side must broadcast — data side must never shuffle"
