@@ -106,6 +106,36 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JOIN_FULL_ORACLE = """
+SELECT a.custkey AS f_custkey, a.n_f, b.custkey AS o_custkey, b.n_o
+FROM (SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_f
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) a
+FULL JOIN (SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_o
+           FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) b
+  ON a.custkey = b.custkey
+"""
+
+
+@register("join_full", "G", oracle=_JOIN_FULL_ORACLE,
+          doc="Full outer join: customers' finished vs open order counts, "
+              "null-extended on both sides")
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    f = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("f_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    o = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return f.join(o, f.f_custkey == o.o_custkey, "full_outer").select(
+        "f_custkey", "n_f", "o_custkey", "n_o"
+    )
+
+
 _JOIN_BROADCAST_ORACLE = """
 SELECT p.p_brand,
        round(SUM(l.l_quantity), 2) AS sum_qty,
