@@ -29,9 +29,16 @@ def main() -> int:
     spark = get_spark("tmr-bench")
     specs = {n: s for n, s in all_specs().items() if s.bench}
 
-    # warm the JVM + parquet footer caches on the flagship before timing
-    if "wordcount" in specs:
-        materialize(specs["wordcount"].builder(spark, sf_dir))
+    # warm pass: whole-stage codegen compilation and parquet footer caches
+    # are one-time costs, not engine throughput — time the steady state.
+    # Disable with SPARK_GRAFT_BENCH_COLD=1.
+    warm = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") != "1"
+    if warm:
+        for name, spec in specs.items():
+            try:
+                materialize(spec.builder(spark, sf_dir))
+            except Exception:
+                pass  # surfaced in the timed pass
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():

@@ -84,7 +84,12 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
 
-    # signature: one groupBy computing all 32 minhashes at once (single shuffle)
+    # signature: one groupBy computing all 32 minhashes at once (single
+    # shuffle), with independent seeded xxhash64 per hash. (A cheaper
+    # one-hash + universal-family variant was measured at identical wall
+    # time — the bucket self-join dominates, not hashing — and its 32-bit
+    # mod-p range measurably degraded minhash quality on planted pairs, so
+    # the full-width independent family stays.)
     minhash_cols = [
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh{j}")
         for j in range(NUM_HASHES)
