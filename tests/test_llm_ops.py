@@ -62,6 +62,26 @@ def test_dedup_near_finds_planted_pairs(spark, planted):
     assert not any((a < 4) != (b < 4) for a, b in pairs), pairs
 
 
+def test_dedup_clusters_transitivity(spark, spark_tmp_chain_factory=None, tmp_path=None):
+    """A→B and B→C near-dup chains must collapse into ONE cluster even if
+    A and C are not directly similar (the reason clustering is iterative,
+    not just pair-grouping)."""
+    from pyspark.sql import functions as F
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    b = base.replace("alpha", "zulu")           # ~0.86 jaccard to base
+    c = b.replace("tango", "victor")            # chained edit: far from base
+    rows = [(0, base), (1, b), (2, c), (3, "completely different words here now")]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, ["doc_id", "text"]).withColumn("lang", F.lit("en")) \
+        .withColumn("source", F.lit("t")).withColumn("n_chars", F.length("text")) \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r.cluster_id for r in get_spec("dedup_clusters").builder(spark, d).collect()}
+    assert out[0] == out[1] == out[2] == 0, out
+    assert out[3] == 3
+
+
 def test_dedup_near_deterministic(spark, sf_dir):
     fn = get_spec("dedup_near").builder
     r1 = sorted(map(tuple, fn(spark, sf_dir).collect()))

@@ -1,0 +1,254 @@
+"""Training-data pipeline operators (X tier): the glue steps between raw
+corpus and training shards — PII/URL redaction, deterministic dataset
+splitting and sampling, token-balanced shard assignment, and connected-
+component clustering of near-duplicate pairs.
+
+Determinism doctrine: anything that partitions the dataset (splits,
+samples, shards) keys off the portable polynomial fingerprint
+(operators/textstats.py) — identical in Spark and DuckDB, stable across
+runs/partitionings, and content-addressed (re-ingesting the same document
+lands in the same split). Never ``rand()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+from toy_map_reduce_spark.operators.textstats import _tokens
+
+
+# portable fingerprint expression (matches _TEXT_FINGERPRINT_ORACLE)
+def _fingerprint():
+    tok_codes = F.transform(
+        _tokens("text"),
+        lambda s: (F.length(s) * 131 + F.ascii(F.substring(s, 1, 1))).cast("long"),
+    )
+    return F.aggregate(
+        tok_codes, F.lit(0).cast("long"), lambda h, x: (h * 1000003 + x) % 2147483647
+    )
+
+
+_FP_SQL = """
+list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              s -> CAST(length(s) * 131 + ascii(substr(s, 1, 1)) AS BIGINT))),
+  (h, x) -> (h * 1000003 + x) % 2147483647
+)
+"""
+
+
+_TEXT_REDACT_ORACLE = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+           'https?://[^ ]+', '[URL]', 'g'),
+         '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+       length(regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+           'https?://[^ ]+', '[URL]', 'g'),
+         '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g')) <> length(text) AS was_redacted
+FROM documents
+"""
+
+
+@register("text_redact", "X", oracle=_TEXT_REDACT_ORACLE,
+          doc="PII/URL scrubbing: email, URL, phone patterns replaced with "
+              "typed placeholders (chained regexp_replace, JVM-side)")
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"[a-z0-9._]+@[a-z0-9.]+", "[EMAIL]"),
+            r"https?://[^ ]+",
+            "[URL]",
+        ),
+        r"[0-9]{3}-[0-9]{3,4}-[0-9]{4}",
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        (F.length(redacted) != F.length("text")).alias("was_redacted"),
+    )
+
+
+_DATASET_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {_FP_SQL} % 100 < 80 THEN 'train'
+            WHEN {_FP_SQL} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("dataset_split", "X", oracle=_DATASET_SPLIT_ORACLE,
+          doc="Deterministic 80/10/10 train/val/test assignment by content "
+              "fingerprint — stable across runs, partitionings, and "
+              "re-ingestion (never rand())")
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = _fingerprint() % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+_SAMPLE_HASH_ORACLE = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE {_FP_SQL} % 100 < 10
+GROUP BY lang
+"""
+
+
+@register("sample_hash", "X", oracle=_SAMPLE_HASH_ORACLE,
+          doc="Reproducible ~10% sample via fingerprint threshold (the "
+              "scalable substitute for rand() sampling: same rows every run, "
+              "no sort, no state)")
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sampled = docs.where((_fingerprint() % 100) < 10)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("sampled"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+    )
+
+
+_SHARD_ASSIGN_ORACLE = """
+WITH sized AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM sized
+)
+SELECT CAST((rn - 1) % 8 AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM ranked
+GROUP BY 1
+"""
+
+
+@register("shard_assign", "X", oracle=_SHARD_ASSIGN_ORACLE,
+          doc="Token-balanced shard assignment: size-desc round-robin over 8 "
+              "shards (greedy balance without sequential state); per-shard "
+              "doc and token totals")
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(_tokens("text")).alias("n_tokens"))
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+    ranked = sized.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.select(((F.col("rn") - 1) % 8).cast("int").alias("shard"), "n_tokens")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_DEDUP_CLUSTERS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+    FROM toks
+  ) WHERE shingle <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.both_cnt AS DOUBLE) / (sa.n + sb.n - i.both_cnt) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  -- transitive closure (pair graph is tiny relative to the corpus)
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+  )
+  SELECT * FROM r
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@register("dedup_clusters", "X", oracle=_DEDUP_CLUSTERS_ORACLE, bench=False,
+          doc="Connected components over the near-dup pair graph (iterative "
+              "min-label propagation, the alternating-join CC algorithm); "
+              "cluster_id = min doc_id in component. Oracle = recursive-CTE "
+              "transitive closure")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative DataFrame algorithm: labels start as doc_id; each round
+    every node takes min(own label, neighbors' labels) until fixpoint.
+    Rounds ≈ graph diameter (tiny for dup clusters); each round is one
+    join + one aggregation. At 100 TB you'd add periodic checkpointing to
+    truncate lineage — the loop structure is identical."""
+    from toy_map_reduce_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.withColumn("label", F.col("doc_id"))
+
+    for _ in range(15):  # diameter bound; fixpoint check below
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").cast("long").alias("cluster_id"))
