@@ -76,6 +76,26 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AGG_STRING_CONCAT_ORACLE = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("agg_string_concat", "G", oracle=_AGG_STRING_CONCAT_ORACLE,
+          doc="Ordered string aggregation (LISTAGG): concat_ws over "
+              "sort_array(collect_list) ≡ string_agg ... ORDER BY")
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations_csv"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 _JOIN_CROSS_ORACLE = """
 SELECT r.r_name, n.n_name
 FROM region r CROSS JOIN nation n
