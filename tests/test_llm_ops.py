@@ -62,7 +62,7 @@ def test_dedup_near_finds_planted_pairs(spark, planted):
     assert not any((a < 4) != (b < 4) for a, b in pairs), pairs
 
 
-def test_dedup_clusters_transitivity(spark, spark_tmp_chain_factory=None, tmp_path=None):
+def test_dedup_clusters_transitivity(spark, tmp_path):
     """A→B and B→C near-dup chains must collapse into ONE cluster even if
     A and C are not directly similar (the reason clustering is iterative,
     not just pair-grouping)."""

@@ -40,10 +40,12 @@ def _read_stream(spark, path):
     return spark.readStream.schema(schema).parquet(path)
 
 
-def test_watermark_drops_late_duplicates(spark, two_batch_dir):
+def test_watermark_drops_late_duplicates(spark, two_batch_dir, tmp_path):
     from datetime import datetime
 
     t = lambda m: datetime(2024, 1, 1, 12, m, 0)
+    ckpt = str(tmp_path / "ckpt")  # SHARED across both runs: run 2 must
+    # RESUME run 1's state + watermark, not reprocess from scratch
 
     # batch 1: watermark advances to 12:30 - 10min = 12:20
     _write_batch(
@@ -58,38 +60,39 @@ def test_watermark_drops_late_duplicates(spark, two_batch_dir):
         .dropDuplicates(["user_id", "event_type"])
         .select("event_id", "user_id", "event_type")
     )
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("wm_dedup")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the memory sink cannot recover from a checkpoint; the parquet file
+    # sink can, and checkpoint recovery is exactly what makes this a real
+    # two-batch watermark test
+    out = str(tmp_path / "out")
 
-    # batch 2: event_id=3 is LATE (12:05 < watermark 12:20) and a duplicate
-    # key of an EVICTED state row — semantics: dropDuplicates state older
-    # than the watermark is evicted, and late input is dropped, so id=3
-    # must NOT appear; id=4 (fresh key, on time) must appear
+    def run_once():
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.event_id for r in spark.read.parquet(out).collect()}
+
+    batch1_ids = run_once()
+    assert batch1_ids == {1, 2}
+
+    # batch 2 (resumed from the same checkpoint, so only the new file is
+    # processed under the carried-over 12:20 watermark): event_id=3 is LATE
+    # (12:05 < 12:20) — dropped as late input regardless of dedup state;
+    # id=4 (fresh key, on time) must appear
     _write_batch(
         spark,
         two_batch_dir,
         [(3, t(5), 1, "click", 1.0), (4, t(31), 3, "view", 1.0)],
     )
-    q2 = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("wm_dedup2")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q2.awaitTermination()
-
-    batch1_ids = {r.event_id for r in spark.table("wm_dedup").collect()}
-    assert batch1_ids == {1, 2}
-    all_ids = {r.event_id for r in spark.table("wm_dedup2").collect()}
+    all_ids = run_once()
     assert 3 not in all_ids, "late-arriving row behind the watermark must be dropped"
     assert 4 in all_ids
+    assert all_ids == {1, 2, 4}
 
 
 def test_append_mode_emits_only_finalized_windows(spark, two_batch_dir):

@@ -39,18 +39,25 @@ from toy_map_reduce_spark.functions.text import norm_text as _norm_text
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """documents → distinct (doc_id, shingle) word n-grams."""
-    toks = df.select("doc_id", F.split(_norm_text(F.col("text")), " ").alias("t"))
+    """documents → distinct (doc_id, shingle) word n-grams.
+
+    Docs shorter than ``n`` tokens emit NO shingles — this matches the
+    DuckDB oracles exactly (their ``t[i] || ' ' || t[i+1] ...`` shingle is
+    NULL when an index is out of range and gets dropped; Spark's
+    ``concat_ws`` would instead silently skip the null part and emit a
+    truncated shingle, a cross-engine divergence on short docs)."""
+    toks = df.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("t")
+    ).where(F.size("t") >= n)
     sh = toks.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0))),
+                F.sequence(F.lit(0), F.size("t") - n),
                 lambda i: F.concat_ws(" ", *[F.element_at("t", (i + j + 1).cast("int")) for j in range(n)]),
             )
         ).alias("shingle"),
     )
-    # a doc shorter than n tokens contributes its full (padded) prefix once
     return sh.where(F.col("shingle") != "").distinct()
 
 

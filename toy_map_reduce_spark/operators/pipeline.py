@@ -246,6 +246,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        labels.unpersist()  # drop the previous round's cached copy
         labels = new_labels
         if changed == 0:
             break

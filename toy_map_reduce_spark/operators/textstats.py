@@ -29,7 +29,9 @@ STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
 
 def _tokens(col):
-    return F.split(F.col(col), " ")
+    from toy_map_reduce_spark.functions.text import tokens
+
+    return tokens(F.col(col))
 
 
 _TEXT_STATS_ORACLE = """
@@ -219,7 +221,9 @@ LIMIT 100
               "statistics; deterministic (cnt, bigram) ordering)")
 def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(_tokens("text").alias("t"))
+    # single-token docs have no bigrams; without the guard sequence(0, -1)
+    # yields [0, -1] and element_at(t, 0) throws INVALID_INDEX_OF_ZERO
+    toks = docs.select(_tokens("text").alias("t")).where(F.size("t") >= 2)
     bigrams = toks.select(
         F.explode(
             F.transform(
