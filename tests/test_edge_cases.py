@@ -1,0 +1,78 @@
+"""Edge-case parity regressions on crafted corpora (cases the fixture data
+can't reach: short documents, empty-ish text) — the Spark builder and its
+DuckDB oracle must agree on these too, not just on the fixtures.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.parity import assert_frames_match
+from toy_map_reduce_spark.registry import get_spec
+
+EDGE_DOCS = [
+    (0, "hello"),                       # 1 token — below shingle width
+    (1, "hello world"),                 # 2 tokens
+    (2, "hello world again"),           # exactly 3
+    (3, "hello world again"),           # exact duplicate of 2
+    (4, "one two three four five six seven"),
+    (5, "one two three four five six seven"),
+    (6, "x"),                           # another 1-token doc, distinct
+]
+
+
+@pytest.fixture()
+def edge_dir(spark, tmp_path):
+    d = str(tmp_path)
+    (
+        spark.createDataFrame(EDGE_DOCS, ["doc_id", "text"])
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("edge"))
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite")
+        .parquet(f"{d}/documents.parquet")
+    )
+    return d
+
+
+@pytest.fixture()
+def edge_duck(edge_dir):
+    con = duckdb.connect()
+    # Spark writes the table as a directory of part files; glob them
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{edge_dir}/documents.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_ngram_jaccard",
+        "dedup_exact",
+        "dedup_clusters",
+        "text_stats",
+        "text_ngram_freq",
+        "text_fingerprint",
+        "wordcount",
+        "dataset_split",
+    ],
+)
+def test_edge_corpus_parity(spark, edge_dir, edge_duck, name):
+    spec = get_spec(name)
+    sdf = spec.builder(spark, edge_dir).toPandas()
+    odf = edge_duck.sql(spec.oracle).df()
+    assert_frames_match(sdf, odf, name=name)
+
+
+def test_short_docs_pair_exactly_like_oracle(spark, edge_dir):
+    """Duplicate 3-token docs (2,3) and 7-token docs (4,5) must pair with
+    jaccard 1.0; sub-shingle-width docs (0,1,6) must produce no pairs."""
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in get_spec("dedup_ngram_jaccard").builder(spark, edge_dir).collect()
+    }
+    assert pairs == {(2, 3): 1.0, (4, 5): 1.0}
