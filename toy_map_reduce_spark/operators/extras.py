@@ -150,15 +150,24 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 
 @register("agg_grouping_sets", "G", oracle=_GROUPING_SETS_ORACLE,
           doc="Explicit GROUPING SETS (beyond rollup/cube shapes)")
+def _view(df, sf_dir: str, base: str) -> str:
+    """Register a temp view with an sf-scoped name: a bare global name
+    would collide if the driver interleaves calls across scale factors."""
+    import os
+
+    name = f"{base}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("gs_lineitem")
+    v = _view(load(spark, sf_dir, "lineitem"), sf_dir, "gs_lineitem")
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
                round(SUM(l_quantity), 2) AS sum_qty,
                COUNT(*) AS cnt
-        FROM gs_lineitem
+        FROM {v}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
@@ -175,13 +184,12 @@ WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
           doc="Scalar subquery in a predicate: orders above the global mean "
               "(Catalyst plans the subquery as a broadcast one-row join)")
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("sq_orders")
+    v = _view(load(spark, sf_dir, "orders"), sf_dir, "sq_orders")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_totalprice
-        FROM sq_orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM sq_orders)
+        FROM {v}
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM {v})
         """
     )
 
@@ -198,13 +206,12 @@ WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
           doc="Correlated scalar subquery (above own nation's average) — "
               "Catalyst decorrelates to an aggregate + join")
 def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, sf_dir, "customer")
-    cust.createOrReplaceTempView("cs_customer")
+    v = _view(load(spark, sf_dir, "customer"), sf_dir, "cs_customer")
     return spark.sql(
-        """
+        f"""
         SELECT c_custkey, c_acctbal
-        FROM cs_customer c
-        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM cs_customer c2
+        FROM {v} c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM {v} c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
