@@ -24,6 +24,16 @@ from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
 
 
+def _view(df, sf_dir: str, base: str) -> str:
+    """Register a temp view with an sf-scoped name: a bare global name
+    would collide if the driver interleaves calls across scale factors."""
+    import os
+
+    name = f"{base}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
 _AGG_STATS_ORACLE = """
 SELECT l_returnflag,
        round(stddev_samp(l_quantity), 6) AS qty_stddev,
@@ -150,16 +160,6 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 
 @register("agg_grouping_sets", "G", oracle=_GROUPING_SETS_ORACLE,
           doc="Explicit GROUPING SETS (beyond rollup/cube shapes)")
-def _view(df, sf_dir: str, base: str) -> str:
-    """Register a temp view with an sf-scoped name: a bare global name
-    would collide if the driver interleaves calls across scale factors."""
-    import os
-
-    name = f"{base}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-    df.createOrReplaceTempView(name)
-    return name
-
-
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _view(load(spark, sf_dir, "lineitem"), sf_dir, "gs_lineitem")
     return spark.sql(
