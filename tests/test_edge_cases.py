@@ -57,6 +57,8 @@ def edge_duck(edge_dir):
         "text_stats",
         "text_ngram_freq",
         "text_fingerprint",
+        "text_tfidf",
+        "text_keywords",
         "wordcount",
         "dataset_split",
     ],

@@ -28,8 +28,10 @@ def _view(df, sf_dir: str, base: str) -> str:
     """Register a temp view with an sf-scoped name: a bare global name
     would collide if the driver interleaves calls across scale factors."""
     import os
+    import re
 
-    name = f"{base}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    name = f"{base}_{tag}"
     df.createOrReplaceTempView(name)
     return name
 

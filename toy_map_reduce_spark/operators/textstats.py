@@ -270,44 +270,13 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TFIDF_ORACLE = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-),
-tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
-),
-df AS (
-  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
-),
-n AS (SELECT COUNT(*) AS n_docs FROM documents)
-SELECT t.doc_id, t.term,
-       CAST(t.tf AS BIGINT) AS tf,
-       CAST(d.df AS BIGINT) AS df,
-       round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
-FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
-"""
-
-
-@register("text_tfidf", "X", oracle=_TFIDF_ORACLE,
-          doc="TF-IDF weights via pure DataFrame ops: per-doc term frequency "
-              "⋈ document frequency (broadcast — vocabulary ≪ corpus) × ln(N/df)")
-def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar: one job, broadcast into the expression
-    toks = docs.select("doc_id", F.explode(_tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    return tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
-    )
-
-
-_KEYWORDS_ORACLE = """
+# shared TF-IDF core: one definition for both operators, builder and oracle
+# (a tokenization or smoothing change must not be able to diverge them).
+# The weight is rounded to 6dp BEFORE any ranking: mathematically-equal
+# weights reached via different ln() expressions can differ by 1 ulp in
+# opposite directions across engines (SURVEY.md §7.4), and an unrounded
+# rank key would make the top-k cutoff engine-dependent.
+_TFIDF_CTE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
@@ -315,13 +284,53 @@ tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
-  SELECT t.doc_id, t.term,
-         t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS w
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
   FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
 )
-SELECT doc_id, CAST(rn AS INTEGER) AS rnk, term, round(w, 6) AS tfidf FROM (
-  SELECT doc_id, term, w,
-         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC) AS rn
+"""
+
+
+def _tfidf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf) — tfidf pre-rounded to 6dp. The corpus
+    size joins in lazily as a one-row broadcast aggregate (no driver-side
+    count(): builders must stay lazy — plan inspection alone must not run
+    Spark jobs)."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    toks = docs.select("doc_id", F.explode(_tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+_TFIDF_ORACLE = _TFIDF_CTE + """
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM scored
+"""
+
+
+@register("text_tfidf", "X", oracle=_TFIDF_ORACLE,
+          doc="TF-IDF weights via pure DataFrame ops: per-doc term frequency "
+              "⋈ document frequency (broadcast — vocabulary ≪ corpus) × ln(N/df)")
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tfidf_scored(spark, sf_dir)
+
+
+_KEYWORDS_ORACLE = _TFIDF_CTE + """
+SELECT doc_id, CAST(rn AS INTEGER) AS rnk, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
   FROM scored
 ) WHERE rn <= 3
 """
@@ -329,25 +338,16 @@ SELECT doc_id, CAST(rn AS INTEGER) AS rnk, term, round(w, 6) AS tfidf FROM (
 
 @register("text_keywords", "X", oracle=_KEYWORDS_ORACLE,
           doc="Keyword extraction: top-3 TF-IDF terms per document (window "
-              "top-k over the tfidf scores, term tiebreak)")
+              "top-k on the 6dp-rounded weight, term tiebreak)")
 def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    toks = docs.select("doc_id", F.explode(_tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term").asc())
+    scored = _tfidf_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .select("doc_id", F.col("rn").cast("int").alias("rnk"), "term", F.round("w", 6).alias("tfidf"))
+        .select("doc_id", F.col("rn").cast("int").alias("rnk"), "term", "tfidf")
     )
 
 
