@@ -98,6 +98,62 @@ def test_simhash_near_dup_sensitivity(spark, planted):
     assert hamming(rows[0], rows[2]) > 16   # unrelated: far apart
 
 
+def test_simhash_pairs_match_bruteforce(spark):
+    """Pigeonhole block join must find EXACTLY the pairs brute-force Hamming
+    ≤ 3 finds (4 blocks ⇒ any ≤3-bit difference leaves one block intact).
+    Long docs with a one-token edit keep the signature within a bit or two
+    (majority votes dominated by the shared tokens)."""
+    from toy_map_reduce_spark.operators.dedup import simhash_signatures, simhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the birds sing in the garden trees "
+            "and the sun sets slowly behind the distant purple mountains while "
+            "children play happily near the old stone bridge by the river")
+    rows = [(0, base), (1, base.replace("warm", "cold"))] + [
+        (i + 2, f"unrelated filler doc number {i} with tokens alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = simhash_signatures(docs)
+    sigs = {r.doc_id: r.simhash for r in sig.collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3
+    }
+    got = {(r.doc_a, r.doc_b) for r in simhash_pairs(sig).collect()}
+    assert got == brute, (got, brute)
+    # the one-token-edit planted pair lands within 3 bits on this corpus
+    assert (0, 1) in got
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate(spark):
+    """A shingle shared by k docs makes k(k-1)/2 join rows — the df cap must
+    stop boilerplate-only 'pairs' while keeping genuine near-dups intact."""
+    from toy_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = ("all rights reserved please contact our support team "
+              "for licensing terms and conditions today")
+    docs = [(i, f"{boiler} unique{i} token{i}") for i in range(10)]
+    # genuine near-dup pair sharing RARE shingles (df=2), plus the boilerplate
+    dup_a = "the quick brown fox jumps over the lazy dog near the river today"
+    dup_b = "the quick brown fox jumps over the lazy dog near the river tonight"
+    docs += [(100, dup_a), (101, dup_b)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    uncapped = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df, df_cap=10**9).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df, df_cap=5).collect()}
+
+    # uncapped: the 10 boilerplate docs all pair with each other (45 pairs)
+    assert sum(1 for a, b in uncapped if a < 100 and b < 100) == 45
+    # capped: boilerplate shingles (df=10 > 5) are dropped, the quadratic
+    # cluster vanishes, and the genuine pair (rare shingles, df=2) survives
+    assert not any(a < 100 and b < 100 for a, b in capped), capped
+    assert (100, 101) in capped
+
+
 def test_dedup_idempotent(spark, sf_dir):
     """dedup(dedup(x)) == dedup(x): survivors are unique by hash."""
     out = get_spec("dedup_exact").builder(spark, sf_dir)
@@ -167,7 +223,7 @@ def test_multimodal_features_deterministic_and_correct(spark, sf_dir):
         b = docs[doc_id].encode("utf-8")
         assert r.n_bytes == len(b)
         assert r.byte_sum == sum(b)
-        assert list(r.head_bytes) == list(b[:8])
+        assert r.head_bytes == ",".join(str(x) for x in b[:8])
         r2 = rows2[doc_id]
         assert (r.byte_sum, r.byte_mean, r.n_frames) == (r2.byte_sum, r2.byte_mean, r2.n_frames)
 

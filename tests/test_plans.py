@@ -90,3 +90,38 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
 def test_sim_topk_broadcasts_queries(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sim_topk")
     assert "Broadcast" in plan, "query side must broadcast — data side must never shuffle"
+
+
+def test_dedup_near_is_bucket_keyed_not_allpairs(spark, sf_dir):
+    # the LSH formulation must stay a keyed join on (band_id, band_hash);
+    # a regression to all-pairs would show up as a cartesian/nested-loop
+    plan = plan_of(spark, sf_dir, "dedup_near")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_hash" in plan, "join must key on the LSH bucket hash"
+
+
+def test_dedup_simhash_pairs_is_block_keyed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "block_val" in plan, "join must key on the pigeonhole block value"
+
+
+def test_no_complex_typed_output_columns(spark, sf_dir):
+    # the driver's canonicalizer hashes cells and cannot hash list/map/struct
+    # values (round-1 CORRECTNESS errors) — every query surface must emit
+    # only scalar columns. Streaming builders execute a full query lifecycle
+    # per call, so S-tier is covered by the parity suite instead.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from toy_map_reduce_spark.registry import all_specs
+
+    offenders = []
+    for name, spec in all_specs().items():
+        if spec.tier == "S":
+            continue
+        for f in spec.builder(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders

@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from toy_map_reduce_spark.registry import register
@@ -148,12 +148,10 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", "X", oracle=None, bench=True,
-          doc="64-bit SimHash signature per document (xxhash64 token hashes, "
-              "bitwise majority vote) — rows-only; determinism and "
-              "near-dup sensitivity pytest-verified")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, simhash): 64-bit SimHash per doc (xxhash64 token
+    hashes, bitwise majority vote). 64 conditional sums, all JVM codegen,
+    one shuffle."""
     toks = docs.select(
         "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("tok")
     ).where(F.col("tok") != "")
@@ -175,18 +173,100 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
+@register("dedup_simhash", "X", oracle=None, bench=True,
+          doc="64-bit SimHash signature per document (xxhash64 token hashes, "
+              "bitwise majority vote) — rows-only; determinism and "
+              "near-dup sensitivity pytest-verified")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load(spark, sf_dir, "documents"))
+
+
+# Pigeonhole pair retrieval: split the 64-bit signature into 4 blocks of 16
+# bits. Any pair with Hamming distance ≤ 3 differs in at most 3 bits, so at
+# least one of the 4 blocks is bit-identical — a self-join keyed on
+# (block_id, block_value) finds every such pair while shuffling only 4
+# rows/doc (Manku et al., WWW'07 formulation). The k² blow-up risk lives in
+# hot (block_id, value) buckets, which for a hash-derived signature are
+# near-uniform.
+SIMHASH_BLOCKS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_pairs(sig: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """(doc_id, simhash) → (doc_a, doc_b, hamming) for pairs within
+    ``max_hamming`` bits (exact under the pigeonhole guarantee for
+    max_hamming ≤ SIMHASH_BLOCKS - 1)."""
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("block_val"),
+                )
+                for i in range(SIMHASH_BLOCKS)
+            ])
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+@register("dedup_simhash_pairs", "X", oracle=None, bench=True,
+          doc="SimHash near-dup pair retrieval: 4×16-bit block-rotation "
+              "pigeonhole self-join (4 rows/doc shuffle, never all-pairs), "
+              "Hamming ≤ 3 verify on bucket matches. Rows-only (xxhash64 "
+              "signature has no DuckDB twin); planted near-dup recall is "
+              "pytest-verified")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(simhash_signatures(load(spark, sf_dir, "documents")))
+
+
+# Document-frequency cap for the inverted-index self-join: a shingle shared
+# by k documents produces k·(k-1)/2 join rows, so one boilerplate/template
+# shingle (navigation chrome, license header, lorem filler) at corpus scale
+# is a quadratic blow-up. Standard fix from the dedup literature: drop
+# shingles whose posting list exceeds a fixed cap before joining — such
+# shingles carry no near-duplicate signal anyway (they match *everything*).
+# The cap bounds the join at DF_CAP²/2 rows per hot shingle.
+DF_CAP = 100
+
 _NGRAM_JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
   FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                    FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
     FROM toks
   ) WHERE shingle <> ''
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_all
+  ) WHERE df <= 100
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -203,12 +283,22 @@ WHERE CAST(i.both_cnt AS DOUBLE) / (sa.n + sb.n - i.both_cnt) >= 0.5
 """
 
 
-@register("dedup_ngram_jaccard", "X", oracle=_NGRAM_JACCARD_ORACLE,
-          doc="Exact 3-gram Jaccard near-dup via inverted-index self-join "
-              "(the verification stage for LSH candidates)")
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+    """Exact 3-gram Jaccard over a documents frame, df-capped.
+
+    The df filter is one linear window count over the same shingle
+    partitioning the self-join needs anyway — no extra join, and the
+    quadratic posting-list explosion is bounded before it can happen.
+    Jaccard is computed over the *capped* shingle sets on both engines
+    (sizes too), keeping the oracle in lock-step.
+    """
+    sh_all = _shingles(docs)
+    w = Window.partitionBy("shingle")
+    sh = (
+        sh_all.withColumn("df", F.count(F.lit(1)).over(w))
+        .where(F.col("df") <= df_cap)
+        .drop("df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = sh.alias("a")
@@ -227,6 +317,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register("dedup_ngram_jaccard", "X", oracle=_NGRAM_JACCARD_ORACLE,
+          doc="Exact 3-gram Jaccard near-dup via inverted-index self-join "
+              "(the verification stage for LSH candidates); posting lists "
+              "df-capped at 100 so boilerplate shingles can't go quadratic")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
 _DEDUP_EMBEDDING_ORACLE = """

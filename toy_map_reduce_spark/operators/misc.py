@@ -58,7 +58,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_COLLECT_ORACLE = """
 SELECT c_mktsegment,
-       list_sort(list(DISTINCT c_nationkey)) AS nations,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM customer
 GROUP BY c_mktsegment
@@ -67,11 +67,20 @@ GROUP BY c_mktsegment
 
 @register("agg_collect_set", "G", oracle=_AGG_COLLECT_ORACLE,
           doc="Deterministic collection aggregate: sort_array(collect_set) — "
-              "raw collect_list order is execution-dependent and never exposed")
+              "raw collect_list order is execution-dependent and never exposed. "
+              "Serialized to a CSV string at the query surface (sort, THEN "
+              "stringify — string sort would order '10' before '2') so the "
+              "driver's canonicalizer can hash the cell")
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
-        F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("c_nationkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("nations"),
         F.count(F.lit(1)).alias("cnt"),
     )
 

@@ -60,7 +60,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, byte_sum long, byte_mean double, "
-    "head_bytes array<int>, thumb_width int, thumb_height int, n_frames int"
+    "head_bytes string, thumb_width int, thumb_height int, n_frames int"
 )
 
 
@@ -90,7 +90,9 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
                 "n_bytes": int(b.size),
                 "byte_sum": int(b.sum()),
                 "byte_mean": round(float(b.mean()) if b.size else 0.0, 6),
-                "head_bytes": b[:8].astype(np.int32).tolist(),
+                # CSV string, not array<int>: the driver's canonicalizer
+                # hashes cells and cannot hash list values
+                "head_bytes": ",".join(str(int(x)) for x in b[:8]),
                 "thumb_width": int(32 + (b.size % 32)),
                 "thumb_height": int(32 + ((b.size * 3) % 32)),
                 "n_frames": int(1 + b.size % 4),

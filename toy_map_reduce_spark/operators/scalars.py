@@ -147,7 +147,9 @@ SELECT vec_id, label,
        round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
        round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, x) -> a + x), 6) AS vec_sum,
        round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max,
-       list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 6)) AS head4,
+       array_to_string(list_transform(embedding[1:4],
+                                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)),
+                       ',') AS head4_micro,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
 FROM embeddings
 """
@@ -168,7 +170,16 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("vec_sum"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
-        F.transform(F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 6)).alias("head4"),
+        # serialized as micro-scaled ints (round(x*1e6) → CSV): integers
+        # stringify identically across engines, so the driver can hash the
+        # cell — float→string repr would not be cross-engine stable
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("head4_micro"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
 

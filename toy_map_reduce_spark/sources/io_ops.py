@@ -158,3 +158,49 @@ def source_kv_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cnt"),
     )
     return decoded.groupBy("word").agg(F.sum("cnt").alias("cnt"))
+
+
+# The reference's one true input semantic: one map task reads an ENTIRE file
+# into memory as a single string; the file name is the map key, the content
+# the map value (WorkerServiceImpl.scala:60, UserDefinedFunctions.scala:8-9).
+# Its input catalog is the fixed 13-file lorem corpus (MapTask.scala:19-87).
+_WHOLETEXT_CORPUS = "/root/reference/worker-fs/map-task-input"
+
+_WHOLETEXT_ORACLE = """
+SELECT file_key, word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT parse_filename(filename) AS file_key,
+         regexp_replace(lower(unnest(string_split(content, ' '))), '[^0-9a-z_]', '', 'g') AS word
+  FROM read_text('/root/reference/worker-fs/map-task-input/*.txt')
+)
+GROUP BY file_key, word
+"""
+
+
+@register("source_wholetext", "R", oracle=_WHOLETEXT_ORACLE,
+          doc="Whole-file-as-one-record source (filename = key, content = "
+              "value — WorkerServiceImpl.scala:60) over the reference's real "
+              "13-file corpus, run through the reference tokenizer "
+              "(UserDefinedFunctions.scala:12-13) to per-file word counts")
+def source_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native whole-file read: ``wholetext=True`` gives one row
+    per file (the exact reference semantic — content is NOT line-split, so
+    tokens spanning newlines fuse under the space-only split, just as the
+    reference's ``split(" ")`` on the whole string does), and
+    ``input_file_name()`` recovers the filename key. Note for 100 TB: whole
+    files are non-splittable by definition — parallelism is per-file, which
+    is the semantic being reproduced, not a layout we'd choose for big
+    inputs."""
+    files = (
+        spark.read.text(_WHOLETEXT_CORPUS, wholetext=True)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_key"),
+            F.col("value").alias("content"),
+        )
+    )
+    toks = files.select("file_key", F.explode(F.split("content", " ")).alias("tok"))
+    words = toks.select(
+        "file_key",
+        F.regexp_replace(F.lower("tok"), "[^0-9a-z_]", "").alias("word"),
+    )
+    return words.groupBy("file_key", "word").agg(F.count(F.lit(1)).alias("cnt"))

@@ -56,9 +56,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_to_table(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def _sink_name(base: str, sf_dir: str) -> str:
+    """sf-scoped sink/query name, mirroring extras._view: a bare global name
+    would silently serve the SECOND scale factor's data to the first caller
+    if the driver builds the same streaming query for two sf dirs before
+    collecting the first result."""
+    import os
+    import re
+
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    return f"{base}_{tag}"
+
+
+def run_to_table(stream_df: DataFrame, base_name: str, output_mode: str, sf_dir: str) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink and
-    return the sink table.
+    return the sink table (sink name scoped by scale factor).
 
     Shuffle partitions are scoped down for the run: each stateful streaming
     partition carries a state store (RocksDB/HDFS-backed at scale, ~fixed
@@ -67,6 +79,7 @@ def run_to_table(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame
     partition-count-invariant. (On a real cluster you'd size this to
     executor count × a small factor, once, at first deployment.)
     """
+    name = _sink_name(base_name, sf_dir)
     spark = stream_df.sparkSession
     for q in spark.streams.active:
         if q.name == name:
@@ -107,7 +120,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
-    out = run_to_table(agg, "stream_tumbling_sink", "complete")
+    out = run_to_table(agg, "stream_tumbling_sink", "complete", sf_dir)
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value"
     )
@@ -139,7 +152,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
-    out = run_to_table(agg, "stream_sliding_sink", "complete")
+    out = run_to_table(agg, "stream_sliding_sink", "complete", sf_dir)
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value"
     )
@@ -178,7 +191,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "5 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = run_to_table(agg, "stream_session_sink", "complete")
+    out = run_to_table(agg, "stream_session_sink", "complete", sf_dir)
     return out.select(
         "user_id",
         F.date_trunc("second", F.col("session_window.start")).alias("session_start"),
@@ -201,7 +214,7 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_table(deduped, "stream_dedup_sink", "append")
+    return run_to_table(deduped, "stream_dedup_sink", "append", sf_dir)
 
 
 _STREAM_STREAM_JOIN_ORACLE = """
@@ -237,7 +250,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("c_ts")),
         "inner",
     ).select("click_id", "view_id", F.col("c_user").alias("user_id"))
-    return run_to_table(joined, "stream_ss_join_sink", "append")
+    return run_to_table(joined, "stream_ss_join_sink", "append", sf_dir)
 
 
 _STREAM_FOREACHBATCH_ORACLE = """
@@ -270,13 +283,14 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # observable state), unlike append-mode accumulation
         batch_df.write.mode("overwrite").parquet(target)
 
+    fb_name = _sink_name("stream_febatch_q", sf_dir)
     for q in spark.streams.active:
-        if q.name == "stream_febatch_q":
+        if q.name == fb_name:
             q.stop()
     query = (
         agg.writeStream.outputMode("complete")
         .foreachBatch(write_epoch)
-        .queryName("stream_febatch_q")
+        .queryName(fb_name)
         .option("checkpointLocation", os.path.join(target + "_ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -327,7 +341,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
-    out = run_to_table(result, "stream_stateful_sink", "update")
+    out = run_to_table(result, "stream_stateful_sink", "update", sf_dir)
     # update-mode memory sink keeps every emitted row; the last emit per key
     # is the final state
     from pyspark.sql import Window
