@@ -154,6 +154,26 @@ def test_ngram_jaccard_df_cap_drops_boilerplate(spark):
     assert (100, 101) in capped
 
 
+def test_dedup_near_verified_planted_and_subset_of_exact(spark, planted):
+    """Two-stage (LSH candidates → exact verify) must find the planted pairs
+    and must never emit a pair the corpus-wide exact pass wouldn't."""
+    from toy_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+    from toy_map_reduce_spark.tables import load
+
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in get_spec("dedup_near_verified").builder(spark, planted).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(load(spark, planted, "documents")).collect()
+    }
+    assert (0, 1) in verified and (2, 3) in verified
+    assert set(verified) <= set(exact), set(verified) - set(exact)
+    for pair, j in verified.items():
+        assert j == exact[pair]  # verify stage computes the TRUE jaccard
+
+
 def test_dedup_idempotent(spark, sf_dir):
     """dedup(dedup(x)) == dedup(x): survivors are unique by hash."""
     out = get_spec("dedup_exact").builder(spark, sf_dir)

@@ -81,14 +81,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_near", "X", oracle=None, bench=True,
-          doc="MinHash+LSH near-dup: 32 deterministic minhashes, 8 bands of 4 — "
-              "candidate pairs share a band bucket; similarity estimated from "
-              "signature agreement. Rows-only (xxhash64 has no DuckDB twin); "
-              "planted-duplicate recall is pytest-verified")
-def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banding join, not all-pairs: shuffle is NUM_BANDS rows/doc."""
-    docs = load(spark, sf_dir, "documents")
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """documents → LSH candidate pairs (doc_a, doc_b, sig_a, sig_b):
+    banding join, not all-pairs — shuffle is NUM_BANDS rows/doc."""
     sh = _shingles(docs)
 
     # signature: one groupBy computing all 32 minhashes at once (single
@@ -121,7 +116,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -137,6 +132,14 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+
+@register("dedup_near", "X", oracle=None, bench=True,
+          doc="MinHash+LSH near-dup: 32 deterministic minhashes, 8 bands of 4 — "
+              "candidate pairs share a band bucket; similarity estimated from "
+              "signature agreement. Rows-only (xxhash64 has no DuckDB twin); "
+              "planted-duplicate recall is pytest-verified")
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = minhash_candidates(load(spark, sf_dir, "documents"))
     est = F.round(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
         / F.lit(float(NUM_HASHES)),
@@ -145,6 +148,52 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@register("dedup_near_verified", "X", oracle=None, bench=True,
+          doc="The scale-correct two-stage near-dup pipeline: MinHash+LSH "
+              "candidate generation (8 rows/doc shuffle) followed by exact "
+              "3-gram Jaccard computed ONLY over candidate pairs — the "
+              "inverted-index pass never touches non-candidate docs. "
+              "Rows-only; subset-of-exact + planted recall pytest-verified")
+def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB this is the formulation that replaces a corpus-wide exact
+    self-join: candidates are |pairs| ≪ n², and the verify joins are keyed
+    on doc_id (uniform), so no posting-list skew can explode. Exact Jaccard
+    uses the same df-capped shingle sets as dedup_ngram_jaccard."""
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_candidates(docs).select("doc_a", "doc_b")
+
+    sh = _shingles(docs)
+    w = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .where(F.col("df") <= DF_CAP)
+        .drop("df")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = F.col("both_cnt").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("both_cnt"))
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 

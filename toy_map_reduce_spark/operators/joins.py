@@ -188,3 +188,47 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.join(li, cond, "inner").select(
         "o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate"
     )
+
+
+_JOIN_SKEW_SALTED_ORACLE = """
+SELECT s.s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       round(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+_SALT_N = 8
+
+
+@register("join_skew_salted", "G", oracle=_JOIN_SKEW_SALTED_ORACLE,
+          doc="Salted join: THE skew-mitigation pattern for a hot join key — "
+              "fact side salted with a per-row hash, dimension side "
+              "replicated SALT_N×, join on (key, salt). Result provably "
+              "identical to the plain join (same oracle)")
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When one join key holds a disproportionate share of the fact rows,
+    a plain shuffle join sends them all to one reducer. Salting splits each
+    key's rows over _SALT_N reducers at the cost of replicating the (small)
+    dimension side _SALT_N× — bounded, predictable, and unlike AQE skew
+    handling it also works for aggregation-following-join pipelines. The
+    salt derives from row identity (orderkey, linenumber), never rand(),
+    so the query stays re-run deterministic."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_N)).alias("salt"),
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sup_rep = sup.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(_SALT_N)]))
+    )
+    joined = li.join(
+        sup_rep,
+        (li.l_suppkey == sup_rep.s_suppkey) & (li.salt == sup_rep.salt),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -139,3 +139,34 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(50)
     )
+
+
+_AGG_CONDITIONAL_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_high_disc,
+       round(SUM(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS rev_bulk,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_discount > 0.09) AS any_deep_disc,
+       round(AVG(l_tax) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_tax_finished
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_conditional", "G", oracle=_AGG_CONDITIONAL_ORACLE,
+          doc="Conditional aggregates: count_if / FILTER-style sums and avgs, "
+              "bool_and / bool_or — single-pass, map-side partial, no "
+              "self-joins for per-predicate metrics")
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_disc"),
+        F.round(
+            F.sum(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 2
+        ).alias("rev_bulk"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
+        F.round(
+            F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_tax"))), 6
+        ).alias("avg_tax_finished"),
+    )

@@ -163,13 +163,20 @@ WITH toks AS (
   SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
   FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                    FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
     FROM toks
   ) WHERE shingle <> ''
+),
+sh AS (
+  -- same df<=100 posting-list cap as dedup_ngram_jaccard (lock-step)
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_all
+  ) WHERE df <= 100
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -253,3 +260,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges.unpersist()
     return labels.select("doc_id", F.col("label").cast("long").alias("cluster_id"))
+
+
+_SAMPLE_STRATIFIED_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE {_FP_SQL} % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
+GROUP BY lang
+"""
+
+
+@register("sample_stratified", "X", oracle=_SAMPLE_STRATIFIED_ORACLE,
+          doc="Stratified deterministic sampling: per-language rates (20% en, "
+              "5% others) via fingerprint threshold — the language-rebalancing "
+              "step of a training-data mix, content-addressed like sample_hash "
+              "(never rand(), stable under re-ingestion)")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 20).otherwise(5)
+    sampled = docs.where((_fingerprint() % 100) < rate)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("sampled"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+    )
