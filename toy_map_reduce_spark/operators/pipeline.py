@@ -285,3 +285,56 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("sampled"),
         F.sum("n_chars").cast("long").alias("sampled_chars"),
     )
+
+
+_PACK_SEQUENCES_ORACLE = """
+WITH sized AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_off
+  FROM sized
+)
+SELECT CAST(start_off // 2048 AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM placed
+GROUP BY 1
+"""
+
+
+@register("pack_sequences", "X", oracle=_PACK_SEQUENCES_ORACLE,
+          doc="Concat-and-chunk sequence packing: docs laid end-to-end in "
+              "doc_id order, assigned to fixed 2048-token training windows "
+              "by start offset (running-sum window) — per-sequence doc and "
+              "token totals")
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global running sum needs a total order; at 100 TB you first
+    shard (shard_assign) and pack per shard in parallel — the within-shard
+    logic is exactly this query. Deterministic: ordering is by doc_id,
+    never by arrival."""
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(_tokens("text")).alias("n_tokens"))
+    w = Window.orderBy(F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = sized.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        placed.select(
+            F.floor(F.col("start_off") / 2048).cast("long").alias("seq_id"),
+            "doc_id",
+            "n_tokens",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )

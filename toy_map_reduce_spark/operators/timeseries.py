@@ -130,3 +130,129 @@ def timeseries_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(minute, "minute").unionByName(shape(hour, "hour")).unionByName(
         shape(day, "day")
     )
+
+
+_INTERPOLATE_ORACLE = """
+WITH bounds AS (
+  SELECT event_type,
+         date_trunc('hour', MIN(ts)) AS t0,
+         date_trunc('hour', MAX(ts)) AS t1
+  FROM events GROUP BY event_type
+),
+spine AS (
+  SELECT b.event_type, s.minute_start
+  FROM bounds b,
+       LATERAL (SELECT unnest(generate_series(b.t0, b.t1, INTERVAL 1 MINUTE)) AS minute_start) s
+),
+actual AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute_start,
+         round(AVG(value), 6) AS val
+  FROM events GROUP BY 1, 2
+),
+joined AS (
+  SELECT sp.event_type, sp.minute_start, a.val,
+         CASE WHEN a.val IS NOT NULL THEN sp.minute_start END AS obs_ts
+  FROM spine sp
+  LEFT JOIN actual a
+    ON a.event_type = sp.event_type AND a.minute_start = sp.minute_start
+),
+bracketed AS (
+  -- both brackets as RUNNING frames (the backward one over DESC order):
+  -- unbounded-following frames are re-evaluated per row by some engines
+  SELECT event_type, minute_start, val,
+         last_value(val IGNORE NULLS) OVER w_prev AS prev_val,
+         last_value(obs_ts IGNORE NULLS) OVER w_prev AS prev_ts,
+         last_value(val IGNORE NULLS) OVER w_next AS next_val,
+         last_value(obs_ts IGNORE NULLS) OVER w_next AS next_ts
+  FROM joined
+  WINDOW w_prev AS (PARTITION BY event_type ORDER BY minute_start ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY event_type ORDER BY minute_start DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, minute_start,
+       -- floor(x*1e6 + 0.5) micro-int output: every input double is
+       -- bit-identical across engines (6dp-rounded avgs, integral epoch
+       -- deltas), so the IEEE expression chain is too — unlike round(x, 6),
+       -- whose halfway handling differs between engines
+       CAST(floor(COALESCE(
+         CASE WHEN val IS NOT NULL THEN val
+              WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+                -- parenthesization matters: diff * (dt1/dt2) must match the
+                -- Spark expression's association or last-ulp rounding diverges
+                prev_val + (next_val - prev_val)
+                  * ((epoch(minute_start) - epoch(prev_ts))
+                     / (epoch(next_ts) - epoch(prev_ts)))
+         END, prev_val, next_val) * 1000000 + 0.5) AS BIGINT) AS val_interp_micro,
+       val IS NULL AS was_gap
+FROM bracketed
+"""
+
+
+@register("timeseries_interpolate", "X", oracle=_INTERPOLATE_ORACLE,
+          doc="Linear-interpolation gap fill: dense minute spine, missing "
+              "minutes interpolated between bracketing observations "
+              "(last/first IGNORE NULLS windows), edge gaps extended flat")
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both brackets are RUNNING window frames — the backward-looking one
+    directly, the forward-looking one as a running frame over DESC order.
+    Never use a (currentRow, unboundedFollowing) frame for this: Spark's
+    UnboundedFollowingWindowFunctionFrame re-evaluates the aggregate from
+    scratch per row, turning a 200k-row spine into minutes of O(n²) work;
+    the DESC running frame is the O(n) formulation. Spine size is
+    time-range/step per key, independent of event count."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 MINUTE"))).alias("minute_start"),
+    )
+    actual = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute_start")
+    ).agg(F.round(F.avg("value"), 6).alias("val"))
+
+    joined = spine.join(actual, ["event_type", "minute_start"], "left").withColumn(
+        "obs_ts", F.when(F.col("val").isNotNull(), F.col("minute_start"))
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("minute_start").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = joined.select(
+        "event_type",
+        "minute_start",
+        "val",
+        F.last("val", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last("obs_ts", ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.last("val", ignorenulls=True).over(w_next).alias("next_val"),
+        F.last("obs_ts", ignorenulls=True).over(w_next).alias("next_ts"),
+    )
+    frac = (
+        (F.unix_timestamp("minute_start") - F.unix_timestamp("prev_ts")).cast("double")
+        / (F.unix_timestamp("next_ts") - F.unix_timestamp("prev_ts")).cast("double")
+    )
+    interp = F.when(F.col("val").isNotNull(), F.col("val")).when(
+        F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+        F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac,
+    )
+    return b.select(
+        "event_type",
+        "minute_start",
+        # micro-int output via floor(x*1e6+0.5): bit-deterministic across
+        # engines, unlike round(x, 6) halfway handling (see oracle comment)
+        F.floor(F.coalesce(interp, "prev_val", "next_val") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("val_interp_micro"),
+        F.col("val").isNull().alias("was_gap"),
+    )

@@ -204,3 +204,41 @@ def source_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.lower("tok"), "[^0-9a-z_]", "").alias("word"),
     )
     return words.groupBy("file_key", "word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_MERGE_SCHEMA_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(price) AS BIGINT) AS n_price,
+       CAST(COUNT(o_orderstatus) AS BIGINT) AS n_status,
+       round(SUM(price), 2) AS sum_price
+FROM (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price, NULL AS o_orderstatus FROM orders
+  UNION ALL
+  SELECT o_orderkey, NULL, o_orderstatus FROM orders
+)
+"""
+
+
+@register("source_parquet_merge_schema", "G", oracle=_MERGE_SCHEMA_ORACLE,
+          doc="Schema-evolution read: two parquet batches with different "
+              "column sets read back under mergeSchema=true — absent columns "
+              "null-extend, the evolution semantics a long-lived 100 TB "
+              "table relies on")
+def source_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "merge_schema")
+    orders.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    ).write.mode("overwrite").parquet(f"{path}/batch=1")
+    orders.select("o_orderkey", "o_orderstatus").write.mode("overwrite").parquet(
+        f"{path}/batch=2"
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/batch=1", f"{path}/batch=2"
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price").alias("n_price"),
+        F.count("o_orderstatus").alias("n_status"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+    )
