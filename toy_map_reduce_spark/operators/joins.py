@@ -232,3 +232,38 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+_JOIN_MULTI_KEY_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         round(AVG(l_quantity), 6) AS avg_qty,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT l.l_orderkey, l.l_linenumber, ps.avg_qty, ps.n_lines,
+       l.l_quantity > ps.avg_qty AS above_avg
+FROM lineitem l
+JOIN ps ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+"""
+
+
+@register("join_multi_key", "G", oracle=_JOIN_MULTI_KEY_ORACLE,
+          doc="Composite-key equi join: fact joined back to a per-(partkey, "
+              "suppkey) aggregate on BOTH key columns — the shuffle hashes "
+              "the full composite key, so co-partitioning carries across the "
+              "groupBy and the join (one exchange serves both)")
+def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return li.join(ps, ["l_partkey", "l_suppkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "avg_qty",
+        "n_lines",
+        (F.col("l_quantity") > F.col("avg_qty")).alias("above_avg"),
+    )

@@ -338,3 +338,49 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc"),
         )
     )
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+         {_FP_SQL} % 100 < 5 AS is_eval
+  FROM documents
+),
+eval_hashes AS (SELECT DISTINCT h FROM hashed WHERE is_eval),
+train AS (SELECT * FROM hashed WHERE NOT is_eval)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(COUNT(*) FILTER (WHERE e.h IS NOT NULL) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(*) FILTER (WHERE e.h IS NULL) AS BIGINT) AS n_kept
+FROM train t LEFT JOIN eval_hashes e ON t.h = e.h
+GROUP BY t.lang
+"""
+
+
+@register("dedup_decontaminate", "X", oracle=_DECONTAMINATE_ORACLE,
+          doc="Eval-set decontamination: training docs whose normalized-text "
+              "hash appears in the (fingerprint-designated) eval split are "
+              "dropped — hash-keyed join against the eval hash set, per-lang "
+              "kept/contaminated counts. At scale the eval hash set is tiny "
+              "and broadcasts; the 100 TB train side never shuffles")
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_map_reduce_spark.functions.text import norm_text
+
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        F.sha2(norm_text(F.col("text")), 256).alias("h"),
+        ((_fingerprint() % 100) < 5).alias("is_eval"),
+    )
+    eval_hashes = F.broadcast(
+        hashed.where("is_eval").select("h").distinct()
+    ).withColumnRenamed("h", "eh")
+    train = hashed.where(~F.col("is_eval"))
+    tagged = train.join(eval_hashes, train.h == eval_hashes.eh, "left")
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.count("eh").alias("n_contaminated"),
+        F.sum(F.when(F.col("eh").isNull(), 1).otherwise(0)).cast("long").alias("n_kept"),
+    )

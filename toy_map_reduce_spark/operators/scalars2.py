@@ -136,3 +136,35 @@ def scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("order_date"),
         (F.col("o_totalprice") > 100000).cast("int").alias("is_big_int"),
     )
+
+
+_SCALAR_TRIG_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(sin(l_discount), 8) AS sin_d,
+       round(cos(l_discount), 8) AS cos_d,
+       round(tan(l_tax), 8) AS tan_t,
+       round(atan(l_tax), 8) AS atan_t,
+       round(atan2(l_tax, l_discount + 0.01), 8) AS atan2_td,
+       round(degrees(l_discount), 8) AS deg_d,
+       round(radians(l_quantity), 8) AS rad_q
+FROM lineitem
+"""
+
+
+@register("scalar_trig", "G", oracle=_SCALAR_TRIG_ORACLE,
+          doc="Trigonometric scalar battery: sin/cos/tan/atan/atan2/degrees/"
+              "radians — libm transcendentals rounded to 8 decimals on both "
+              "engines (within-1-ulp convention, SURVEY.md §7.4)")
+def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 8).alias("sin_d"),
+        F.round(F.cos("l_discount"), 8).alias("cos_d"),
+        F.round(F.tan("l_tax"), 8).alias("tan_t"),
+        F.round(F.atan("l_tax"), 8).alias("atan_t"),
+        F.round(F.atan2(F.col("l_tax"), F.col("l_discount") + 0.01), 8).alias("atan2_td"),
+        F.round(F.degrees("l_discount"), 8).alias("deg_d"),
+        F.round(F.radians("l_quantity"), 8).alias("rad_q"),
+    )

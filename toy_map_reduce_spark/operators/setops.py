@@ -117,3 +117,34 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
     r = li.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
     return a.exceptAll(r).groupBy("partkey").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_UNION_BY_NAME_ORACLE = """
+SELECT key, name, acctbal, src FROM (
+  SELECT c_custkey AS key, c_name AS name, NULL AS acctbal, 'cust' AS src
+  FROM customer
+  UNION ALL
+  SELECT s_suppkey, NULL, round(s_acctbal, 2), 'supp' FROM supplier
+)
+"""
+
+
+@register("set_union_by_name", "G", oracle=_UNION_BY_NAME_ORACLE,
+          doc="Schema-evolving union: unionByName(allowMissingColumns=True) "
+              "aligns by column NAME and null-extends absent columns — the "
+              "union semantics batch evolution needs (positional union would "
+              "silently misalign)")
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_name").alias("name"),
+        F.lit("cust").alias("src"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("key"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit("supp").alias("src"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True).select(
+        "key", "name", "acctbal", "src"
+    )

@@ -83,3 +83,71 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("o_totalprice").over(frame3), 6).alias("moving_avg3"),
         F.round(F.sum("o_totalprice").over(running), 2).alias("running_sum"),
     )
+
+
+_WINDOW_FIRST_LAST_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(first_value(o_totalprice) OVER w, 2) AS cheapest,
+       round(last_value(o_totalprice)  OVER w, 2) AS priciest,
+       round(nth_value(o_totalprice, 2) OVER w, 2) AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_first_last_nth", "G", oracle=_WINDOW_FIRST_LAST_ORACLE,
+          doc="Positional window functions: first_value / last_value / "
+              "nth_value over an explicit full-partition frame (the default "
+              "running frame silently changes last_value semantics — pinned "
+              "explicitly on both engines)")
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("cheapest"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("priciest"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_cheapest"),
+    )
+
+
+_WINDOW_TIME_RANGE_ORACLE = """
+SELECT event_id, event_type, date_trunc('second', ts) AS ts_sec,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_10m,
+       round(SUM(value) OVER w, 2) AS sum_last_10m
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch(date_trunc('second', ts))
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_time_range", "G", oracle=_WINDOW_TIME_RANGE_ORACLE,
+          doc="Time-interval RANGE frame: per-event trailing-10-minute count "
+              "and sum (RANGE over epoch seconds — value-based peers, so "
+              "results are independent of intra-second tie order)")
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts is truncated to seconds BEFORE framing on both engines: the
+    parquet carries nanosecond timestamps that Spark reads at microsecond
+    precision while DuckDB keeps nanos, so any raw-ts frame boundary could
+    disagree; second-truncated epochs are identical by construction."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.date_trunc("second", "ts")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts_sec"))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).alias("n_last_10m"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_10m"),
+    )
