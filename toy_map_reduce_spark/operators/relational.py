@@ -204,3 +204,34 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .limit(100)
     )
+
+
+# One ANSI-SQL text, two engines: the Spark side runs it through spark.sql
+# over an sf-scoped view, the oracle side runs the identical string over the
+# DuckDB view — demonstrating the engine's SQL entry path (not just the
+# DataFrame API) with zero semantic translation.
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(AVG(l_quantity), 6) AS avg_qty,
+       round(AVG(l_extendedprice), 6) AS avg_price,
+       round(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM {table}
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_tpch_q1", "G", oracle=_TPCH_Q1_SQL.format(table="lineitem"),
+          doc="TPC-H Q1 via the spark.sql() SQL surface — the IDENTICAL "
+              "ANSI string runs on both engines (no dialect translation), "
+              "proving the SQL entry path end-to-end")
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_map_reduce_spark.operators.extras import _view
+
+    v = _view(load(spark, sf_dir, "lineitem"), sf_dir, "q1_lineitem")
+    return spark.sql(_TPCH_Q1_SQL.format(table=v))

@@ -94,3 +94,60 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerant_int_sum(F.col("val")).alias("tolerant_sum"),
         pandas_count(F.col("val")).alias("cnt"),
     )
+
+
+_UDTF_ORACLE = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT regexp_replace(lower(unnest(string_split(text, ' '))), '[^0-9a-z_]', '', 'g') AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+def _tokenize_udtf_cls():
+    """Build the UDTF class lazily (the decorator needs a live Arrow/py4j
+    context only at registration time, but keeping it in a factory also
+    keeps import of this module side-effect-free)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class TokenizeUDTF:
+        """The reference mapFunction as an OFFICIAL Python UDTF (1 row →
+        N rows): split on single space, lowercase, strip ASCII non-word —
+        the same semantics py_tokenize+explode emulate, on the dedicated
+        table-function API."""
+
+        def eval(self, text: str):  # noqa: D401
+            import re
+
+            if text is None:
+                return
+            for t in text.split(" "):
+                w = re.sub(r"[^0-9A-Za-z_]", "", t.lower())
+                if w:
+                    yield (w,)
+
+    return TokenizeUDTF
+
+
+@register("udtf_surface", "X", oracle=_UDTF_ORACLE, bench=False,
+          doc="Reference mapFunction on the dedicated Python UDTF API "
+              "(lateral join of a table function, 1 row → N rows) — the "
+              "first-class generator surface, vs udf_surface's "
+              "array-UDF+explode emulation. Empty tokens filtered (UDTF "
+              "yields only real words)")
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_map_reduce_spark.operators.extras import _view
+
+    spark.udtf.register("tokenize_udtf", _tokenize_udtf_cls())
+    docs_view = _view(load(spark, sf_dir, "documents"), sf_dir, "udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT t.word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {docs_view} d, LATERAL tokenize_udtf(d.text) t
+        GROUP BY t.word
+        """
+    )
