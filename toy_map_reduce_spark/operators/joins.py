@@ -251,9 +251,10 @@ JOIN ps ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
 
 @register("join_multi_key", "G", oracle=_JOIN_MULTI_KEY_ORACLE,
           doc="Composite-key equi join: fact joined back to a per-(partkey, "
-              "suppkey) aggregate on BOTH key columns — the shuffle hashes "
-              "the full composite key, so co-partitioning carries across the "
-              "groupBy and the join (one exchange serves both)")
+              "suppkey) aggregate on BOTH key columns. The aggregate side "
+              "leaves its groupBy already partitioned on the join key (its "
+              "exchange is reusable, not repeated); at test scale AQE "
+              "broadcasts the aggregate instead")
 def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
