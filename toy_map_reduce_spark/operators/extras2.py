@@ -157,3 +157,35 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return updates.unionByName(kept)
+
+
+_AGG_HISTOGRAM_ORACLE = """
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 600000 THEN 13
+                 ELSE floor(o_totalprice / 50000.0) + 1 END AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       round(MIN(o_totalprice), 2) AS lo,
+       round(MAX(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("agg_histogram", "G", oracle=_AGG_HISTOGRAM_ORACLE,
+          doc="Equi-width histogram via width_bucket: 12 buckets over the "
+              "price domain, per-bucket count and observed bounds — one "
+              "hash aggregate, no sort")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).cast("int").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

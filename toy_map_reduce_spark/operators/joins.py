@@ -268,3 +268,39 @@ def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         (F.col("l_quantity") > F.col("avg_qty")).alias("above_avg"),
     )
+
+
+_JOIN_NULL_SAFE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_key, o_totalprice
+  FROM orders
+),
+s AS (
+  SELECT NULLIF(status, 'P') AS status_key, label FROM (
+    VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending')
+  ) AS t(status, label)
+)
+SELECT o.o_orderkey, o.status_key, s.label, round(o.o_totalprice, 2) AS price
+FROM o JOIN s ON o.status_key IS NOT DISTINCT FROM s.status_key
+"""
+
+
+@register("join_null_safe", "G", oracle=_JOIN_NULL_SAFE_ORACLE,
+          doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+              "keys match NULL keys instead of vanishing — the semantics a "
+              "nullable join key actually needs (plain = silently drops "
+              "every NULL row)")
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("P")).alias("status_key"),
+        "o_totalprice",
+    )
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")], ["status", "label"]
+    ).select(F.nullif("status", F.lit("P")).alias("dim_key"), "label")
+    return orders.join(
+        dim, orders.status_key.eqNullSafe(dim.dim_key)
+    ).select(
+        "o_orderkey", "status_key", "label", F.round("o_totalprice", 2).alias("price")
+    )

@@ -151,3 +151,35 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_10m"),
         F.round(F.sum("value").over(w), 2).alias("sum_last_10m"),
     )
+
+
+_LATEST_PER_KEY_ORACLE = """
+SELECT user_id, event_id, date_trunc('second', ts) AS ts_sec, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("window_latest_per_key", "G", oracle=_LATEST_PER_KEY_ORACLE,
+          doc="Latest-record-per-key compaction (the CDC/upsert-log pattern): "
+              "row_number over ts DESC with a unique tiebreak, keep rn=1 — "
+              "one shuffle on the key, no self-join against a MAX subquery")
+def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_trunc("second", "ts").alias("ts_sec"),
+            "event_type",
+        )
+    )

@@ -242,3 +242,56 @@ def source_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderstatus").alias("n_status"),
         F.round(F.sum("price"), 2).alias("sum_price"),
     )
+
+
+_CSV_MALFORMED_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 = 3) AS BIGINT) AS n_corrupt,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 <> 3) AS BIGINT) AS n_clean,
+       round(SUM(CASE WHEN o_orderkey % 97 <> 3 THEN round(o_totalprice, 2) END), 2) AS clean_price_sum
+FROM orders
+"""
+
+
+@register("source_csv_malformed", "G", oracle=_CSV_MALFORMED_ORACLE,
+          doc="PERMISSIVE CSV parse with planted malformed rows: corrupt "
+              "records surface in _corrupt_record instead of being silently "
+              "coerced — the principled version of the reference's "
+              "('','') garbage fallback (WorkerServiceImpl.scala:132-135)")
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every row whose orderkey ≡ 3 (mod 97) is written with a non-numeric
+    price token, so the typed read can't parse it. PERMISSIVE mode keeps the
+    row, nulls the typed columns, and preserves the raw line in the corrupt
+    column — nothing is silently dropped or zeroed, and the counts prove
+    exactly which rows failed."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    corrupted = orders.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.when(F.col("o_orderkey") % 97 == 3, F.lit("NOT_A_NUMBER")).otherwise(
+                F.col("price").cast("string")
+            ),
+        ).alias("value")
+    )
+    path = _scratch(sf_dir, "csv_malformed")
+    corrupted.write.mode("overwrite").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.count("price").alias("n_clean"),
+        F.round(F.sum("price"), 2).alias("clean_price_sum"),
+    )
