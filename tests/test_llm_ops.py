@@ -174,6 +174,26 @@ def test_dedup_near_verified_planted_and_subset_of_exact(spark, planted):
         assert j == exact[pair]  # verify stage computes the TRUE jaccard
 
 
+def test_heavy_hitters_contains_all_frequent_values(spark, sf_dir):
+    """freqItems guarantee: every value with true frequency > support (5%)
+    must appear in the sketch (false positives allowed, negatives not)."""
+    from toy_map_reduce_spark.tables import load
+
+    row = get_spec("agg_heavy_hitters").builder(spark, sf_dir).collect()[0]
+    sketched_prio = set(row.frequent_priorities.split(","))
+    sketched_status = set(row.frequent_statuses.split(","))
+
+    orders = load(spark, sf_dir, "orders")
+    n = orders.count()
+    for col, sketched in (("o_orderpriority", sketched_prio), ("o_orderstatus", sketched_status)):
+        freq = {
+            r[col]
+            for r in orders.groupBy(col).count().collect()
+            if r["count"] / n > 0.05
+        }
+        assert freq <= sketched, (col, freq - sketched)
+
+
 def test_dedup_idempotent(spark, sf_dir):
     """dedup(dedup(x)) == dedup(x): survivors are unique by hash."""
     out = get_spec("dedup_exact").builder(spark, sf_dir)

@@ -263,3 +263,23 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_view").alias("view_id"),
         )
     )
+
+
+@register("agg_heavy_hitters", "G", oracle=None, bench=True,
+          doc="Frequent-items sketch (single-pass lossy counting via "
+              "DataFrame.stat.freqItems, support 5%) over order priorities "
+              "and statuses — completes the sketch set next to HLL "
+              "(agg_approx_distinct) and GK percentiles. Rows-only: sketch "
+              "contents are support-bounded supersets, pinned by pytest "
+              "instead of SQL")
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """freqItems guarantees every value with frequency > support appears;
+    the driver-checked surface is the deterministic sorted CSV of the two
+    sketch columns. One pass, no shuffle of raw rows (partial sketches
+    merge associatively — the same property that makes it 100 TB-safe)."""
+    orders = load(spark, sf_dir, "orders")
+    sketch = orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.05)
+    return sketch.select(
+        F.array_join(F.sort_array("o_orderpriority_freqItems"), ",").alias("frequent_priorities"),
+        F.array_join(F.sort_array("o_orderstatus_freqItems"), ",").alias("frequent_statuses"),
+    )

@@ -189,3 +189,44 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+_MV_INCREMENTAL_ORACLE = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(SUM(round(o_totalprice, 2)), 2) AS total_spend
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("mv_incremental_refresh", "G", oracle=_MV_INCREMENTAL_ORACLE,
+          doc="Incremental materialized-view maintenance: base aggregate "
+              "(old partition) merged with a delta aggregate (new partition) "
+              "by re-aggregation — result provably equals the full recompute "
+              "(same oracle). The refresh cost is O(delta), not O(history)")
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splits orders at a date watershed into 'already materialized' and
+    'newly arrived', aggregates each independently, and merges partials by
+    summing — the additive-aggregate contract (COUNT/SUM decompose; AVG
+    would be maintained as SUM+COUNT). At 100 TB the base side is the
+    stored MV, never rescanned; here both sides are computed so the oracle
+    can verify merge == full recompute."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", F.round("o_totalprice", 2).alias("price")
+    )
+    watershed = F.lit("1997-01-01").cast("timestamp")
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").alias("spend"),
+        )
+
+    base = agg(orders.where(F.col("o_orderdate") < watershed))
+    delta = agg(orders.where(F.col("o_orderdate") >= watershed))
+    merged = base.unionByName(delta)
+    return merged.groupBy("o_custkey").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.round(F.sum("spend"), 2).alias("total_spend"),
+    )
