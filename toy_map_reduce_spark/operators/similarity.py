@@ -232,3 +232,72 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("q_id", "vec_id", F.col("rn").cast("int").alias("rnk"), F.round("sim", 6).alias("sim"))
     )
+
+
+_EMBEDDING_QUANTIZE_ORACLE = """
+WITH d AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, label,
+         greatest(list_aggregate([abs(x) FOR x IN e], 'max'), 1e-12) AS max_abs,
+         e
+  FROM d
+),
+q AS (
+  SELECT vec_id, label, max_abs,
+         [CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT) FOR x IN e] AS qe,
+         e
+  FROM scaled
+)
+SELECT vec_id, label,
+       CAST(floor(max_abs * 1000000 + 0.5) AS BIGINT) AS max_abs_micro,
+       CAST(list_aggregate(qe, 'max') AS INTEGER) AS q_max,
+       CAST(list_aggregate(qe, 'min') AS INTEGER) AS q_min,
+       CAST(floor(list_reduce(
+              [abs(e[i] - qe[i] * (max_abs / 127.0)) FOR i IN range(1, len(e) + 1)],
+              (a, b) -> a + b) * 1000000 + 0.5) AS BIGINT) AS recon_err_micro
+FROM q
+"""
+
+
+@register("embedding_quantize", "X", oracle=_EMBEDDING_QUANTIZE_ORACLE,
+          doc="Int8 vector quantization (symmetric max-abs scaling): per-"
+              "vector scale, quantized range check, and L1 reconstruction "
+              "error — the compression step an ANN index applies before "
+              "storing 100 TB of vectors. floor(x+0.5) quantizer and "
+              "micro-int outputs keep both engines bit-identical")
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purely per-row column expressions (transform/aggregate lambdas) — a
+    narrow map over the vector table, no shuffle at all; the scan is the
+    only cost at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", "label", e.alias("e"))
+    max_abs = F.greatest(
+        F.array_max(F.transform(F.col("e"), F.abs)), F.lit(1e-12)
+    )
+    scaled = d.withColumn("max_abs", max_abs)
+    qe = F.transform(
+        F.col("e"),
+        lambda x: F.floor(x * (F.lit(127.0) / F.col("max_abs")) + 0.5).cast("long"),
+    )
+    q = scaled.withColumn("qe", qe)
+    recon_err = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            F.col("qe"),
+            lambda x, qx: F.abs(x - qx * (F.col("max_abs") / F.lit(127.0))),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.floor(F.col("max_abs") * 1000000 + 0.5).cast("bigint").alias("max_abs_micro"),
+        F.array_max("qe").cast("int").alias("q_max"),
+        F.array_min("qe").cast("int").alias("q_min"),
+        F.floor(recon_err * 1000000 + 0.5).cast("bigint").alias("recon_err_micro"),
+    )

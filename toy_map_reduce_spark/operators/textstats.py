@@ -378,3 +378,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda h, x: (h * 1000003 + x) % 2147483647,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+_CHAR_NGRAM_ORACLE = """
+SELECT trigram, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (
+  SELECT substr(t, i, 3) AS trigram
+  FROM (SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) u
+)
+GROUP BY trigram
+ORDER BY freq DESC, trigram ASC
+LIMIT 50
+"""
+
+
+@register("text_char_ngrams", "X", oracle=_CHAR_NGRAM_ORACLE,
+          doc="Corpus-wide top-50 character trigrams (the language-ID / "
+              "script-detection feature space): substring explode over "
+              "normalized text, one count shuffle, TakeOrdered top-k")
+def text_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_map_reduce_spark.functions.text import norm_text
+
+    docs = load(spark, sf_dir, "documents")
+    grams = (
+        docs.select(norm_text(F.col("text")).alias("t"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(1))),
+                    lambda i: F.col("t").substr(i, F.lit(3)),
+                )
+            ).alias("trigram")
+        )
+        .where(F.length("trigram") == 3)
+    )
+    return (
+        grams.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("trigram").asc())
+        .limit(50)
+    )
