@@ -108,6 +108,24 @@ def test_dedup_simhash_pairs_is_block_keyed(spark, sf_dir):
     assert "block_val" in plan, "join must key on the pigeonhole block value"
 
 
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
+    # a filtered read over the Hive-partitioned sink must push the partition
+    # predicate into PartitionFilters (skipping directories), not scan-all
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.registry import get_spec
+
+    get_spec("sink_partitioned_parquet").builder(spark, sf_dir)  # materialize sink
+    from toy_map_reduce_spark.sources.io_ops import _scratch
+
+    path = _scratch(sf_dir, "part_parquet")
+    df = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = explain_str(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, "no PartitionFilters in scan"
+    assert "o_orderstatus" in pf[0], pf[0]
+
+
 def test_no_complex_typed_output_columns(spark, sf_dir):
     # the driver's canonicalizer hashes cells and cannot hash list/map/struct
     # values (round-1 CORRECTNESS errors) — every query surface must emit

@@ -352,3 +352,82 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_value")
     )
+
+
+_STREAM_LATE_DROP_ORACLE = """
+WITH b1 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM b1),
+b2 AS (SELECT * FROM events WHERE event_id % 2 = 1),
+kept AS (
+  SELECT event_type, value FROM b1
+  UNION ALL
+  SELECT b2.event_type, b2.value FROM b2, wm WHERE b2.ts >= wm.w
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       round(SUM(value), 2) AS sum_value
+FROM kept
+GROUP BY event_type
+"""
+
+
+@register("stream_late_drop", "S", oracle=_STREAM_LATE_DROP_ORACLE, bench=False,
+          doc="Watermark late-drop as a checked query: two-batch replay "
+              "through a SHARED checkpoint — batch 1 (even event_ids) "
+              "advances the watermark to max(ts)-10min, batch 2 (odd ids) "
+              "resumes from the checkpoint and its rows older than that "
+              "watermark are dropped by the stateful dedup. Oracle encodes "
+              "the drop rule exactly")
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The file sink + checkpoint pair is what makes this real: a memory
+    sink cannot resume a checkpoint, and without resumption batch 2 would
+    be processed under a fresh (zero) watermark and nothing would drop.
+    Scratch dirs are recreated per call so re-runs are deterministic."""
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from toy_map_reduce_spark.sources.io_ops import _scratch
+    from toy_map_reduce_spark.tables import load
+
+    base = _scratch(sf_dir, "late_drop")
+    indir, outdir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.where(SF.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(indir)
+
+    schema = ev.schema
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(indir)
+            .withWatermark("ts", "10 minutes")
+            # ts MUST be in the dedup key set: only then does streaming
+            # dedup apply the watermark predicate to INPUT rows (drop-late);
+            # without it the watermark merely expires state
+            .dropDuplicates(["event_id", "ts"])
+            .select("event_type", "value")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # batch 1: establishes watermark in the checkpoint
+    ev.where(SF.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(indir)
+    run_once()  # batch 2: resumed — late rows dropped
+
+    out = spark.read.parquet(outdir)
+    return out.groupBy("event_type").agg(
+        SF.count(SF.lit(1)).alias("cnt"),
+        SF.round(SF.sum("value"), 2).alias("sum_value"),
+    )
