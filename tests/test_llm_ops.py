@@ -279,3 +279,19 @@ def test_multimodal_frame_sample_covers_payload(spark, sf_dir):
     for r in agg:
         assert 1 <= r.frames <= 4
         assert r.covered <= docs[r.doc_id]
+
+
+def test_multimodal_resize_fixed_size_and_deterministic(spark, sf_dir):
+    fn = get_spec("multimodal_resize").builder
+    r1 = {r.doc_id: (r.thumb_len, r.thumb_checksum, r.thumb_head) for r in fn(spark, sf_dir).collect()}
+    r2 = {r.doc_id: (r.thumb_len, r.thumb_checksum, r.thumb_head) for r in fn(spark, sf_dir).collect()}
+    assert r1 == r2
+    assert all(v[0] == 64 for v in r1.values())
+    # stride resample of a known payload
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").limit(50).collect()}
+    import numpy as np
+
+    for doc_id, text in docs.items():
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        idx = (np.arange(64) * b.size) // 64
+        assert r1[doc_id][1] == int(b[idx].sum())

@@ -152,3 +152,45 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         sample, schema="doc_id long, frame_idx int, frame_bytes long, frame_checksum long"
     )
+
+
+@register("multimodal_resize", "X", oracle=None, bench=False,
+          doc="Resize pass plumbing: mapInPandas re-samples each payload to "
+              "a fixed 64-'pixel' thumbnail (deterministic stride resample "
+              "standing in for a real image resize — no media libs in env); "
+              "Arrow-batched, narrow (no shuffle). Rows-only + determinism "
+              "pytest")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real resize would decode → PIL.resize → re-encode inside the same
+    batch loop; the stride resample below has the identical dataflow shape
+    (bytes in, fixed-size bytes out, 1:1 rows) so the Spark-side plumbing —
+    schema, batching, partition-preservation — is fully exercised."""
+    TARGET = 64
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                if b.size == 0:
+                    thumb = np.zeros(TARGET, dtype=np.uint8)
+                else:
+                    idx = (np.arange(TARGET) * b.size) // TARGET
+                    thumb = b[idx]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "thumb_len": int(thumb.size),
+                        "thumb_checksum": int(thumb.sum()),
+                        "thumb_head": ",".join(str(int(x)) for x in thumb[:8]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        resize,
+        schema="doc_id long, thumb_len int, thumb_checksum long, thumb_head string",
+    )
