@@ -295,3 +295,38 @@ def test_multimodal_resize_fixed_size_and_deterministic(spark, sf_dir):
         b = np.frombuffer(text.encode(), dtype=np.uint8)
         idx = (np.arange(64) * b.size) // 64
         assert r1[doc_id][1] == int(b[idx].sum())
+
+
+def test_ngram_jaccard_skewed_corpus_stays_bounded(spark):
+    """Stress the hot-shingle path: one boilerplate sentence planted in 60%
+    of a 200-doc corpus. Every boilerplate shingle has df=120 > cap, so the
+    hot cluster contributes ZERO pairs (no quadratic 120²/2 blow-up reaches
+    the join), while a genuine rare-shingle near-dup pair still surfaces."""
+    import time
+
+    from toy_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = ("subscribe to our newsletter for updates and follow us on "
+              "social media channels for the latest product announcements")
+    docs = [
+        (i, f"{boiler} item{i} detail{i} extra{i} note{i}") for i in range(120)
+    ] + [
+        (i, f"standalone document {i} about topic{i} subject{i} matter{i} "
+            f"theme{i} area{i} field{i} domain{i}") for i in range(120, 200)
+    ]
+    dup_a = "rare planted sentence about astronomical telescope calibration procedures tonight"
+    dup_b = "rare planted sentence about astronomical telescope calibration procedures today"
+    docs += [(900, dup_a), (901, dup_b)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    t0 = time.monotonic()
+    pairs = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df, df_cap=50).collect()}
+    elapsed = time.monotonic() - t0
+
+    assert not any(a < 900 and b < 900 for a, b in pairs), (
+        "hot-shingle cluster leaked pairs past the cap"
+    )
+    assert (900, 901) in pairs
+    # bounded output: only the planted pair survives — not 120*119/2 = 7140
+    assert len(pairs) == 1, len(pairs)
+    assert elapsed < 60, f"skewed corpus took {elapsed:.1f}s — cap not effective"

@@ -143,3 +143,17 @@ def test_no_complex_typed_output_columns(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_jaccard_df_cap_is_aggregate_not_window(spark, sf_dir):
+    # the posting-list df count must be a partial+final aggregate feeding a
+    # broadcast hot-shingle anti-join — a Window.partitionBy("shingle")
+    # count would funnel the hottest shingle's entire posting list into one
+    # task before counting, the exact skew the cap exists to defuse
+    for name in ("dedup_ngram_jaccard", "dedup_near_verified"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Window" not in plan, f"{name}: df cap regressed to a Window"
+        assert "HashAggregate" in plan, f"{name}: df count must be an aggregate"
+        assert "LeftAnti" in plan and "Broadcast" in plan, (
+            f"{name}: hot-shingle filter must be a broadcast anti-join"
+        )

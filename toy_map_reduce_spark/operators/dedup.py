@@ -22,14 +22,33 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
 
-# MinHash parameters: 32 hashes in 8 bands of 4 rows → LSH threshold
-# ~ (1/b)^(1/r) = (1/8)^(1/4) ≈ 0.59 Jaccard.
+# ---------------------------------------------------------------------------
+# Near-dup knob table — recall/cost tradeoffs in one place so a tuner never
+# has to re-derive them:
+#
+#   knob                  value  tradeoff
+#   --------------------  -----  ------------------------------------------
+#   NUM_HASHES            32     minhash estimator stderr ~ 1/sqrt(32)≈0.18;
+#                                more hashes = tighter est_jaccard, more CPU
+#   NUM_BANDS × BAND_ROWS 8×4    LSH threshold ≈ (1/b)^(1/r) = (1/8)^(1/4)
+#                                ≈ 0.59 Jaccard; more bands = higher recall
+#                                at lower thresholds but b rows/doc shuffle
+#   DF_CAP                100    posting-list cap: a shingle in k docs makes
+#                                k(k-1)/2 join rows, so the cap bounds the
+#                                inverted-index join at DF_CAP²/2 per
+#                                shingle; raising it raises recall on
+#                                boilerplate-heavy corpora and join cost
+#   SIMHASH_BLOCKS        4      pigeonhole blocks over the 64-bit simhash;
+#                                exact retrieval requires
+#                                SIMHASH_MAX_HAMMING ≤ SIMHASH_BLOCKS − 1
+#   SIMHASH_MAX_HAMMING   3      looser = more pairs verified per bucket
+# ---------------------------------------------------------------------------
 NUM_HASHES = 32
 NUM_BANDS = 8
 BAND_ROWS = NUM_HASHES // NUM_BANDS
@@ -59,6 +78,41 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
         ).alias("shingle"),
     )
     return sh.where(F.col("shingle") != "").distinct()
+
+
+# Document-frequency cap for the inverted-index self-join: a shingle shared
+# by k documents produces k·(k-1)/2 join rows, so one boilerplate/template
+# shingle (navigation chrome, license header, lorem filler) at corpus scale
+# is a quadratic blow-up. Standard fix from the dedup literature: drop
+# shingles whose posting list exceeds a fixed cap before joining — such
+# shingles carry no near-duplicate signal anyway (they match *everything*).
+# The cap bounds the join at DF_CAP²/2 rows per hot shingle.
+DF_CAP = 100
+
+
+def capped_shingles(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+    """Distinct (doc_id, shingle) with hot shingles (df > ``df_cap``)
+    removed — the single source of the posting-list cap for every exact
+    Jaccard path (ngram_jaccard_pairs, dedup_near_verified, dedup_clusters).
+
+    Scale mechanism: the df count is a ``groupBy("shingle").count()`` —
+    partial (map-side) + final aggregation, so a shingle appearing in 10⁸
+    docs contributes one partial row per input partition, never 10⁸ rows in
+    one task. A ``Window.partitionBy("shingle")`` count would instead hash
+    ALL occurrences of the hottest shingle into a single task before
+    counting — the exact skew this operator exists to defuse. The surviving
+    hot-shingle list is tiny by construction (every entry represents >
+    ``df_cap`` docs, so ≤ n/df_cap entries), so it broadcasts, and the
+    anti-join is map-side with zero shuffle of the posting lists.
+    """
+    sh_all = _shingles(docs)
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    return sh_all.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 _DEDUP_EXACT_ORACLE = """
@@ -165,13 +219,7 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     cand = minhash_candidates(docs).select("doc_a", "doc_b")
 
-    sh = _shingles(docs)
-    w = Window.partitionBy("shingle")
-    sh = (
-        sh.withColumn("df", F.count(F.lit(1)).over(w))
-        .where(F.col("df") <= DF_CAP)
-        .drop("df")
-    )
+    sh = capped_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     sa = sh.alias("sa")
@@ -240,6 +288,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BLOCKS = 4
 SIMHASH_MAX_HAMMING = 3
 
+# Pigeonhole guarantee: a pair within MAX_HAMMING bits differs in at most
+# MAX_HAMMING blocks, so with MAX_HAMMING ≤ BLOCKS − 1 at least one block is
+# identical and the block-keyed self-join finds every such pair. Violating
+# this silently turns exact retrieval into approximate.
+assert SIMHASH_MAX_HAMMING <= SIMHASH_BLOCKS - 1, "pigeonhole: max_hamming must be ≤ blocks − 1"
+assert NUM_HASHES == NUM_BANDS * BAND_ROWS, "banding must tile the signature exactly"
+
 
 def simhash_pairs(sig: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """(doc_id, simhash) → (doc_a, doc_b, hamming) for pairs within
@@ -289,16 +344,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(simhash_signatures(load(spark, sf_dir, "documents")))
 
 
-# Document-frequency cap for the inverted-index self-join: a shingle shared
-# by k documents produces k·(k-1)/2 join rows, so one boilerplate/template
-# shingle (navigation chrome, license header, lorem filler) at corpus scale
-# is a quadratic blow-up. Standard fix from the dedup literature: drop
-# shingles whose posting list exceeds a fixed cap before joining — such
-# shingles carry no near-duplicate signal anyway (they match *everything*).
-# The cap bounds the join at DF_CAP²/2 rows per hot shingle.
-DF_CAP = 100
-
-_NGRAM_JACCARD_ORACLE = """
+_NGRAM_JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
   FROM documents
@@ -315,7 +361,7 @@ sh AS (
   SELECT doc_id, shingle FROM (
     SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
     FROM sh_all
-  ) WHERE df <= 100
+  ) WHERE df <= {DF_CAP}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -335,19 +381,14 @@ WHERE CAST(i.both_cnt AS DOUBLE) / (sa.n + sb.n - i.both_cnt) >= 0.5
 def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     """Exact 3-gram Jaccard over a documents frame, df-capped.
 
-    The df filter is one linear window count over the same shingle
-    partitioning the self-join needs anyway — no extra join, and the
-    quadratic posting-list explosion is bounded before it can happen.
+    The df filter is a partial+final aggregate plus a broadcast anti-join
+    (see ``capped_shingles``) — the quadratic posting-list explosion is
+    bounded before it can happen, and no single task ever holds a hot
+    shingle's full posting list.
     Jaccard is computed over the *capped* shingle sets on both engines
     (sizes too), keeping the oracle in lock-step.
     """
-    sh_all = _shingles(docs)
-    w = Window.partitionBy("shingle")
-    sh = (
-        sh_all.withColumn("df", F.count(F.lit(1)).over(w))
-        .where(F.col("df") <= df_cap)
-        .drop("df")
-    )
+    sh = capped_shingles(docs, df_cap)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = sh.alias("a")

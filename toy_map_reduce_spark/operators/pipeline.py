@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
+from toy_map_reduce_spark.operators.dedup import DF_CAP
 from toy_map_reduce_spark.operators.textstats import _tokens
 
 
@@ -158,7 +159,7 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_CLUSTERS_ORACLE = """
+_DEDUP_CLUSTERS_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
   FROM documents
@@ -172,11 +173,11 @@ sh_all AS (
   ) WHERE shingle <> ''
 ),
 sh AS (
-  -- same df<=100 posting-list cap as dedup_ngram_jaccard (lock-step)
+  -- same DF_CAP posting-list cap as dedup_ngram_jaccard (lock-step)
   SELECT doc_id, shingle FROM (
     SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
     FROM sh_all
-  ) WHERE df <= 100
+  ) WHERE df <= {DF_CAP}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
