@@ -78,3 +78,23 @@ def test_short_docs_pair_exactly_like_oracle(spark, edge_dir):
         for r in get_spec("dedup_ngram_jaccard").builder(spark, edge_dir).collect()
     }
     assert pairs == {(2, 3): 1.0, (4, 5): 1.0}
+
+
+def test_wholetext_corpus_falls_back_when_reference_absent():
+    """source_wholetext must not be pinned to one mount point: with
+    SPARK_GRAFT_REFERENCE_DIR pointing nowhere, the resolver (import-time)
+    must pick the repo-local fallback corpus and keep query and oracle on
+    the SAME path."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from toy_map_reduce_spark.sources import io_ops;"
+        "import glob, os;"
+        "assert io_ops._WHOLETEXT_CORPUS.endswith(os.path.join('data', 'wholetext_corpus')), io_ops._WHOLETEXT_CORPUS;"
+        "assert glob.glob(io_ops._WHOLETEXT_CORPUS + '/*.txt'), 'fallback corpus missing';"
+        "assert io_ops._WHOLETEXT_CORPUS in io_ops._WHOLETEXT_ORACLE, 'oracle diverged from query path'"
+    )
+    env = dict(os.environ, SPARK_GRAFT_REFERENCE_DIR="/nonexistent-ref-checkout")
+    subprocess.run([sys.executable, "-c", code], check=True, env=env)

@@ -164,14 +164,26 @@ def source_kv_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into memory as a single string; the file name is the map key, the content
 # the map value (WorkerServiceImpl.scala:60, UserDefinedFunctions.scala:8-9).
 # Its input catalog is the fixed 13-file lorem corpus (MapTask.scala:19-87).
-_WHOLETEXT_CORPUS = "/root/reference/worker-fs/map-task-input"
+# The corpus root resolves from $SPARK_GRAFT_REFERENCE_DIR (default
+# /root/reference) so the query is not pinned to one mount point; when no
+# reference checkout exists at all, a tiny repo-local corpus with the same
+# shape (plain .txt, space-separated words) keeps the query runnable.
+import glob as _glob
 
-_WHOLETEXT_ORACLE = """
+_REFERENCE_DIR = os.environ.get("SPARK_GRAFT_REFERENCE_DIR", "/root/reference")
+_WHOLETEXT_CORPUS = os.path.join(_REFERENCE_DIR, "worker-fs", "map-task-input")
+if not _glob.glob(os.path.join(_WHOLETEXT_CORPUS, "*.txt")):
+    _WHOLETEXT_CORPUS = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "data", "wholetext_corpus",
+    )
+
+_WHOLETEXT_ORACLE = f"""
 SELECT file_key, word, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (
   SELECT parse_filename(filename) AS file_key,
          regexp_replace(lower(unnest(string_split(content, ' '))), '[^0-9a-z_]', '', 'g') AS word
-  FROM read_text('/root/reference/worker-fs/map-task-input/*.txt')
+  FROM read_text('{_WHOLETEXT_CORPUS}/*.txt')
 )
 GROUP BY file_key, word
 """

@@ -354,14 +354,19 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Encodes Spark's drop rule EXACTLY: the watermark is tracked at
+# millisecond granularity (event-time max is floored µs→ms,
+# EventTimeStatsAccum), and the eviction predicate is ts <= watermark —
+# so a row survives iff ts > floor_ms(max(b1.ts)) - delay. Using the raw
+# µs max or >= here is a latent data-dependent flake at the boundary.
 _STREAM_LATE_DROP_ORACLE = """
 WITH b1 AS (SELECT * FROM events WHERE event_id % 2 = 0),
-wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM b1),
+wm AS (SELECT date_trunc('millisecond', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM b1),
 b2 AS (SELECT * FROM events WHERE event_id % 2 = 1),
 kept AS (
   SELECT event_type, value FROM b1
   UNION ALL
-  SELECT b2.event_type, b2.value FROM b2, wm WHERE b2.ts >= wm.w
+  SELECT b2.event_type, b2.value FROM b2, wm WHERE b2.ts > wm.w
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS cnt,
