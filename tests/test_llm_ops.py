@@ -330,3 +330,40 @@ def test_ngram_jaccard_skewed_corpus_stays_bounded(spark):
     # bounded output: only the planted pair survives — not 120*119/2 = 7140
     assert len(pairs) == 1, len(pairs)
     assert elapsed < 60, f"skewed corpus took {elapsed:.1f}s — cap not effective"
+
+
+def test_multimodal_real_decode_activates_with_pil():
+    """Skip-or-run, mirroring the lakehouse jar gating: when Pillow is in
+    the image, a payload that parses as a real PNG must yield TRUE decoded
+    geometry, while a non-image payload in the same batch still takes the
+    deterministic fake path."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import pandas as pd
+
+    from toy_map_reduce_spark.operators.multimodal import _decode_image_batch
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    png = buf.getvalue()
+    text = b"not an image payload"
+    out = _decode_image_batch(pd.Series([png, text]))
+    assert (out.loc[0, "thumb_width"], out.loc[0, "thumb_height"]) == (7, 5)
+    assert out.loc[0, "n_frames"] == 1
+    # fake geometry for the non-image row (pinned formula)
+    assert out.loc[1, "thumb_width"] == 32 + (len(text) % 32)
+
+
+def test_multimodal_fake_decode_is_deterministic_without_pil():
+    """The container ships no media libs: the decode seam must produce the
+    pinned byte-level fake regardless, so the query surface stays stable."""
+    import pandas as pd
+
+    from toy_map_reduce_spark.operators.multimodal import _decode_image_batch
+
+    payload = b"abcdef"
+    out1 = _decode_image_batch(pd.Series([payload]))
+    out2 = _decode_image_batch(pd.Series([payload]))
+    pd.testing.assert_frame_equal(out1, out2)
+    assert out1.loc[0, "byte_sum"] == sum(payload)

@@ -65,13 +65,19 @@ _FEATURE_SCHEMA = (
 
 
 def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """The decode seam. With PIL present this would decode real images;
-    here (no media libs in the container, text-derived payloads) it runs
-    the deterministic byte-level fake: byte histogram stats + a fake
-    thumbnail geometry + a fake frame count.
+    """The decode seam, gated like the lakehouse connectors: with PIL on
+    the path, any payload that parses as a real image gets REAL decode
+    (true width/height/frame count from the codec); everything else — and
+    everything when PIL is absent, as in this container — falls back to the
+    deterministic byte-level fake (byte stats + fake geometry). Swap-in is
+    therefore automatic: drop Pillow into the image and real media columns
+    light up with no code change, while text-derived fixtures keep their
+    pinned fake outputs either way.
     """
     try:  # pragma: no cover - exercised only when a real decoder exists
-        import PIL.Image  # noqa: F401
+        import io
+
+        import PIL.Image
 
         have_pil = True
     except ImportError:
@@ -80,11 +86,23 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     rows = []
     for payload in payloads:
         b = np.frombuffer(payload, dtype=np.uint8)
-        if have_pil:
-            # Real path would be: PIL.Image.open(io.BytesIO(payload)) → resize
-            # → np.asarray. The payloads here are not images, so even with
-            # PIL installed we fall through to the deterministic fake.
-            pass
+        if have_pil:  # pragma: no cover - needs Pillow in the image
+            try:
+                with PIL.Image.open(io.BytesIO(payload)) as img:
+                    rows.append(
+                        {
+                            "n_bytes": int(b.size),
+                            "byte_sum": int(b.sum()),
+                            "byte_mean": round(float(b.mean()) if b.size else 0.0, 6),
+                            "head_bytes": ",".join(str(int(x)) for x in b[:8]),
+                            "thumb_width": int(img.width),
+                            "thumb_height": int(img.height),
+                            "n_frames": int(getattr(img, "n_frames", 1)),
+                        }
+                    )
+                    continue
+            except Exception:
+                pass  # not an image payload — deterministic fake below
         rows.append(
             {
                 "n_bytes": int(b.size),

@@ -60,6 +60,7 @@ _OPERATOR_MODULES = (
     "toy_map_reduce_spark.streaming.windows",
     "toy_map_reduce_spark.sources.io_ops",
     "toy_map_reduce_spark.sources.bucketing",
+    "toy_map_reduce_spark.sources.lakehouse",
 )
 
 

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from toy_map_reduce_spark.registry import register
+
 
 class ConnectorUnavailable(RuntimeError):
     def __init__(self, fmt: str, package: str):
@@ -54,3 +56,63 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options: str) -> Data
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "overwrite", **options: str
+) -> None:
+    """JDBC sink (built into Spark; needs only the vendor driver jar)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+_JDBC_ROUNDTRIP_ORACLE = """
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("source_jdbc_roundtrip", "G", oracle=_JDBC_ROUNDTRIP_ORACLE,
+          doc="Real JDBC sink+source roundtrip through embedded Derby (its "
+              "jars ship inside Spark for the Hive metastore): write nation "
+              "over JDBC, read it back, aggregate — exercises Spark's "
+              "whole JDBC dialect/type-mapping path with zero external "
+              "services, the same reader that fronts an OLTP database in a "
+              "production ingest")
+def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derby is an in-JVM database, so this is a genuine cross-system
+    roundtrip (Spark types -> Derby SQL types -> Spark types), not a
+    parquet re-read. Scale note: a production JDBC read partitions via
+    partitionColumn/lowerBound/upperBound; a 25-row dimension needs one
+    partition, and anything 100 TB-sized would come from parquet/lakehouse,
+    not JDBC — JDBC sources are for dimension/metadata feeds."""
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.sources.io_ops import _scratch
+    from toy_map_reduce_spark.tables import load
+
+    if not _jvm_class_exists(spark, _DERBY_DRIVER):
+        raise ConnectorUnavailable("JDBC (Derby)", "org.apache.derby:derby:<ver>")
+
+    base = _scratch(sf_dir, "derby")
+    # keep derby.log inside the scratch dir (set once per JVM, before the
+    # engine boots on first connection)
+    spark._jvm.java.lang.System.setProperty("derby.system.home", base)  # type: ignore[union-attr]
+    url = f"jdbc:derby:{base}/db;create=true"
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_jdbc(nation, url, "nation_rt", driver=_DERBY_DRIVER)
+    back = read_jdbc(spark, url, "nation_rt", driver=_DERBY_DRIVER)
+    return back.groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey")).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").cast("long").alias("sum_key"),
+    )
