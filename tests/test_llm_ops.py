@@ -367,3 +367,45 @@ def test_multimodal_fake_decode_is_deterministic_without_pil():
     out2 = _decode_image_batch(pd.Series([payload]))
     pd.testing.assert_frame_equal(out1, out2)
     assert out1.loc[0, "byte_sum"] == sum(payload)
+
+
+def test_pii_counts_on_planted_corpus(spark):
+    """Pin the shared PII patterns on planted fixtures: each category must
+    count its own plants and nothing else (fixture corpus itself is
+    digit-free, so this is the only real signal test)."""
+    from toy_map_reduce_spark.operators.quality import pii_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob.smith+tag@mail.co today"),
+            (2, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+            (3, "server at 192.168.1.1 and 10.0.0.255 responded"),
+            (4, "ssn 123-45-6789 must never appear in training data"),
+            (5, "a perfectly clean document with no identifiers at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = {row.doc_id: row for row in pii_counts(docs).collect()}
+    assert r[1].n_emails == 2 and r[1].n_pii_total == 2
+    assert r[2].n_phones == 2
+    assert r[3].n_ipv4 == 2
+    assert r[4].n_ssn == 1
+    assert r[5].n_pii_total == 0
+
+
+def test_ngram_decontamination_flags_planted_overlap(spark):
+    """A train doc quoting a 5-gram from an eval doc (doc_id % 20 == 0)
+    must be flagged with the right shared count; an unrelated train doc
+    must not appear."""
+    from toy_map_reduce_spark.operators.quality import ngram_decontaminate
+
+    eval_doc = "the secret benchmark answer is forty two exactly here"
+    quoting = "someone wrote that the secret benchmark answer is forty two somewhere"
+    clean = "completely unrelated prose about gardening tools and spring weather patterns"
+    docs = spark.createDataFrame(
+        [(20, eval_doc), (3, quoting), (7, clean)], ["doc_id", "text"]
+    )
+    r = {row.doc_id: row.n_shared_ngrams for row in ngram_decontaminate(docs).collect()}
+    # "the secret benchmark answer is", "secret benchmark answer is forty",
+    # "benchmark answer is forty two" = 3 shared 5-grams
+    assert r == {3: 3}

@@ -1,0 +1,243 @@
+"""Event-analytics operators (G tier): sessionization, funnel analysis,
+SCD-2 change capture, and deterministic mode — the standard clickstream /
+warehouse patterns, each as a window/aggregate composition with an exact
+DuckDB oracle.
+
+Generalizes the reference's group-and-fold data plane
+(``WorkerServiceImpl.scala:123-154`` — the reduce phase is a per-key fold)
+to ordered per-key computation: Spark's window functions are the per-key
+fold with an ORDER BY, which the MapReduce model cannot express without a
+secondary sort.
+
+Scale notes (100 TB):
+- Every operator here shuffles ONCE on its partition key (user_id) and all
+  window work happens within those partitions — the layout a clickstream
+  warehouse would bucket by anyway.
+- Timestamps are floored to seconds on BOTH engines before any arithmetic:
+  the parquet feed carries sub-microsecond precision that Spark (µs) and
+  DuckDB (ns) truncate differently, so second-floor-first is the only
+  cross-engine-stable contract (see .claude/skills/verify gotchas).
+- All expressions are JVM-side built-ins — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+SESSION_GAP_SEC = 1800  # 30 min inactivity starts a new session
+
+
+def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+    )
+
+
+_SESSIONIZE_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value,
+         date_trunc('second', ts) AS ts_sec
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN epoch(ts_sec) - epoch(lag(ts_sec) OVER w) > {SESSION_GAP_SEC}
+                   OR lag(ts_sec) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_sec) AS session_start,
+       CAST(epoch(MAX(ts_sec)) - epoch(MIN(ts_sec)) AS BIGINT) AS duration_sec,
+       round(SUM(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
+@register("sessionize_events", "G", oracle=_SESSIONIZE_ORACLE,
+          doc="Batch sessionization: per-user 30-min-gap session boundaries "
+              "via lag + running sum of boundary flags, then per-session "
+              "rollup — the one-shuffle clickstream pattern")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization is the canonical gaps-and-islands problem:
+    flag rows whose gap from the previous row exceeds the threshold, then a
+    running sum of flags labels the islands. One shuffle on user_id; both
+    windows and the final groupBy share that partitioning."""
+    ev = _events_sec(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    prev = F.lag("ts_sec").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts_sec") - F.unix_timestamp(prev) > SESSION_GAP_SEC),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts_sec", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_idx", F.sum("is_new").over(run)
+    )
+    return sess.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_sec").alias("session_start"),
+        (F.unix_timestamp(F.max("ts_sec")) - F.unix_timestamp(F.min("ts_sec")))
+        .cast("long")
+        .alias("duration_sec"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, date_trunc('second', ts) AS ts_sec FROM events
+),
+v AS (SELECT user_id, MIN(ts_sec) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT ev.user_id, MIN(ev.ts_sec) AS t_click
+  FROM ev JOIN v ON ev.user_id = v.user_id
+  WHERE ev.event_type = 'click' AND ev.ts_sec > v.t_view
+  GROUP BY ev.user_id
+),
+p AS (
+  SELECT ev.user_id, MIN(ev.ts_sec) AS t_purchase
+  FROM ev JOIN c ON ev.user_id = c.user_id
+  WHERE ev.event_type = 'purchase' AND ev.ts_sec > c.t_click
+  GROUP BY ev.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase
+"""
+
+
+@register("events_funnel", "G", oracle=_FUNNEL_ORACLE,
+          doc="Ordered funnel view→click→purchase: each stage's entry time "
+              "must strictly follow the previous stage's; per-stage user "
+              "counts. Stage joins are per-user aggregates, never row-level "
+              "sequence scans")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each stage is a groupBy(user).min(ts) joined to the next stage's
+    candidate events — 3 shuffles on the same user_id key (AQE coalesces),
+    never a per-user event-list collect. The per-stage frames shrink
+    monotonically, so later joins are broadcast-eligible at any scale."""
+    ev = _events_sec(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_sec") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_sec") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+_SCD2_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts_sec
+  FROM events
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_type
+    FROM ev
+  ) WHERE prev_type IS NULL OR prev_type <> event_type
+),
+ranged AS (
+  SELECT user_id, event_type, ts_sec AS effective_from,
+         lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS effective_to
+  FROM dedup
+)
+SELECT user_id, event_type, effective_from, effective_to,
+       effective_to IS NULL AS is_current
+FROM ranged
+"""
+
+
+@register("cdc_scd2", "G", oracle=_SCD2_ORACLE,
+          doc="Slowly-changing-dimension type 2 from a change feed: collapse "
+              "consecutive repeats of each user's event_type, then assign "
+              "[effective_from, effective_to) validity ranges via lead(); "
+              "open range = current row")
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC fold: a change feed becomes a versioned dimension in two
+    window passes over one user_id shuffle — lag() to drop no-op changes,
+    lead() to close each version's validity interval. This is the batch
+    formulation of what MERGE-based SCD maintenance does row-at-a-time."""
+    ev = _events_sec(spark, sf_dir).select("event_id", "user_id", "event_type", "ts_sec")
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    dedup = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    ranged = dedup.select(
+        "user_id",
+        "event_type",
+        F.col("ts_sec").alias("effective_from"),
+        F.lead("ts_sec").over(w2).alias("effective_to"),
+    )
+    return ranged.withColumn("is_current", F.col("effective_to").isNull())
+
+
+_AGG_MODE_ORACLE = """
+SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS cnt
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         row_number() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+  FROM events
+  GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+@register("agg_mode", "G", oracle=_AGG_MODE_ORACLE,
+          doc="Deterministic per-key mode: most frequent event_type per "
+              "user, ties broken lexicographically — count-then-rank, never "
+              "a value-list collect")
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in mode() has engine-defined tie-breaking, so the portable
+    formulation is count + rank with an explicit total order. The groupBy
+    pre-aggregates map-side, and the rank window runs over at most
+    |distinct types| rows per user — skew-immune."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("cnt").cast("long").alias("cnt"))
+    )

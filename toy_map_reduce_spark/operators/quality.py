@@ -1,0 +1,285 @@
+"""Training-data quality operators (X tier): repetition signals, composite
+keep/drop filtering, n-gram eval-set decontamination, and PII detection —
+the filter stages that sit between raw crawl and tokenizer in an LLM data
+pipeline (C4/Gopher-style heuristics, re-expressed as exact relational
+queries).
+
+All pure JVM column expressions + one broadcast anti-pattern-free join;
+zero Python UDFs. Each operator takes the whole documents table and is a
+single groupBy/join composition, so the 100 TB plan is the sf0.01 plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.operators.textstats import STOPWORDS
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+# Decontamination shingle width: wide enough that a match means shared
+# provenance, narrow enough to catch partial quoting. (Real pipelines use
+# 8-13 token grams; the synthetic fixture corpus has 10-99-token docs, so 5
+# keeps the operator observable at test scale.)
+DECONTAM_N = 5
+
+# Composite-filter thresholds (C4/Gopher-style). A doc is kept iff ALL hold.
+MIN_TOKENS = 20
+MAX_TOKENS = 10_000
+MIN_TTR = 0.25          # type-token ratio floor: repetitive docs fail
+MIN_STOPWORD_FRAC = 0.01  # natural text contains function words
+MAX_TOP_BIGRAM_FRAC = 0.20  # Gopher: one dominant 2-gram = boilerplate
+
+
+def _bigrams(toks):
+    """token array → array of 'w1 w2' bigram strings (JVM-side)."""
+    return F.expr(
+        "transform(sequence(0, size({t}) - 2), i -> concat({t}[i], ' ', {t}[i+1]))".format(
+            t=toks
+        )
+    )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+cnt AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+),
+top AS (
+  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS total FROM cnt GROUP BY doc_id
+)
+SELECT t.doc_id,
+       round(CAST(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS DOUBLE), 6) AS dup_token_frac,
+       round(CAST(top.max_c AS DOUBLE) / top.total, 6) AS top_bigram_frac
+FROM t JOIN top ON t.doc_id = top.doc_id
+"""
+
+
+@register("text_repetition", "X", oracle=_REPETITION_ORACLE,
+          doc="Gopher-style repetition signals per doc: duplicate-token "
+              "fraction and most-frequent-bigram fraction — the boilerplate "
+              "detectors that gate crawl data before training")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram count explodes to ~n_tokens rows per doc, then collapses
+    map-side: both aggregations key on doc_id, so the whole computation is
+    one shuffle and no per-doc data ever exceeds the doc's own length."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    docs = docs.where(F.size("toks") >= 2)
+    bg = docs.select("doc_id", F.explode(_bigrams("toks")).alias("bigram"))
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("max_c"), F.sum("c").alias("total")
+    )
+    sig = docs.select(
+        "doc_id",
+        F.round(
+            1.0 - F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 6
+        ).alias("dup_token_frac"),
+    )
+    return sig.join(top, "doc_id").select(
+        "doc_id",
+        "dup_token_frac",
+        F.round(F.col("max_c").cast("double") / F.col("total"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+_QUALITY_FILTER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+topbg AS (
+  SELECT doc_id, MAX(c) AS max_c, SUM(c) AS total
+  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+  GROUP BY doc_id
+),
+sig AS (
+  SELECT t.doc_id,
+         len(toks) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE) / len(toks) AS stop_frac,
+         COALESCE(CAST(topbg.max_c AS DOUBLE) / topbg.total, 0.0) AS top_bigram_frac
+  FROM t LEFT JOIN topbg ON t.doc_id = topbg.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(ttr, 6) AS ttr,
+       round(stop_frac, 6) AS stop_frac,
+       round(top_bigram_frac, 6) AS top_bigram_frac,
+       (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+        AND ttr >= {MIN_TTR} AND stop_frac >= {MIN_STOPWORD_FRAC}
+        AND top_bigram_frac <= {MAX_TOP_BIGRAM_FRAC}) AS keep
+FROM sig
+"""
+
+
+@register("quality_filter", "X", oracle=_QUALITY_FILTER_ORACLE,
+          doc="Composite C4/Gopher-style keep/drop filter: token-count "
+              "bounds, type-token-ratio floor, stopword-fraction floor, "
+              "top-bigram-fraction ceiling — every signal surfaced next to "
+              "the verdict so filter rates are auditable")
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape: compute ALL signals in one pass, emit the
+    boolean verdict alongside them (an unauditable filter is a silent data
+    bug at 100 TB — you want per-signal fail rates from the same query).
+    One shuffle (the bigram count), everything else map-side."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    bg = docs.where(F.size("toks") >= 2).select(
+        "doc_id", F.explode(_bigrams("toks")).alias("bigram")
+    )
+    topbg = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("total"))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    sig = docs.join(topbg, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias("ttr"),
+        (
+            F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))).cast(
+                "double"
+            )
+            / F.size("toks")
+        ).alias("stop_frac"),
+        F.coalesce(
+            F.col("max_c").cast("double") / F.col("total"), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        F.round("ttr", 6).alias("ttr"),
+        F.round("stop_frac", 6).alias("stop_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        (
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_tokens") <= MAX_TOKENS)
+            & (F.col("ttr") >= MIN_TTR)
+            & (F.col("stop_frac") >= MIN_STOPWORD_FRAC)
+            & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC)
+        ).alias("keep"),
+    )
+
+
+_DECONTAM_NGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - {DECONTAM_N - 2}),
+                i -> list_aggregate(toks[i : i + {DECONTAM_N - 1}], 'string_agg', ' '))) AS gram
+  FROM t WHERE len(toks) >= {DECONTAM_N}
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+train AS (SELECT * FROM grams WHERE doc_id % 20 <> 0)
+SELECT train.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM train JOIN eval_grams ON train.gram = eval_grams.gram
+GROUP BY train.doc_id
+"""
+
+
+def ngram_decontaminate(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+    """Train docs sharing at least one n-gram with the eval split
+    (doc_id % 20 = 0), with the shared-gram count. The eval gram set is
+    small by definition (eval sets are curated, not crawled), so it
+    BROADCASTS and the contamination check is a map-side semi-join —
+    the only formulation that works when the train side is 100 TB."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= n
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {n}), "
+                f"i -> array_join(slice(toks, i + 1, {n}), ' '))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    eval_grams = (
+        grams.where(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    )
+    train = grams.where(F.col("doc_id") % 20 != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+@register("decontaminate_ngram", "X", oracle=_DECONTAM_NGRAM_ORACLE,
+          doc="N-gram eval-set decontamination: flag train docs sharing any "
+              "5-gram with the eval split (doc_id % 20 = 0) via a broadcast "
+              "join on the (small, curated) eval gram set — catches partial "
+              "quoting that exact-hash decontamination misses")
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_decontaminate(load(spark, sf_dir, "documents"))
+
+
+# PII patterns shared verbatim by both engines (RE2-compatible subset:
+# works identically in Spark's java.util.regex and DuckDB's RE2).
+PII_PATTERNS = {
+    "n_emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "n_phones": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "n_ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "n_ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_counts(docs: DataFrame) -> DataFrame:
+    """Per-doc PII hit counts, JVM-side regexp_count only — the scan that
+    decides redaction (text_redact is the act-on-it stage)."""
+    cols = [
+        F.regexp_count("text", F.lit(pat)).cast("long").alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", *cols)
+    total = sum(F.col(n) for n in PII_PATTERNS)
+    return out.withColumn("n_pii_total", total.cast("long"))
+
+
+_PII_ORACLE = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    + ", CAST("
+    + " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
+    + " AS BIGINT) AS n_pii_total FROM documents"
+)
+
+
+@register("text_pii_detect", "X", oracle=_PII_ORACLE,
+          doc="PII detection scan: per-doc email/phone/IPv4/SSN hit counts "
+              "via shared RE2-compatible patterns (the audit stage ahead of "
+              "text_redact); crafted-corpus pytest pins the pattern "
+              "semantics")
+def text_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_counts(load(spark, sf_dir, "documents"))
