@@ -157,3 +157,11 @@ def test_jaccard_df_cap_is_aggregate_not_window(spark, sf_dir):
         assert "LeftAnti" in plan and "Broadcast" in plan, (
             f"{name}: hot-shingle filter must be a broadcast anti-join"
         )
+
+
+def test_dpp_join_prunes_partitions_dynamically(spark, sf_dir):
+    # the fact scan must carry a runtime dynamicpruning subquery on the
+    # partition column — without it the join reads every partition and DPP
+    # (the biggest I/O lever on a partitioned fact) is silently lost
+    plan = plan_of(spark, sf_dir, "join_dpp_partitioned")
+    assert "dynamicpruning" in plan.lower(), "no dynamic partition pruning in plan"

@@ -470,3 +470,73 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine, 6).alias("cosine"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh_all AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+    FROM toks
+  ) WHERE shingle <> ''
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_all
+  ) WHERE df <= {DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.both_cnt AS DOUBLE) / sa.n, 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+WHERE CAST(i.both_cnt AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_containment", "X", oracle=_CONTAINMENT_ORACLE,
+          doc="Shingle containment |A∩B|/|A| (asymmetric — catches doc A "
+              "quoted inside a larger doc B, which symmetric Jaccard "
+              "dilutes away); df-capped inverted index, both directions "
+              "emitted")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same capped inverted-index join as ngram_jaccard_pairs (one shuffle
+    on shingle, hot shingles broadcast-anti-joined away), but normalized by
+    the LEFT doc's shingle count only — the quote/subset detector. A 50-
+    shingle doc fully contained in a 5000-shingle doc scores 1.0 here vs
+    Jaccard ≈ 0.01."""
+    docs = load(spark, sf_dir, "documents")
+    sh = capped_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    return (
+        inter.join(sa, "doc_a")
+        .where(F.col("both_cnt").cast("double") / F.col("n_a") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("both_cnt").cast("double") / F.col("n_a"), 6).alias("containment"),
+        )
+    )

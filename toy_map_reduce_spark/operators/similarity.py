@@ -301,3 +301,123 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qe").cast("int").alias("q_min"),
         F.floor(recon_err * 1000000 + 0.5).cast("bigint").alias("recon_err_micro"),
     )
+
+
+KNN_K = 3  # neighbors per vector in the k-NN graph
+KMEANS_K = 8  # fixed deterministic seed centroids: vec_id < KMEANS_K
+
+_KNN_GRAPH_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e, sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm FROM d
+),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_reduce([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)], (x, y) -> x + y)
+           / (a.nrm * b.nrm) AS sim
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT src, dst, CAST(rn AS INTEGER) AS rnk, round(sim, 6) AS sim FROM (
+  SELECT src, dst, sim,
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rn
+  FROM scored
+) WHERE rn <= {KNN_K}
+"""
+
+
+@register("sim_knn_graph", "X", oracle=_KNN_GRAPH_ORACLE,
+          doc="k-NN graph over embeddings, blocked by label (the coarse ANN "
+              "cell): top-3 neighbors per vector within its block, exact "
+              "within-cell scoring — the IVF refine stage run for EVERY "
+              "vector, which is how embedding-dedup clusters and curriculum "
+              "graphs get built")
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs only WITHIN a label block (~n/k² of the full quadratic),
+    the same blocking dedup_embedding uses; per-src top-k via window over
+    the block key. At 100 TB the label comes from an IVF coarse quantizer
+    and each cell's pairs fit one task by construction."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", _norm(F.col("e")))
+    a, b = d.alias("a"), d.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        (_dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select("src", "dst", F.col("rn").cast("int").alias("rnk"), F.round("sim", 6).alias("sim"))
+    )
+
+
+_KMEANS_ASSIGN_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm FROM d
+),
+c AS (SELECT vec_id AS centroid_id, e AS c_e, nrm AS c_nrm FROM n WHERE vec_id < {KMEANS_K}),
+scored AS (
+  SELECT n.vec_id, c.centroid_id,
+         list_reduce([n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)], (x, y) -> x + y)
+           / (n.nrm * c.c_nrm) AS sim
+  FROM n, c
+),
+assigned AS (
+  SELECT vec_id, centroid_id, sim FROM (
+    SELECT vec_id, centroid_id, sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       round(AVG(sim), 6) AS avg_sim
+FROM assigned
+GROUP BY centroid_id
+"""
+
+
+@register("embedding_kmeans_assign", "X", oracle=_KMEANS_ASSIGN_ORACLE,
+          doc="One k-means assignment step: 8 deterministic seed centroids "
+              "(vec_id < 8) broadcast against every vector, argmax-cosine "
+              "assignment, per-cluster size + mean similarity — the "
+              "building block of IVF training and diversity-aware sampling")
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative-algorithm shape on Spark: each iteration is one
+    broadcast (k centroids, tiny) × one narrow scan of the vectors + a
+    k-row aggregate — no shuffle of the embedding column at all. Chaining
+    iterations re-broadcasts the k-row update; 100 TB of vectors never
+    moves."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", _as_double(F.col("embedding")).alias("e")).withColumn(
+        "nrm", _norm(F.col("e"))
+    )
+    c = (
+        d.where(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("e").alias("c_e"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    scored = d.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "centroid_id",
+        (_dot(F.col("e"), F.col("c_e")) / (F.col("nrm") * F.col("c_nrm"))).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    assigned = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.avg("sim"), 6).alias("avg_sim"),
+    )
