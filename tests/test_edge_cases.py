@@ -98,3 +98,19 @@ def test_wholetext_corpus_falls_back_when_reference_absent():
     )
     env = dict(os.environ, SPARK_GRAFT_REFERENCE_DIR="/nonexistent-ref-checkout")
     subprocess.run([sys.executable, "-c", code], check=True, env=env)
+
+
+def test_compaction_actually_reduces_file_count(spark, sf_dir):
+    """compact_small_files must leave exactly COMPACT_TARGET_FILES parquet
+    part-files in the compacted dir (and >2 in the fragmented one), not
+    just return correct aggregates."""
+    import glob
+
+    from toy_map_reduce_spark.registry import get_spec
+    from toy_map_reduce_spark.sources.io_ops import COMPACT_TARGET_FILES, _scratch
+
+    get_spec("compact_small_files").builder(spark, sf_dir).collect()
+    frag = glob.glob(_scratch(sf_dir, "compact/frag") + "/part-*.parquet")
+    tight = glob.glob(_scratch(sf_dir, "compact/tight") + "/part-*.parquet")
+    assert len(tight) == COMPACT_TARGET_FILES
+    assert len(frag) > len(tight)

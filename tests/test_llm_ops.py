@@ -409,3 +409,19 @@ def test_ngram_decontamination_flags_planted_overlap(spark):
     # "the secret benchmark answer is", "secret benchmark answer is forty",
     # "benchmark answer is forty two" = 3 shared 5-grams
     assert r == {3: 3}
+
+
+def test_hll_merge_estimate_within_bound(spark, sf_dir):
+    """The merged cross-shard HLL estimate must land within 5% of the exact
+    distinct count — the mergeability contract (union of shard sketches ==
+    sketch of the union, up to HLL error)."""
+    from toy_map_reduce_spark.registry import get_spec
+    from toy_map_reduce_spark.tables import load
+
+    est = get_spec("agg_hll_merge").builder(spark, sf_dir).collect()[0]
+    exact = load(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    assert est.n_shards_merged == 8
+    assert abs(est.approx_distinct_parts - exact) / exact < 0.05, (
+        est.approx_distinct_parts,
+        exact,
+    )

@@ -1,0 +1,126 @@
+"""Iterative graph computation (G tier): fixed-iteration PageRank over a
+hash-derived directed graph — the canonical "MapReduce can't do this well"
+workload (each iteration is a full extra job there; here the loop unrolls
+into one Catalyst DAG).
+
+Companion to dedup_clusters (operators/pipeline.py), which does iterative
+min-label propagation; together they cover the two classic iterative
+dataflow shapes (fixpoint propagation / damped power iteration).
+
+Scale notes (100 TB):
+- Each iteration is one shuffle (contributions grouped by dst). The rank
+  frame is |nodes| rows — tiny next to edges — and the edge frame is
+  re-read per iteration from the same partitioning, which AQE reuses.
+- At real scale past ~10 iterations you'd checkpoint the rank frame to cut
+  lineage growth; 3 fixed iterations keeps the plan finite and the DuckDB
+  oracle expressible as chained CTEs.
+- Ranks are emitted as micro-ints (round(r * 1e6)) — the established
+  cross-engine float contract (see timeseries_interpolate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+PR_NODES_MOD = 64     # graph nodes = hash classes of customers/orders
+PR_ITERATIONS = 3
+PR_DAMPING = 0.85
+
+_PAGERANK_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey % {PR_NODES_MOD} AS src, o_orderkey % {PR_NODES_MOD} AS dst
+  FROM orders
+  WHERE o_custkey % {PR_NODES_MOD} <> o_orderkey % {PR_NODES_MOD}
+),
+nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM edges UNION SELECT dst FROM edges)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+r0 AS (SELECT n, 1.0 / nn.cnt AS r FROM nodes, nn),
+r1 AS (
+  SELECT nodes.n,
+         (1 - {PR_DAMPING}) / nn.cnt
+         + {PR_DAMPING} * COALESCE(SUM(r0.r / outdeg.d), 0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN edges ON edges.dst = nodes.n
+  LEFT JOIN r0 ON r0.n = edges.src
+  LEFT JOIN outdeg ON outdeg.src = edges.src
+  GROUP BY nodes.n, nn.cnt
+),
+r2 AS (
+  SELECT nodes.n,
+         (1 - {PR_DAMPING}) / nn.cnt
+         + {PR_DAMPING} * COALESCE(SUM(r1.r / outdeg.d), 0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN edges ON edges.dst = nodes.n
+  LEFT JOIN r1 ON r1.n = edges.src
+  LEFT JOIN outdeg ON outdeg.src = edges.src
+  GROUP BY nodes.n, nn.cnt
+),
+r3 AS (
+  SELECT nodes.n,
+         (1 - {PR_DAMPING}) / nn.cnt
+         + {PR_DAMPING} * COALESCE(SUM(r2.r / outdeg.d), 0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN edges ON edges.dst = nodes.n
+  LEFT JOIN r2 ON r2.n = edges.src
+  LEFT JOIN outdeg ON outdeg.src = edges.src
+  GROUP BY nodes.n, nn.cnt
+)
+SELECT CAST(n AS BIGINT) AS node, CAST(round(r * 1000000) AS BIGINT) AS micro_rank
+FROM r3
+"""
+
+
+@register("graph_pagerank", "G", oracle=_PAGERANK_ORACLE,
+          doc="3-iteration damped PageRank (d=0.85) over a hash-derived "
+              "64-node directed graph from orders; micro-int ranks. The "
+              "iterative-dataflow counterpart to dedup_clusters' fixpoint "
+              "propagation")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    edges = (
+        orders.select(
+            (F.col("o_custkey") % PR_NODES_MOD).alias("src"),
+            (F.col("o_orderkey") % PR_NODES_MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+
+    # rank frame: |nodes| rows — the only state carried between iterations
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "n", (F.lit(1.0) / F.col("cnt")).alias("r")
+    )
+    for _ in range(PR_ITERATIONS):
+        contrib = (
+            edges.join(r.withColumnRenamed("n", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("n"), (F.col("r") / F.col("d")).alias("c"))
+        )
+        summed = contrib.groupBy("n").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(summed, "n", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "n",
+                (
+                    (1 - PR_DAMPING) / F.col("cnt")
+                    + PR_DAMPING * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return r.select(
+        F.col("n").cast("long").alias("node"),
+        F.round(F.col("r") * 1_000_000).cast("long").alias("micro_rank"),
+    )

@@ -170,3 +170,27 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_tax"))), 6
         ).alias("avg_tax_finished"),
     )
+
+
+@register("agg_hll_merge", "G", oracle=None, bench=True,
+          doc="Mergeable-sketch architecture: per-shard HLL sketches "
+              "(hll_sketch_agg) unioned into one estimate (hll_union_agg) "
+              "— how distinct counts compose across 100 TB of shards "
+              "without re-scanning; rows-only (sketch binary is "
+              "engine-specific), accuracy pinned by pytest vs exact")
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level shape is the point: shard-local sketches are built
+    map-side in one pass, and ONLY the fixed-size sketch bytes move — the
+    re-aggregatable form a lakehouse stores per partition so any partition
+    subset's distinct count is a cheap sketch union, never a re-scan."""
+    li = load(spark, sf_dir, "lineitem")
+    shards = li.withColumn("shard", F.col("l_orderkey") % 8)
+    per_shard = shards.groupBy("shard").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    return per_shard.agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sketch"))).cast("long").alias(
+            "approx_distinct_parts"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_shards_merged"),
+    )

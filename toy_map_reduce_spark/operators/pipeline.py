@@ -385,3 +385,49 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("eh").alias("n_contaminated"),
         F.sum(F.when(F.col("eh").isNull(), 1).otherwise(0)).cast("long").alias("n_kept"),
     )
+
+
+CHUNK_TOKENS = 30
+CHUNK_STRIDE = 20  # 10-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(len(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INTEGER) AS n_chunk_tokens,
+       toks[i * {CHUNK_STRIDE} + 1] AS first_tok,
+       toks[least(i * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(toks))] AS last_tok
+FROM t, UNNEST(range(0, CAST(ceil(len(toks) / {CHUNK_STRIDE}.0) AS BIGINT))) AS u(i)
+"""
+
+
+@register("text_chunk_overlap", "X", oracle=_CHUNK_ORACLE,
+          doc="Sliding-window document chunking (30-token chunks, 10-token "
+              "overlap) — the RAG/context-window splitter; 1→N rows via a "
+              "generated start-offset sequence, narrow (no shuffle)")
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking is embarrassingly parallel: each doc expands to
+    ceil(n/stride) chunk rows inside its own partition — posexplode over a
+    generated sequence, zero shuffle, which is what lets a 100 TB corpus
+    chunk at scan speed."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.expr(
+        f"sequence(0, cast(ceil(size(toks) / {CHUNK_STRIDE}.0) as int) - 1)"
+    )
+    ch = docs.select("doc_id", "toks", n.alias("n"), F.posexplode(starts))
+    chunk = F.expr(f"slice(toks, col * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})")
+    return ch.select(
+        "doc_id",
+        F.col("col").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.element_at("toks", F.col("col") * CHUNK_STRIDE + 1).alias("first_tok"),
+        F.element_at(
+            "toks",
+            F.least(F.col("col") * CHUNK_STRIDE + CHUNK_TOKENS, F.col("n")).cast("int"),
+        ).alias("last_tok"),
+    )

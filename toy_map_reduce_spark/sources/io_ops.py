@@ -307,3 +307,41 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("price").alias("n_clean"),
         F.round(F.sum("price"), 2).alias("clean_price_sum"),
     )
+
+
+COMPACT_TARGET_FILES = 2
+
+_COMPACT_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("compact_small_files", "G", oracle=_COMPACT_ORACLE,
+          doc="Small-files compaction: a fragmented write (32 files) is "
+              "rewritten to 2 right-sized files and read back — byte-for-"
+              "byte the same data, a fraction of the open/seek overhead. "
+              "The maintenance job every long-lived parquet lake needs "
+              "(file-count assertion in pytest)")
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files problem is a scan-throughput killer at 100 TB: a
+    1000-executor job reading millions of KB-sized files pays per-file
+    open/footer costs that dwarf the I/O. Compaction = read + repartition
+    to target-size + rewrite. Here repartition(2) stands in for
+    repartitioning to ~128 MB targets; the aggregate proves the rewrite
+    lost nothing."""
+    frag = _scratch(sf_dir, "compact/frag")
+    tight = _scratch(sf_dir, "compact/tight")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+    li.repartition(32).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(COMPACT_TARGET_FILES).write.mode(
+        "overwrite"
+    ).parquet(tight)
+    back = spark.read.parquet(tight)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
