@@ -241,3 +241,87 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), F.col("cnt").cast("long").alias("cnt"))
     )
+
+
+MIN_SUPPORT = 2  # co-occurrence count threshold across orders
+
+_COPURCHASE_ORACLE = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support
+FROM pairs
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= {MIN_SUPPORT}
+"""
+
+
+@register("itemsets_copurchase", "G", oracle=_COPURCHASE_ORACLE,
+          doc="Frequent-pair mining (market-basket / co-occurrence): "
+              "distinct items per basket, ordered within-basket self-join, "
+              "support threshold — the same inverted-index-join shape as "
+              "dedup_ngram_jaccard (basket = posting list), so the same "
+              "hot-basket cap applies if baskets are unbounded")
+def itemsets_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A basket of k items emits k(k-1)/2 pairs — quadratic in basket
+    size, NOT corpus size. TPC-H baskets are ≤7 items so no cap is needed;
+    a crawl-scale basket column would reuse capped_shingles' aggregate +
+    broadcast anti-join mechanism verbatim (operators/dedup.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= MIN_SUPPORT)
+    )
+
+
+ZSCORE_THRESHOLD = 2.0
+
+_ZSCORE_ORACLE = f"""
+WITH stats AS (
+  SELECT user_id, AVG(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       CAST(round((e.value - s.mu) / s.sigma * 1000000) AS BIGINT) AS micro_z
+FROM events e JOIN stats s ON e.user_id = s.user_id
+WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > {ZSCORE_THRESHOLD}
+"""
+
+
+@register("window_outlier_zscore", "G", oracle=_ZSCORE_ORACLE,
+          doc="Per-key z-score outlier detection: each event scored against "
+              "its user's mean/stddev, |z| > 2 flagged; micro-int z values. "
+              "Aggregate-then-join (map-side partial agg), not a per-key "
+              "window — same skew logic as the shingle df cap")
+def window_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats-then-join beats a window here for the same reason as the
+    shingle df count: the aggregate combines map-side so a hot user never
+    lands in one task, and the per-user stats frame is small enough to
+    broadcast into the scoring pass."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .where((F.col("sigma") > 0) & (F.abs(z) > ZSCORE_THRESHOLD))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(z * 1_000_000).cast("long").alias("micro_z"),
+        )
+    )

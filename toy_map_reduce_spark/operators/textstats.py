@@ -419,3 +419,44 @@ def text_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("trigram").asc())
         .limit(50)
     )
+
+
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+cnt AS (SELECT source, word, COUNT(*) AS c FROM tok GROUP BY source, word),
+tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY source)
+SELECT cnt.source,
+       CAST(tot.n AS BIGINT) AS n_tokens,
+       CAST(round(-SUM((CAST(c AS DOUBLE) / tot.n) * log2(CAST(c AS DOUBLE) / tot.n)) * 1000000) AS BIGINT)
+         AS micro_entropy
+FROM cnt JOIN tot ON cnt.source = tot.source
+GROUP BY cnt.source, tot.n
+"""
+
+
+@register("agg_entropy", "X", oracle=_ENTROPY_ORACLE,
+          doc="Per-source Shannon token entropy (bits) as micro-ints — the "
+              "corpus-diversity signal that flags template/spam sources "
+              "(low entropy) in a training-data mix; two hash aggregations, "
+              "no window")
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H = -Σ p·log2(p) over the source's word distribution. The word
+    count combines map-side; the per-source total joins back on the tiny
+    distinct-source frame, so token volume never concentrates — entropy of
+    a 100 TB source costs one pass."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+    cnt = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source", F.col("n").cast("long").alias("n_tokens"))
+        .agg(
+            F.round(-F.sum(p * F.log2(p)) * 1_000_000)
+            .cast("long")
+            .alias("micro_entropy")
+        )
+    )
