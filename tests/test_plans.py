@@ -165,3 +165,11 @@ def test_dpp_join_prunes_partitions_dynamically(spark, sf_dir):
     # (the biggest I/O lever on a partitioned fact) is silently lost
     plan = plan_of(spark, sf_dir, "join_dpp_partitioned")
     assert "dynamicpruning" in plan.lower(), "no dynamic partition pruning in plan"
+
+
+def test_tpch_q5_broadcasts_dimensions(spark, sf_dir):
+    # the 6-way join must broadcast the small dims (nation/region/supplier
+    # at minimum), never shuffle-hash-join them against the fact chain
+    plan = plan_of(spark, sf_dir, "sql_tpch_q5")
+    assert "BroadcastHashJoin" in plan, "no broadcast join in Q5 plan"
+    assert "PushedFilters" in plan or "Filter" in plan

@@ -235,3 +235,106 @@ def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _view(load(spark, sf_dir, "lineitem"), sf_dir, "q1_lineitem")
     return spark.sql(_TPCH_Q1_SQL.format(table=v))
+
+
+# TPC-H Q3/Q5/Q10 (adapted to the fixture's trimmed column set and
+# 1995-2001 date domain): multi-way joins with selective dimension filters
+# — the workload Catalyst's join reordering, broadcast selection, and
+# filter pushdown exist for. The IDENTICAL ANSI string runs on both
+# engines; ORDER BY/LIMIT is omitted (the driver compares unordered sets,
+# and revenue-tie top-k is nondeterministic across engines). Revenue
+# rounds to 4 decimals, NOT 2: price*(1-discount) is a true 4-decimal
+# quantity, so its sums are exact 4-decimal multiples and rounding there
+# has no halfway cases — while round(..., 2) lands on genuine .xx5
+# halfway points that cross-engine summation order flips (observed:
+# 245262.575 → .57 vs .58 at sf0.01).
+
+_TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM {c}, {o}, {l}
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+@register("sql_tpch_q3", "G",
+          oracle=_TPCH_Q3_SQL.format(c="customer", o="orders", l="lineitem"),
+          doc="TPC-H Q3 (shipping priority): 3-way join, selective segment "
+              "filter, revenue aggregate — identical ANSI string on both "
+              "engines")
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_map_reduce_spark.operators.extras import _view
+
+    c = _view(load(spark, sf_dir, "customer"), sf_dir, "q3_customer")
+    o = _view(load(spark, sf_dir, "orders"), sf_dir, "q3_orders")
+    l = _view(load(spark, sf_dir, "lineitem"), sf_dir, "q3_lineitem")
+    return spark.sql(_TPCH_Q3_SQL.format(c=c, o=o, l=l))
+
+
+_TPCH_Q5_SQL = """
+SELECT n_name,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM {c}, {o}, {l}, {s}, {n}, {r}
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("sql_tpch_q5", "G",
+          oracle=_TPCH_Q5_SQL.format(c="customer", o="orders", l="lineitem",
+                                     s="supplier", n="nation", r="region"),
+          doc="TPC-H Q5 (local supplier volume): 6-way join through two "
+              "dimension chains — the join-reordering stress case; small "
+              "dims must broadcast")
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_map_reduce_spark.operators.extras import _view
+
+    views = {
+        k: _view(load(spark, sf_dir, t), sf_dir, f"q5_{t}")
+        for k, t in (("c", "customer"), ("o", "orders"), ("l", "lineitem"),
+                     ("s", "supplier"), ("n", "nation"), ("r", "region"))
+    }
+    return spark.sql(_TPCH_Q5_SQL.format(**views))
+
+
+_TPCH_Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       n_name
+FROM {c}, {o}, {l}, {n}
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+"""
+
+
+@register("sql_tpch_q10", "G",
+          oracle=_TPCH_Q10_SQL.format(c="customer", o="orders", l="lineitem", n="nation"),
+          doc="TPC-H Q10 (returned items): fact-fact join with a quarter "
+              "date window and returnflag filter, customer-grain revenue")
+def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toy_map_reduce_spark.operators.extras import _view
+
+    c = _view(load(spark, sf_dir, "customer"), sf_dir, "q10_customer")
+    o = _view(load(spark, sf_dir, "orders"), sf_dir, "q10_orders")
+    l = _view(load(spark, sf_dir, "lineitem"), sf_dir, "q10_lineitem")
+    n = _view(load(spark, sf_dir, "nation"), sf_dir, "q10_nation")
+    return spark.sql(_TPCH_Q10_SQL.format(c=c, o=o, l=l, n=n))
