@@ -97,8 +97,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
-_QUALITY_FILTER_ORACLE = f"""
-WITH t AS (
+# Shared CTE block (t/bg/topbg/sig) — single source for quality_filter's
+# oracle AND the end-to-end pipeline_full oracle, so the signal formulas
+# can never drift between the standalone filter and the composed pipeline.
+_SIG_CTES = f"""t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
 bg AS (
@@ -118,15 +120,22 @@ sig AS (
          CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE) / len(toks) AS stop_frac,
          COALESCE(CAST(topbg.max_c AS DOUBLE) / topbg.total, 0.0) AS top_bigram_frac
   FROM t LEFT JOIN topbg ON t.doc_id = topbg.doc_id
+)"""
+
+_KEEP_PRED = (
+    f"(n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}"
+    f" AND ttr >= {MIN_TTR} AND stop_frac >= {MIN_STOPWORD_FRAC}"
+    f" AND top_bigram_frac <= {MAX_TOP_BIGRAM_FRAC})"
 )
+
+_QUALITY_FILTER_ORACLE = f"""
+WITH {_SIG_CTES}
 SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        round(ttr, 6) AS ttr,
        round(stop_frac, 6) AS stop_frac,
        round(top_bigram_frac, 6) AS top_bigram_frac,
-       (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
-        AND ttr >= {MIN_TTR} AND stop_frac >= {MIN_STOPWORD_FRAC}
-        AND top_bigram_frac <= {MAX_TOP_BIGRAM_FRAC}) AS keep
+       {_KEEP_PRED} AS keep
 FROM sig
 """
 
@@ -283,3 +292,95 @@ _PII_ORACLE = (
               "semantics")
 def text_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_counts(load(spark, sf_dir, "documents"))
+
+
+_PIPELINE_FULL_ORACLE = f"""
+WITH {_SIG_CTES},
+kept AS (SELECT doc_id FROM sig WHERE {_KEEP_PRED}),
+norm AS (
+  SELECT d.doc_id,
+         sha256(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) AS h
+  FROM documents d JOIN kept ON d.doc_id = kept.doc_id
+),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY h),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - {DECONTAM_N - 2}),
+                i -> list_aggregate(toks[i : i + {DECONTAM_N - 1}], 'string_agg', ' '))) AS gram
+  FROM t WHERE len(toks) >= {DECONTAM_N}
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN eval_grams e ON g.gram = e.gram
+  WHERE g.doc_id % 20 <> 0
+),
+clean AS (
+  SELECT s.doc_id FROM surv s
+  WHERE s.doc_id % 20 <> 0
+    AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+final AS (
+  SELECT c.doc_id,
+         CASE WHEN {{fp}} % 100 < 80 THEN 'train'
+              WHEN {{fp}} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split(d.text, ' ')) AS n_tokens
+  FROM clean c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM final
+GROUP BY split
+"""
+
+
+# pipeline's fingerprint expression, retargeted at the d alias — the split
+# assignment must hash the same bytes as dataset_split does
+from toy_map_reduce_spark.operators.pipeline import _FP_SQL as _FP  # noqa: E402
+
+
+@register("pipeline_full", "X",
+          oracle=_PIPELINE_FULL_ORACLE.format(fp=_FP.replace("text", "d.text")),
+          doc="The flagship end-to-end training-data pipeline as ONE query: "
+              "quality filter → exact dedup (min-id survivor) → eval-split "
+              "exclusion + 5-gram decontamination → fingerprint 80/10/10 "
+              "split → per-split doc/token counts. Every stage composes the "
+              "standalone operators' exact logic; the oracle chains the same "
+              "CTEs")
+def pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition is the point: each stage is the same DataFrame logic as
+    its standalone operator (shared code, shared thresholds), and the whole
+    chain is ONE Catalyst plan — the optimizer sees through the stages,
+    prunes columns end-to-end, and the only shuffles are the four keyed
+    aggregations. At 100 TB this runs as a single job, not four."""
+    from toy_map_reduce_spark.operators.dedup import _norm_text
+    from toy_map_reduce_spark.operators.pipeline import _fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+
+    kept = quality_filter(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    surv = (
+        docs.join(kept, "doc_id")
+        .select("doc_id", F.sha2(_norm_text(F.col("text")), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    contaminated = ngram_decontaminate(docs).select("doc_id")
+    clean = (
+        surv.where(F.col("doc_id") % 20 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    bucket = _fingerprint() % 100
+    final = docs.join(clean, "doc_id").select(
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return final.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
