@@ -99,3 +99,55 @@ def test_dedup_survivors_unique_and_complete(spark, sf_dir):
     rows = out.collect()
     assert len({r.text_hash for r in rows}) == len(rows)
     assert sum(r.dup_count for r in rows) == n_docs
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=120),  # doc token counts
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_chunking_covers_every_token_with_exact_overlap(spark, sizes):
+    """Chunking invariants for any doc length: (1) chunk starts tile the
+    doc at stride spacing so every token is covered; (2) each chunk holds
+    min(CHUNK_TOKENS, remaining) tokens; (3) consecutive chunks overlap by
+    exactly CHUNK_TOKENS - CHUNK_STRIDE tokens (when the next chunk is
+    full-width)."""
+    from toy_map_reduce_spark.operators.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunk_overlap,
+    )
+    from toy_map_reduce_spark.registry import get_spec
+
+    import math
+    import os
+    import tempfile
+
+    docs = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(sizes)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string"
+        ).withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("t")
+        ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        rows = text_chunk_overlap(spark, d).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(sizes):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert len(chunks) == math.ceil(n / CHUNK_STRIDE)
+        for r in chunks:
+            start = r.chunk_idx * CHUNK_STRIDE
+            assert r.n_chunk_tokens == min(CHUNK_TOKENS, n - start)
+            assert r.first_tok == f"w{start}"
+            assert r.last_tok == f"w{min(start + CHUNK_TOKENS, n) - 1}"
+        # coverage: last chunk's end reaches the final token
+        last = chunks[-1]
+        assert last.chunk_idx * CHUNK_STRIDE + last.n_chunk_tokens == n

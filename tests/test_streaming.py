@@ -128,3 +128,36 @@ def test_append_mode_emits_only_finalized_windows(spark, two_batch_dir):
     # window is still open → must NOT be emitted in append mode
     assert (0, 2) in rows
     assert all(m != 30 for m, _ in rows)
+
+
+def test_transform_with_state_runs_when_protobuf_present(spark, sf_dir, duck):
+    """Skip-or-run (lakehouse-gating pattern): the Spark 4
+    transformWithStateInPandas stateful processor needs google.protobuf for
+    its state-server protocol. When the wheel exists, the per-user running
+    totals must match the batch aggregate oracle exactly."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf.descriptor")
+    from toy_map_reduce_spark.streaming.windows import (
+        _STREAM_TWS_ORACLE,
+        stream_transform_with_state,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in stream_transform_with_state(spark, sf_dir).collect()
+    }
+    want = {
+        int(u): (int(n), float(s))
+        for u, n, s in duck.sql(_STREAM_TWS_ORACLE).fetchall()
+    }
+    assert got == want
+
+
+def test_transform_with_state_gates_cleanly_without_protobuf(spark, sf_dir):
+    from toy_map_reduce_spark.streaming import windows as sw
+
+    if sw._tws_available():
+        pytest.skip("protobuf present; covered by the run variant")
+    with pytest.raises(RuntimeError, match="protobuf"):
+        sw.stream_transform_with_state(spark, sf_dir)

@@ -436,3 +436,95 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         SF.count(SF.lit(1)).alias("cnt"),
         SF.round(SF.sum("value"), 2).alias("sum_value"),
     )
+
+
+# oracle for the gated transformWithState query (used by its pytest only;
+# same per-user totals as stream_stateful_custom)
+_STREAM_TWS_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the google.protobuf wheel for its
+    state-server protocol; this image ships pyspark without it. Gated like
+    the lakehouse jars: the query is NOT registered (a contract entry must
+    never ERR on environment), and the skip-or-run pytest activates the
+    moment protobuf lands."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as stream_stateful_custom, on the API Spark 4 wants
+    new stateful operators written against: state is declared through a
+    handle (getValueState with an explicit schema) instead of an opaque
+    tuple, which is what lets the engine back it with RocksDB column
+    families and evolve state schemas at scale. Requires google.protobuf
+    (see _tws_available) — raise early with an actionable message when
+    absent rather than crashing the streaming python runner."""
+    if not _tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the google.protobuf package "
+            "(pip install protobuf); not present in this image"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    ev = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    result = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    out = run_to_table(result, "stream_tws_sink", "update", sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
