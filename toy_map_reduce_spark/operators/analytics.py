@@ -325,3 +325,97 @@ def window_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z * 1_000_000).cast("long").alias("micro_z"),
         )
     )
+
+
+_RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, date_trunc('week', date_trunc('second', ts)) AS wk FROM events
+),
+cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+activity AS (SELECT DISTINCT ev.user_id, cohort_wk, ev.wk
+             FROM ev JOIN cohort ON ev.user_id = cohort.user_id)
+SELECT cohort_wk,
+       CAST(floor((epoch(wk) - epoch(cohort_wk)) / (7 * 86400)) AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM activity
+GROUP BY 1, 2
+"""
+
+
+@register("events_retention", "G", oracle=_RETENTION_ORACLE,
+          doc="Cohort retention matrix: users bucketed by first-activity "
+              "week, distinct-active counts per (cohort, week offset) — "
+              "the warehouse query behind every retention curve")
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort assignment is one groupBy(user) min; the matrix is a distinct
+    + count over (cohort, offset) — two shuffles on user-ish keys, output
+    bounded by weeks², independent of event volume."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.date_trunc("second", F.col("ts"))).alias("wk"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = ev.join(cohort, "user_id").select("user_id", "cohort_wk", "wk").distinct()
+    offset = F.floor(
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort_wk")) / (7 * 86400)
+    ).cast("long")
+    return activity.groupBy("cohort_wk", offset.alias("week_offset")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+
+
+_RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(round(o_totalprice, 2)) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT custkey, frequency,
+         ntile(4) OVER (ORDER BY last_order, custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency, custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary, custkey) AS m_score
+  FROM rfm
+)
+SELECT CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(frequency) AS BIGINT) AS total_orders
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
+@register("orders_rfm", "G", oracle=_RFM_ORACLE,
+          doc="RFM segmentation: per-customer recency/frequency/monetary "
+              "quartiles via ntile (custkey tiebreak = deterministic total "
+              "order), segment sizes — the classic customer-value cube")
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ntile windows are global-ordered — a deliberate single-partition
+    sort over the CUSTOMER-grain frame (|customers| rows, tiny next to the
+    order feed). At 100 TB you'd swap ntile for approx percentile_disc
+    cutoffs joined back; ties broken by custkey keep both engines on one
+    total order."""
+    orders = load(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round("o_totalprice", 2)).alias("monetary"),
+    )
+    w_r = Window.orderBy("last_order", "custkey")
+    w_f = Window.orderBy("frequency", "custkey")
+    w_m = Window.orderBy("monetary", "custkey")
+    scored = rfm.select(
+        "custkey",
+        "frequency",
+        F.ntile(4).over(w_r).alias("r_score"),
+        F.ntile(4).over(w_f).alias("f_score"),
+        F.ntile(4).over(w_m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("frequency").cast("long").alias("total_orders"),
+    )
