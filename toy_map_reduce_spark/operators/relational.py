@@ -338,3 +338,123 @@ def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _view(load(spark, sf_dir, "lineitem"), sf_dir, "q10_lineitem")
     n = _view(load(spark, sf_dir, "nation"), sf_dir, "q10_nation")
     return spark.sql(_TPCH_Q10_SQL.format(c=c, o=o, l=l, n=n))
+
+
+_TPCH_Q6_SQL = """
+SELECT round(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM {l}
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("sql_tpch_q6", "G",
+          oracle=_TPCH_Q6_SQL.format(l="lineitem"),
+          doc="TPC-H Q6 (forecast revenue change): pure filter-aggregate "
+              "on the fact table — the predicate-pushdown showcase; every "
+              "filter reaches the parquet scan and only 4 columns are read")
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No join, no window: at 100 TB this is a scan whose cost is set
+    entirely by pushdown (row-group skipping on l_shipdate) and column
+    pruning — the plan must show PushedFilters + a 4-column ReadSchema."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    l = _view(load(spark, sf_dir, "lineitem"), sf_dir, "q6_lineitem")
+    return spark.sql(_TPCH_Q6_SQL.format(l=l))
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM {o}
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM {l}
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_tpch_q4", "G",
+          oracle=_TPCH_Q4_SQL.format(o="orders", l="lineitem"),
+          doc="TPC-H Q4 (order priority checking), adapted to the "
+              "generator's schema: the correlated EXISTS probes "
+              "l_shipdate > o_orderdate in place of the commit/receipt "
+              "columns the synthetic lineitem does not carry")
+def sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst rewrites the correlated EXISTS to a left-semi hash join on
+    l_orderkey — one shuffle each side, no row explosion, and the date
+    filter halves the build side before the join."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    o = _view(load(spark, sf_dir, "orders"), sf_dir, "q4_orders")
+    l = _view(load(spark, sf_dir, "lineitem"), sf_dir, "q4_lineitem")
+    return spark.sql(_TPCH_Q4_SQL.format(o=o, l=l))
+
+
+_TPCH_Q14_SQL = """
+WITH joined AS (
+  SELECT round(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END), 4) AS promo_revenue,
+         round(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM {l} JOIN {p} ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+)
+SELECT promo_revenue, total_revenue,
+       CAST(floor(1000000 * promo_revenue / total_revenue) AS BIGINT)
+         AS promo_micro_ratio
+FROM joined
+"""
+
+
+@register("sql_tpch_q14", "G",
+          oracle=_TPCH_Q14_SQL.format(l="lineitem", p="part"),
+          doc="TPC-H Q14 (promotion effect): fact-dim join + conditional "
+              "aggregate; the ratio is floored to a micro-int AFTER both "
+              "sums are rounded to their true 4-decimal precision, so the "
+              "division runs on bit-identical doubles in both engines")
+def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part is the small side — AQE broadcasts it, so the month of
+    lineitem never shuffles; the CASE folds both sums into one pass."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    l = _view(load(spark, sf_dir, "lineitem"), sf_dir, "q14_lineitem")
+    p = _view(load(spark, sf_dir, "part"), sf_dir, "q14_part")
+    return spark.sql(_TPCH_Q14_SQL.format(l=l, p=p))
+
+
+_TPCH_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, round(SUM(l_quantity), 2) AS sum_qty
+  FROM {l} GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+       date_trunc('second', o_orderdate) AS orderdate,
+       round(o_totalprice, 2) AS totalprice, sum_qty
+FROM big
+JOIN {o} ON o_orderkey = l_orderkey
+JOIN {c} ON c_custkey = o_custkey
+"""
+
+
+@register("sql_tpch_q18", "G",
+          oracle=_TPCH_Q18_SQL.format(l="lineitem", o="orders", c="customer"),
+          doc="TPC-H Q18 (large-volume customers): HAVING-filtered "
+              "aggregate driving a two-hop join back to order and "
+              "customer detail (threshold 250 sized to the synthetic "
+              "quantity distribution)")
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregate runs FIRST and its survivors (~1% of orders) drive
+    the joins — at 100 TB the big-side scan happens once and the join
+    probes are against a tiny filtered build, which AQE broadcasts."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    l = _view(load(spark, sf_dir, "lineitem"), sf_dir, "q18_lineitem")
+    o = _view(load(spark, sf_dir, "orders"), sf_dir, "q18_orders")
+    c = _view(load(spark, sf_dir, "customer"), sf_dir, "q18_customer")
+    return spark.sql(_TPCH_Q18_SQL.format(l=l, o=o, c=c))
