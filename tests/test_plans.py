@@ -173,3 +173,32 @@ def test_tpch_q5_broadcasts_dimensions(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sql_tpch_q5")
     assert "BroadcastHashJoin" in plan, "no broadcast join in Q5 plan"
     assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_tpch_q6_filters_reach_scan_and_prune(spark, sf_dir):
+    # Q6 is the pushdown showcase: no join, so the whole cost is the scan
+    # — the shipdate/discount/quantity filters must appear as
+    # PushedFilters and only the 4 referenced columns may be read
+    plan = plan_of(spark, sf_dir, "sql_tpch_q6")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, "Q6 scan has no PushedFilters"
+    assert "l_shipdate" in pushed[0] and "l_discount" in pushed[0], pushed[0]
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_returnflag", "l_orderkey", "l_tax"):
+        assert col not in read_schema, f"unpruned column {col} in Q6 scan"
+
+
+def test_tpch_q19_or_of_ands_stays_hash_join(spark, sf_dir):
+    # Catalyst must extract the common p_partkey = l_partkey equi-key from
+    # the OR arms: a nested-loop plan here is quadratic at 100 TB
+    plan = plan_of(spark, sf_dir, "sql_tpch_q19")
+    assert "BroadcastNestedLoopJoin" not in plan, "Q19 degraded to nested-loop"
+    assert "HashJoin" in plan, "Q19 lost its equi-join"
+
+
+def test_tpch_q17_decorrelated_agg_has_partials(spark, sf_dir):
+    # the per-part avg-quantity aggregate must run partial+final so the
+    # hot-part key never concentrates raw rows in one task
+    plan = plan_of(spark, sf_dir, "sql_tpch_q17")
+    assert "partial_" in plan or "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

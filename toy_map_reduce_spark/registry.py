@@ -42,6 +42,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _OPERATOR_MODULES = (
     "toy_map_reduce_spark.operators.wordcount",
     "toy_map_reduce_spark.operators.relational",
+    "toy_map_reduce_spark.operators.tpch",
     "toy_map_reduce_spark.operators.extras",
     "toy_map_reduce_spark.operators.extras2",
     "toy_map_reduce_spark.operators.misc",
