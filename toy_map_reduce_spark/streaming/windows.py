@@ -30,30 +30,38 @@ from pyspark.sql import types as T
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import table_path
 
-# events schema with ts as raw nanos (TIMESTAMP(NANOS) parquet read under
-# spark.sql.legacy.parquet.nanosAsLong — see tables.load)
-_EVENTS_LONG_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with a proper event-time column."""
+    """readStream over the events parquet with a proper event-time column.
+
+    The events fixture's ``ts`` has shipped both as TIMESTAMP(NANOS)
+    (readable only as a raw nanos long) and TIMESTAMP(MICROS) (native
+    timestamp read) — see tables.load. A file stream needs an explicit
+    schema, so sniff the batch-read footer schema once and pick the stream
+    schema + normalization to session-UTC TimestampType accordingly.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch_ts = dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
     # the file stream source only accepts directories; filter to the one table
-    raw = (
-        spark.readStream.schema(_EVENTS_LONG_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    reader = spark.readStream.option("pathGlobFilter", "events.parquet")
+    if batch_ts == "bigint":  # nanos-as-long fixtures
+        raw = reader.schema(_events_schema(T.LongType())).parquet(sf_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = reader.schema(_events_schema(T.TimestampNTZType())).parquet(sf_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _sink_name(base: str, sf_dir: str) -> str:

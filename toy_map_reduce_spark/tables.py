@@ -36,13 +36,13 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 
-    ``events`` needs special handling: its ``ts`` is TIMESTAMP(NANOS)
-    parquet, which Spark's parquet reader rejects outright. We flip the
-    runtime conf ``spark.sql.legacy.parquet.nanosAsLong`` (settable on any
-    session — the external driver supplies its own) to read raw nanos, then
-    truncate to a microsecond TimestampType column. The DuckDB oracle keeps
-    native ns precision, so any query surfacing ``ts`` must ``date_trunc``
-    to SECOND or coarser on both sides (SURVEY.md §7.4).
+    ``events`` needs special handling: its ``ts`` column has shipped as
+    TIMESTAMP(NANOS) in some fixture generations (readable only as a raw
+    nanos long via ``spark.sql.legacy.parquet.nanosAsLong``) and as
+    TIMESTAMP(MICROS) in others (read natively — as ``timestamp_ntz`` on
+    Spark ≥ 4.1, where the legacy conf no longer forces a long read). The
+    loader normalizes every variant to a session-UTC ``TimestampType``
+    column so query code never sees the difference.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -55,5 +55,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(table_path(sf_dir, name))
-        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(ev.dtypes)["ts"]
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw nanos long
+            return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # native timestamp/timestamp_ntz read (micros fixtures, Spark ≥ 4.1
+        # nanos): cast to TimestampType under the UTC session tz
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(table_path(sf_dir, name))
