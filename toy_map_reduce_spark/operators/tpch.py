@@ -1,12 +1,16 @@
-"""The rest of the feasible TPC-H suite (Q7/Q8/Q12/Q13/Q15/Q16/Q17/Q19/
-Q22) through the spark.sql() surface — Q1/Q3/Q4/Q5/Q6/Q10/Q14/Q18 live in
-operators/relational.py. Together: 17 of the 22 TPC-H queries; the other
-five (Q2/Q9/Q11/Q20/Q21) need partsupp or commit/receipt-date columns the
-synthetic schema does not carry.
+"""The rest of the TPC-H suite (Q7/Q8/Q12/Q13/Q15/Q16/Q17/Q19/Q22 plus
+the adapted Q2/Q9/Q11/Q20/Q21) through the spark.sql() surface —
+Q1/Q3/Q4/Q5/Q6/Q10/Q14/Q18 live in operators/relational.py. Together: all
+22 TPC-H query shapes.
 
 Adaptations to the fixture schema are localized and documented per query:
 Q12's ship modes → shipping-latency buckets, Q16's partsupp → distinct
 (l_partkey, l_suppkey) pairs, Q22's phone country code → c_nationkey % 7.
+The five partsupp/commit-date-dependent queries derive their missing
+columns deterministically from lineitem: supply cost → floored micro-int
+unit price (Q2), stock value → shipped cents (Q11), available quantity →
+shipped quantity share (Q20), receipt lateness → ship latency vs order
+date (Q21), and Q9's cost basis → 60% of p_retailprice.
 
 Cross-engine float discipline (SURVEY.md §7.4): revenue sums round to 4
 decimals (true precision of price*(1-discount) — no halfway points);
@@ -335,3 +339,197 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the textbook cross-engine boundary flip."""
     v = _views(spark, sf_dir, "q22", c="customer", o="orders")
     return spark.sql(_TPCH_Q22_SQL.format(c2=v["c"], **v))
+
+
+_TPCH_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(floor(1000000 * l_extendedprice / l_quantity) AS BIGINT))
+           AS supplycost_micro
+  FROM {l}
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+       s_name, n_name, p_partkey, p_name, supplycost_micro
+FROM {p}, ps, {s}, {n}, {r}
+WHERE p_partkey = ps_partkey
+  AND s_suppkey = ps_suppkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND p_size < 10
+  AND p_type = 'STANDARD'
+  AND r_name = 'EUROPE'
+  AND supplycost_micro = (
+    SELECT MIN(ps2.supplycost_micro)
+    FROM ps AS ps2, {s2} AS s2, {n2} AS n2, {r2} AS r2
+    WHERE ps2.ps_partkey = p_partkey
+      AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+"""
+
+
+@register("sql_tpch_q2", "G",
+          oracle=_TPCH_Q2_SQL.format(l="lineitem", p="part", s="supplier",
+                                     n="nation", r="region", s2="supplier",
+                                     n2="nation", r2="region"),
+          doc="TPC-H Q2 (minimum-cost supplier), adapted: partsupp is "
+              "derived from lineitem — supply cost per (part, supplier) = "
+              "floored micro-int MIN unit price — and the min-cost "
+              "correlated subquery keeps its original shape")
+def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated MIN decorrelates into a per-part aggregate joined
+    back on p_partkey (Catalyst rewrites it; no per-row subquery runs).
+    The cost equality is BIGINT = BIGINT — floor of an IEEE-identical
+    double division — so the row set cannot flip cross-engine. All four
+    dims broadcast; the derived ps aggregate is the only lineitem
+    shuffle, on (partkey, suppkey)."""
+    v = _views(spark, sf_dir, "q2", l="lineitem", p="part", s="supplier",
+               n="nation", r="region")
+    return spark.sql(_TPCH_Q2_SQL.format(s2=v["s"], n2=v["n"], r2=v["r"], **v))
+
+
+_TPCH_Q9_SQL = """
+SELECT nation, o_year, round(SUM(amount), 4) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.6 * p_retailprice * l_quantity AS amount
+  FROM {p}, {s}, {l}, {o}, {n}
+  WHERE s_suppkey = l_suppkey
+    AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey
+    AND p_name LIKE '%widget%'
+) AS profit
+GROUP BY nation, o_year
+"""
+
+
+@register("sql_tpch_q9", "G",
+          oracle=_TPCH_Q9_SQL.format(p="part", s="supplier", l="lineitem",
+                                     o="orders", n="nation"),
+          doc="TPC-H Q9 (product-type profit), adapted: no ps_supplycost, "
+              "so the cost basis is 60% of p_retailprice; profit by "
+              "supplier nation and order year over '%widget%' parts")
+def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact joins orders on l_orderkey (the one big shuffle) with part/
+    supplier/nation broadcast; the LIKE filter prunes the part build side
+    before the join. amount has exact 4-decimal true precision (2-dp
+    prices × 2-dp rates), so the 4-dp rounded sum is cross-engine-stable."""
+    v = _views(spark, sf_dir, "q9", p="part", s="supplier", l="lineitem",
+               o="orders", n="nation")
+    return spark.sql(_TPCH_Q9_SQL.format(**v))
+
+
+_TPCH_Q11_SQL = """
+WITH natstock AS (
+  SELECT l_partkey AS ps_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM {l}, {s}, {n}
+  WHERE l_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT ps_partkey, value_cents
+FROM natstock
+WHERE value_cents * 200 > (SELECT SUM(value_cents) FROM natstock)
+"""
+
+
+@register("sql_tpch_q11", "G",
+          oracle=_TPCH_Q11_SQL.format(l="lineitem", s="supplier", n="nation"),
+          doc="TPC-H Q11 (important stock), adapted: stock value per part "
+              "= cents shipped by NATION_3 suppliers; parts holding more "
+              "than 1/200 of the nation's total, via scalar subquery")
+def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation-filtered aggregate is computed once and referenced
+    twice (group rows + scalar total); the HAVING-style threshold is
+    integer cents × 200 vs total cents — the fraction-of-total filter
+    with no float division anywhere."""
+    v = _views(spark, sf_dir, "q11", l="lineitem", s="supplier", n="nation")
+    return spark.sql(_TPCH_Q11_SQL.format(**v))
+
+
+_TPCH_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM {l}
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+part_total AS (
+  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s_name, n_name
+FROM {s}, {n}
+WHERE s_nationkey = n_nationkey
+  AND s_suppkey IN (
+    SELECT sh.l_suppkey
+    FROM shipped AS sh
+    JOIN part_total AS pt ON pt.l_partkey = sh.l_partkey
+    JOIN {p} ON p_partkey = sh.l_partkey
+    WHERE p_name LIKE '%bolt%'
+      AND 2 * sh.qty > pt.total_qty)
+"""
+
+
+@register("sql_tpch_q20", "G",
+          oracle=_TPCH_Q20_SQL.format(l="lineitem", s="supplier", n="nation",
+                                      p="part"),
+          doc="TPC-H Q20 (potential part promotion), adapted: no "
+              "ps_availqty, so the 'excess stock' test becomes suppliers "
+              "who shipped the majority (2·qty > total) of a '%bolt%' "
+              "part's 1997 volume; IN-subquery semi join kept")
+def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two stacked integer aggregates on co-partitioned keys (partkey,
+    suppkey) → (partkey), then a broadcast semi join into the 10-row
+    supplier dim. The majority test is pure BIGINT arithmetic."""
+    v = _views(spark, sf_dir, "q20", l="lineitem", s="supplier", n="nation",
+               p="part")
+    return spark.sql(_TPCH_Q20_SQL.format(**v))
+
+
+_TPCH_Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM {s}, {l} AS l1, {o}, {n}
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_5'
+  AND EXISTS (SELECT 1 FROM {l2} AS l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM {l3} AS l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL '60' DAY)
+GROUP BY s_name
+"""
+
+
+@register("sql_tpch_q21", "G",
+          oracle=_TPCH_Q21_SQL.format(s="supplier", l="lineitem", o="orders",
+                                      n="nation", l2="lineitem", l3="lineitem"),
+          doc="TPC-H Q21 (suppliers who kept orders waiting), adapted: no "
+              "receipt/commit dates, so 'late' = shipped more than 60 days "
+              "after the order date; the sole-late-supplier-on-a-"
+              "multi-supplier-order EXISTS / NOT EXISTS pair is original")
+def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic double-existential: Catalyst turns EXISTS into a left
+    semi and NOT EXISTS into a left anti join, both keyed on l_orderkey —
+    three scans of lineitem co-partitioned on one key, so AQE reuses the
+    exchange. The NOT EXISTS arm correlates on the outer o_orderdate
+    (same order ⇒ same date), which both engines decorrelate exactly."""
+    v = _views(spark, sf_dir, "q21", s="supplier", l="lineitem", o="orders",
+               n="nation")
+    return spark.sql(_TPCH_Q21_SQL.format(l2=v["l"], l3=v["l"], **v))
