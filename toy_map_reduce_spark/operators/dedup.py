@@ -90,10 +90,30 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
 DF_CAP = 100
 
 
-def capped_shingles(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+def shingle_stage(docs: DataFrame) -> DataFrame:
+    """The persisted shingle staging table: distinct (doc_id, shingle),
+    cached MEMORY_AND_DISK because every consumer in a near-dup pipeline
+    (minhash signatures, the df-cap aggregate, both sides of the
+    inverted-index join, per-doc sizes) re-reads it — without the persist,
+    Spark re-runs the scan→normalize→explode→distinct subtree once per
+    consumer (measured 8–12 evaluations in one query plan). This mirrors
+    what a production 100 TB dedup run does: materialize the shingle table
+    once (disk-backed cache or a staging parquet), then fan out. The
+    lineage stays intact, so the pipeline is still correct — just slower —
+    if the cache is evicted; Spark's ContextCleaner drops the cached
+    blocks once the query's frames are garbage-collected."""
+    from pyspark import StorageLevel
+
+    return _shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def capped_shingles(docs: DataFrame, df_cap: int = DF_CAP,
+                    sh_all: DataFrame | None = None) -> DataFrame:
     """Distinct (doc_id, shingle) with hot shingles (df > ``df_cap``)
     removed — the single source of the posting-list cap for every exact
     Jaccard path (ngram_jaccard_pairs, dedup_near_verified, dedup_clusters).
+    Pass ``sh_all`` (typically a ``shingle_stage`` frame) to share one
+    persisted shingle table across pipeline stages.
 
     Scale mechanism: the df count is a ``groupBy("shingle").count()`` —
     partial (map-side) + final aggregation, so a shingle appearing in 10⁸
@@ -105,7 +125,8 @@ def capped_shingles(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     ``df_cap`` docs, so ≤ n/df_cap entries), so it broadcasts, and the
     anti-join is map-side with zero shuffle of the posting lists.
     """
-    sh_all = _shingles(docs)
+    if sh_all is None:
+        sh_all = _shingles(docs)
     hot = (
         sh_all.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -135,10 +156,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
+def minhash_candidates(docs: DataFrame, sh_all: DataFrame | None = None) -> DataFrame:
     """documents → LSH candidate pairs (doc_a, doc_b, sig_a, sig_b):
-    banding join, not all-pairs — shuffle is NUM_BANDS rows/doc."""
-    sh = _shingles(docs)
+    banding join, not all-pairs — shuffle is NUM_BANDS rows/doc. Pass
+    ``sh_all`` to reuse a shared (persisted) shingle table."""
+    sh = _shingles(docs) if sh_all is None else sh_all
 
     # signature: one groupBy computing all 32 minhashes at once (single
     # shuffle), with independent seeded xxhash64 per hash. (A cheaper
@@ -215,11 +237,14 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At 100 TB this is the formulation that replaces a corpus-wide exact
     self-join: candidates are |pairs| ≪ n², and the verify joins are keyed
     on doc_id (uniform), so no posting-list skew can explode. Exact Jaccard
-    uses the same df-capped shingle sets as dedup_ngram_jaccard."""
+    uses the same df-capped shingle sets as dedup_ngram_jaccard. One
+    persisted shingle table (shingle_stage) feeds both the LSH and verify
+    stages."""
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_candidates(docs).select("doc_a", "doc_b")
+    sh_all = shingle_stage(docs)
+    cand = minhash_candidates(docs, sh_all=sh_all).select("doc_a", "doc_b")
 
-    sh = capped_shingles(docs)
+    sh = capped_shingles(docs, sh_all=sh_all)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     sa = sh.alias("sa")
@@ -388,7 +413,7 @@ def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     Jaccard is computed over the *capped* shingle sets on both engines
     (sizes too), keeping the oracle in lock-step.
     """
-    sh = capped_shingles(docs, df_cap)
+    sh = capped_shingles(docs, df_cap, sh_all=shingle_stage(docs))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = sh.alias("a")
@@ -519,7 +544,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle doc fully contained in a 5000-shingle doc scores 1.0 here vs
     Jaccard ≈ 0.01."""
     docs = load(spark, sf_dir, "documents")
-    sh = capped_shingles(docs)
+    sh = capped_shingles(docs, sh_all=shingle_stage(docs))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = sh.alias("a")
