@@ -419,3 +419,53 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("frequency").cast("long").alias("total_orders"),
     )
+
+
+_GAPS_ISLANDS_ORACLE = """
+WITH months AS (
+  SELECT DISTINCT o_custkey AS custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m
+  FROM orders
+),
+grp AS (
+  SELECT custkey, m,
+         m - row_number() OVER (PARTITION BY custkey ORDER BY m) AS island_key
+  FROM months
+)
+SELECT custkey,
+       MIN(m) AS island_start,
+       MAX(m) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS island_len
+FROM grp
+GROUP BY custkey, island_key
+"""
+
+
+@register("window_gaps_islands", "G", oracle=_GAPS_ISLANDS_ORACLE,
+          doc="Gaps-and-islands: maximal runs of consecutive active months "
+              "per customer via the m - row_number() island-key trick — "
+              "one window + one aggregate, no self-join")
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SQL formulation: a run of consecutive month indexes
+    has constant (m - row_number), so islands fall out of a single
+    groupBy. Both the window and the aggregate partition on custkey —
+    one shuffle total, versus the naive not-exists self-join which
+    shuffles the table twice and breaks under skew. Month index is
+    integer arithmetic, so the oracle matches exactly."""
+    months = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("m"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("custkey").orderBy("m")
+    grp = months.withColumn("island_key", F.col("m") - F.row_number().over(w))
+    return grp.groupBy("custkey", "island_key").agg(
+        F.min("m").alias("island_start"),
+        F.max("m").alias("island_end"),
+        F.count(F.lit(1)).alias("island_len"),
+    ).drop("island_key")

@@ -431,3 +431,68 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("col") * CHUNK_STRIDE + CHUNK_TOKENS, F.col("n")).cast("int"),
         ).alias("last_tok"),
     )
+
+
+_MIX_REBALANCE_ORACLE = """
+WITH per_src AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+),
+per_lang AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang FROM per_src GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n_lang) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS k FROM per_lang
+)
+SELECT s.lang, s.source, s.n_docs,
+       least(CAST(1000000 AS BIGINT),
+             CAST(floor(CAST(1000000 * n_total AS DOUBLE) / (k * n_lang)) AS BIGINT))
+         AS weight_micro,
+       CAST(floor(CAST(s.n_docs AS DOUBLE)
+                  * least(CAST(1000000 AS BIGINT),
+                          CAST(floor(CAST(1000000 * n_total AS DOUBLE) / (k * n_lang)) AS BIGINT))
+                  / 1000000) AS BIGINT) AS expected_kept
+FROM per_src s JOIN per_lang l USING (lang), tot
+"""
+
+
+@register("data_mix_rebalance", "X", oracle=_MIX_REBALANCE_ORACLE,
+          doc="Training-data mix rebalancing: per-language downsampling "
+              "weights toward a uniform language target (never "
+              "upsampling), with expected kept-doc counts per (lang, "
+              "source) shard — the planning step before a weighted "
+              "sample_hash pass")
+def data_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure aggregate algebra: (lang, source) counts roll up to language
+    counts, the language table is dimension-sized so it broadcasts back,
+    and the corpus total is a broadcast scalar. Weights are micro-int
+    floors of exact integer ratios — the same deterministic-arithmetic
+    rule every sampling operator here follows, so a re-run (or the
+    oracle) can never disagree on a boundary. At 100 TB this plan is two
+    partial+final aggregates over one scan plus broadcast joins; the
+    actual rebalanced sample is then one sample_hash pass with these
+    weights as per-language thresholds."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_lang = per_src.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    tot = per_lang.agg(
+        F.sum("n_lang").alias("n_total"), F.count(F.lit(1)).alias("k")
+    )
+    weight = F.least(
+        F.lit(1000000).cast("bigint"),
+        F.floor((1000000 * F.col("n_total")).cast("double") / (F.col("k") * F.col("n_lang"))),
+    )
+    return (
+        per_src.join(F.broadcast(per_lang), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            weight.alias("weight_micro"),
+            F.floor(F.col("n_docs").cast("double") * weight / 1000000)
+            .cast("bigint")
+            .alias("expected_kept"),
+        )
+    )

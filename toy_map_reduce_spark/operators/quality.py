@@ -384,3 +384,54 @@ def pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
+
+
+_UNIGRAM_LOGPROB_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+),
+vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok
+),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(SUM(-log2(CAST(c AS DOUBLE) / n)) / COUNT(*), 6) AS avg_bits
+FROM tok JOIN vocab USING (tok), total
+GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob", "X", oracle=_UNIGRAM_LOGPROB_ORACLE,
+          doc="Unigram-LM surprisal per document: corpus unigram "
+              "frequencies → per-token -log2 p → per-doc mean bits/token. "
+              "The cheapest perplexity proxy for quality bucketing — low "
+              "bits = repetitive boilerplate, high bits = rare-token noise")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregates and one join, all keyed on the token: the vocab
+    count is partial+final (a hot token like 'the' never concentrates in
+    one task), the corpus total is a broadcast scalar, and the
+    token→count join is a shuffle join on the same key the vocab agg just
+    produced — AQE's skew-join splitting covers the hot-token probe side
+    at crawl scale. A real pipeline would snapshot the vocab once and
+    broadcast the top-K entries; the dataflow here is that pipeline's
+    first iteration."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("tok"))
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    bits = -F.log2(F.col("c").cast("double") / F.col("n"))
+    return (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(bits) / F.count(F.lit(1)), 6).alias("avg_bits"),
+        )
+    )

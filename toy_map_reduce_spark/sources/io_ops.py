@@ -345,3 +345,37 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("l_quantity").cast("long").alias("sum_qty"),
     )
+
+
+_ORC_ROUNDTRIP_ORACLE = """
+SELECT l_linestatus,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register("source_orc_roundtrip", "G", oracle=_ORC_ROUNDTRIP_ORACLE,
+          doc="ORC sink + source roundtrip: columnar-to-columnar with full "
+              "binary fidelity (no pre-rounding needed, unlike the text "
+              "formats), then the Q1-shaped aggregate on the read-back")
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC is Spark's second built-in columnar format; the roundtrip
+    proves type fidelity (doubles survive bit-exactly, so the aggregate
+    matches an oracle computed on the original parquet) and that the ORC
+    scan supports the same pushdown surface — at scale ORC vs parquet is
+    a storage-layout choice, not a semantics change. Snappy compression,
+    the large-scale default."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    path = _scratch(sf_dir, "orc_roundtrip")
+    li.write.mode("overwrite").option("compression", "snappy").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
