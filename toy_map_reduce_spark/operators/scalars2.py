@@ -168,3 +168,39 @@ def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees("l_discount"), 8).alias("deg_d"),
         F.round(F.radians("l_quantity"), 8).alias("rad_q"),
     )
+
+
+_SCALAR_URL_ORACLE = """
+SELECT doc_id,
+       source || '.example.org' AS host,
+       '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+       'q=' || CAST(n_chars AS VARCHAR) || '&lang=' || lang AS query,
+       CAST(n_chars AS VARCHAR) AS q_param
+FROM documents
+"""
+
+
+@register("scalar_url", "G", oracle=_SCALAR_URL_ORACLE,
+          doc="URL construction + parse_url extraction (HOST/PATH/QUERY "
+              "and a single query parameter) — the crawl-pipeline scalar "
+              "for domain bucketing and URL-keyed dedup")
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url is JVM-side (java.net.URI under codegen); the oracle
+    reconstructs each component from the same source columns, so the
+    check proves Spark's parser splits exactly at the documented
+    boundaries. At crawl scale this is the column you groupBy for
+    per-domain caps and politeness budgets."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?q="), F.col("n_chars").cast("string"),
+        F.lit("&lang="), F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    )

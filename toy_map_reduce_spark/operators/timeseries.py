@@ -256,3 +256,66 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("val_interp_micro"),
         F.col("val").isNull().alias("was_gap"),
     )
+
+
+_OHLC_ORACLE = """
+WITH pts AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day,
+         date_trunc('second', ts) AS ts_sec,
+         event_id,
+         round(value, 2) AS v,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY date_trunc('second', ts), event_id) AS rn_asc,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn_desc
+  FROM events
+)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_asc = 1 THEN v END) AS open,
+       MAX(v) AS high,
+       MIN(v) AS low,
+       MAX(CASE WHEN rn_desc = 1 THEN v END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM pts
+GROUP BY event_type, day
+"""
+
+
+@register("timeseries_ohlc", "X", oracle=_OHLC_ORACLE,
+          doc="OHLC candlestick downsample: per (event_type, day) open/"
+              "high/low/close via first/last-by-time with a deterministic "
+              "(ts, event_id) tiebreak — the market-data / metrics "
+              "downsampling shape")
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window pass ordered by (ts_sec, event_id) — the tiebreak makes
+    open/close well-defined when two points share a second, which a bare
+    min_by/max_by on the timestamp would leave engine-dependent — then
+    one aggregate. Both steps partition by (event_type, day): one shuffle,
+    bounded state, and the per-partition ordering cost is the sort a
+    time-series table is usually already clustered by."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+        "event_id",
+        F.round("value", 2).alias("v"),
+    )
+    w_asc = Window.partitionBy("event_type", "day").orderBy("ts_sec", "event_id")
+    w_desc = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts_sec").desc(), F.col("event_id").desc()
+    )
+    pts = ev.select(
+        "event_type", "day", "v",
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+    )
+    return pts.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_asc") == 1, F.col("v"))).alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max(F.when(F.col("rn_desc") == 1, F.col("v"))).alias("close"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

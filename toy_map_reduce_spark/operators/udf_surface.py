@@ -151,3 +151,47 @@ def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.word
         """
     )
+
+
+_GROUPED_MAP_ORACLE = """
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+              * COUNT(*) OVER (PARTITION BY c_mktsegment)
+            - SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+              OVER (PARTITION BY c_mktsegment) AS BIGINT) AS dev_scaled_cents
+FROM customer
+"""
+
+
+@register("udf_grouped_map", "X", oracle=_GROUPED_MAP_ORACLE, bench=False,
+          doc="Full grouped-map generality via applyInPandas: per-segment "
+              "mean-deviation where the whole group arrives as one pandas "
+              "DataFrame — the surface the reference reduceFunction "
+              "(key + ALL values → result, UserDefinedFunctions.scala:16-25) "
+              "maps to when per-key logic outgrows SQL aggregates")
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas is the Arrow-batched grouped-map: one shuffle on the
+    group key, then each group materializes as a pandas frame in the
+    worker. That materialization is the scale contract — a group must fit
+    in executor memory, which mktsegment-sized groups violate at 100 TB;
+    real pipelines key by a bounded-cardinality-per-key column or
+    pre-aggregate (the window-function twin in the oracle is the
+    preferred formulation when the logic IS expressible). The deviation
+    is scaled to exact integer cents (n·x − Σx), sidestepping pandas
+    banker's rounding vs SQL half-up — a UDF output that crosses engines
+    must avoid decimal rounding in float space. Registered as the
+    API-surface demo, bench-excluded like the other UDF queries."""
+    import pandas as pd
+
+    cust = load(spark, sf_dir, "customer")
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+        out = pdf[["c_custkey", "c_mktsegment"]].copy()
+        out["dev_scaled_cents"] = len(pdf) * cents - cents.sum()
+        return out
+
+    return cust.groupBy("c_mktsegment").applyInPandas(
+        center, schema="c_custkey long, c_mktsegment string, dev_scaled_cents long"
+    )

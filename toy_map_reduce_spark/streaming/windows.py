@@ -536,3 +536,30 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_value")
     )
+
+
+_STREAM_UPDATE_MODE_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_update_mode", "S", oracle=_STREAM_UPDATE_MODE_ORACLE,
+          doc="Update output mode: per-event-type running counts, each "
+              "micro-batch emitting only the changed rows; the final state "
+              "is recovered as max(cnt) per key — exact because a count "
+              "is monotone, so emission timing cannot change the answer")
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the output-mode coverage (complete: tumbling/sliding,
+    append: late_drop/joins, update: here). Update mode is the
+    scale-relevant one for dashboards: state size equals key cardinality
+    but sink traffic per batch is only the touched keys. The memory sink
+    accumulates every update row; taking the per-key max is deterministic
+    for monotone aggregates regardless of how the engine batches the
+    input — deliberately avoiding an assertion on emission boundaries
+    (which are batching-dependent)."""
+    ev = read_events_stream(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    sink = run_to_table(counts, "stream_update_sink", "update", sf_dir)
+    return sink.groupBy("event_type").agg(F.max("cnt").alias("cnt"))
