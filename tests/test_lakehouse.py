@@ -65,3 +65,36 @@ def test_jdbc_real_roundtrip_via_embedded_derby(spark, sf_dir):
     assert r1 == r2
     assert len(r1) == 5  # TPC-H: 5 regions
     assert sum(n for _, n, _ in r1) == 25  # 25 nations
+
+
+def _avro_available(spark) -> bool:
+    # class probes lie here: a few avro classes ship inside spark-core, but
+    # the DataSource ServiceLoader registration lives in the external
+    # spark-avro module jar — so ask the actual lookup
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_avro_roundtrip_or_clean_gate(spark, tmp_path):
+    """Avro is Spark's built-in-but-external format (shipped as a separate
+    module jar): when the jar is present this runs a real write+read
+    roundtrip; without it, the scan must fail at plan time with Spark's
+    actionable deploy message — mirroring the Delta/Iceberg gating
+    contract, so the test flips to the real path the moment a jar lands."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    df = spark.range(5).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+    path = str(tmp_path / "avro_roundtrip")
+    if _avro_available(spark):
+        df.write.format("avro").mode("overwrite").save(path)  # pragma: no cover
+        back = spark.read.format("avro").load(path)
+        assert back.count() == 5
+        return
+    with pytest.raises(AnalysisException, match="[Aa]vro"):
+        df.write.format("avro").mode("overwrite").save(path)

@@ -202,3 +202,11 @@ def test_tpch_q17_decorrelated_agg_has_partials(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sql_tpch_q17")
     assert "partial_" in plan or "HashAggregate" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_theta_tier_is_broadcast_nested_loop(spark, sf_dir):
+    # a pure non-equi join must broadcast the tiny literal side and stream
+    # the fact — never shuffle (no key to shuffle on) and never cartesian
+    plan = plan_of(spark, sf_dir, "join_theta_tier")
+    assert "BroadcastNestedLoopJoin" in plan, "theta join must broadcast the tier table"
+    assert "CartesianProduct" not in plan

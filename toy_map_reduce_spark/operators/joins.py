@@ -357,3 +357,44 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("l_quantity").cast("long").alias("sum_qty"),
     )
+
+
+_THETA_TIER_ORACLE = """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('T1', 0.0, 50000.0), ('T2', 50000.0, 150000.0),
+         ('T3', 150000.0, 300000.0), ('T4', 300000.0, 1000000000.0)
+)
+SELECT tier,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(SUM(round(o_totalprice, 2)), 2) AS total
+FROM orders JOIN tiers
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier
+"""
+
+
+@register("join_theta_tier", "G", oracle=_THETA_TIER_ORACLE,
+          doc="Pure non-equi (theta) join: orders banded into literal "
+              "price tiers via range containment — no equi key at all, "
+              "so the only legal plan is a broadcast nested-loop join")
+def join_theta_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """With no equality conjunct Catalyst cannot hash-partition either
+    side; the correct scale play is exactly what happens here — the
+    4-row tier table broadcasts and the fact side streams through a
+    BroadcastNestedLoopJoin with zero shuffle. The anti-pattern (two
+    large sides, pure theta) degenerates to a cartesian product and is
+    the join shape to *reject* at review time, not optimize."""
+    spark_tiers = spark.createDataFrame(
+        [("T1", 0.0, 50000.0), ("T2", 50000.0, 150000.0),
+         ("T3", 150000.0, 300000.0), ("T4", 300000.0, 1000000000.0)],
+        "tier string, lo double, hi double",
+    )
+    orders = load(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(spark_tiers),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("total"),
+    )

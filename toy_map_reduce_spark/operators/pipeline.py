@@ -496,3 +496,58 @@ def data_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("expected_kept"),
         )
     )
+
+
+_SAMPLE_WEIGHTED_ORACLE = f"""
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n_lang) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS k FROM per_lang
+),
+weights AS (
+  SELECT lang,
+         least(CAST(1000000 AS BIGINT),
+               CAST(floor(CAST(1000000 * n_total AS DOUBLE) / (k * n_lang)) AS BIGINT))
+           AS weight_micro
+  FROM per_lang, tot
+)
+SELECT d.lang, w.weight_micro,
+       CAST(COUNT(*) AS BIGINT) AS kept,
+       CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+FROM documents d JOIN weights w USING (lang)
+WHERE ({{fp}}) % 1000000 < w.weight_micro
+GROUP BY d.lang, w.weight_micro
+""".format(fp=_FP_SQL)
+
+
+@register("sample_weighted", "X", oracle=_SAMPLE_WEIGHTED_ORACLE,
+          doc="Weighted rebalancing sample: the data_mix_rebalance "
+              "per-language weights applied as fingerprint thresholds — "
+              "deterministic downsampling toward a uniform language mix "
+              "in one scan, no rand(), no sort")
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The execution half of data_mix_rebalance: weights (a k-row frame)
+    broadcast-join onto the corpus and each doc keeps iff
+    fingerprint % 1M < weight — the same doc survives every rerun, and
+    the realized mix converges to the target as the corpus grows. This
+    is how production mixes are applied at 100 TB: plan (tiny aggregate)
+    + one filtered pass, instead of per-source shuffled subsamples."""
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = per_lang.agg(F.sum("n_lang").alias("n_total"), F.count(F.lit(1)).alias("k"))
+    weights = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.floor((1000000 * F.col("n_total")).cast("double") / (F.col("k") * F.col("n_lang"))),
+        ).alias("weight_micro"),
+    )
+    kept = docs.join(F.broadcast(weights), "lang").where(
+        (_fingerprint() % 1000000) < F.col("weight_micro")
+    )
+    return kept.groupBy("lang", "weight_micro").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )

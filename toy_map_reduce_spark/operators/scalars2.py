@@ -204,3 +204,47 @@ def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
     )
+
+
+_NULL_SEMANTICS_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE round(c_acctbal, 2) END AS v,
+       CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE round(c_acctbal, 2) END + 1.0 AS v_plus_one,
+       (CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE round(c_acctbal, 2) END)
+         IS DISTINCT FROM 100.0 AS distinct_from_100,
+       COALESCE(CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE round(c_acctbal, 2) END,
+                -1.0) AS coalesced,
+       ((CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE round(c_acctbal, 2) END) > 1e18
+        AND FALSE) AS null_and_false,
+       ((CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE round(c_acctbal, 2) END) > 1e18
+        OR TRUE) AS null_or_true,
+       (CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE round(c_acctbal, 2) END) = NULL
+         IS NULL AS eq_null_is_null
+FROM customer
+"""
+
+
+@register("scalar_null_semantics", "G", oracle=_NULL_SEMANTICS_ORACLE,
+          doc="Three-valued-logic battery on a planted-null column: NULL "
+              "propagation through arithmetic, IS DISTINCT FROM, COALESCE, "
+              "NULL AND FALSE = FALSE, NULL OR TRUE = TRUE, and x = NULL "
+              "yielding NULL — the SQL null contract, identical on both "
+              "engines")
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same SQL text on both engines (the contract under test IS the
+    standard, so any divergence is a bug on one side). The planted-null
+    CASE keys off c_custkey % 5 — deterministic, no rand()."""
+    cust = load(spark, sf_dir, "customer")
+    v = F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(
+        F.round("c_acctbal", 2)
+    )
+    return cust.select(
+        "c_custkey",
+        v.alias("v"),
+        (v + 1.0).alias("v_plus_one"),
+        v.eqNullSafe(100.0).__invert__().alias("distinct_from_100"),
+        F.coalesce(v, F.lit(-1.0)).alias("coalesced"),
+        ((v > 1e18) & F.lit(False)).alias("null_and_false"),
+        ((v > 1e18) | F.lit(True)).alias("null_or_true"),
+        (v == F.lit(None)).isNull().alias("eq_null_is_null"),
+    )
