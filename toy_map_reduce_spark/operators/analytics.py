@@ -469,3 +469,40 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").alias("island_end"),
         F.count(F.lit(1)).alias("island_len"),
     ).drop("island_key")
+
+
+_TRANSITIONS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY date_trunc('second', ts), event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM ordered
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@register("events_transitions", "G", oracle=_TRANSITIONS_ORACLE,
+          doc="Event-type transition matrix: per-user lead() pairs "
+              "(what follows what), corpus-wide counts — the Markov-chain "
+              "input behind next-action models and funnel discovery")
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window shuffle on user_id (bounded per-user history), one
+    partial+final count on the (from, to) pair — transition matrices
+    over 100 TB of clickstream are exactly this two-stage shape. The
+    (ts_sec, event_id) ordering tiebreak keeps lead() deterministic
+    when two events share a second."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("second", F.col("ts")), F.col("event_id")
+    )
+    paired = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    return paired.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )

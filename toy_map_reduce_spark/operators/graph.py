@@ -124,3 +124,57 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("node"),
         F.round(F.col("r") * 1_000_000).cast("long").alias("micro_rank"),
     )
+
+
+_TRIANGLES_ORACLE = f"""
+WITH und AS (
+  SELECT DISTINCT least(o_custkey % {PR_NODES_MOD}, o_orderkey % {PR_NODES_MOD}) AS a,
+                  greatest(o_custkey % {PR_NODES_MOD}, o_orderkey % {PR_NODES_MOD}) AS b
+  FROM orders
+  WHERE o_custkey % {PR_NODES_MOD} <> o_orderkey % {PR_NODES_MOD}
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+GROUP BY node
+"""
+
+
+@register("graph_triangles", "G", oracle=_TRIANGLES_ORACLE,
+          doc="Per-node triangle counting over the hash-derived undirected "
+              "graph: canonical a<b<c edge orientation, two keyed "
+              "self-joins — the clustering-coefficient numerator")
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orienting every edge low→high makes each triangle appear exactly
+    once as (a<b<c), so the count needs no /6 dedup and — the scale
+    point — the join fan-out is bounded by high-neighbor degree, the
+    standard compact-forward optimization. Both joins are equi-keyed
+    (never a cartesian); at 100 TB you'd pre-bucket edges by the join
+    key and both joins become shuffle-free."""
+    orders = load(spark, sf_dir, "orders")
+    src = F.col("o_custkey") % PR_NODES_MOD
+    dst = F.col("o_orderkey") % PR_NODES_MOD
+    und = (
+        orders.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

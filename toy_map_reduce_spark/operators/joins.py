@@ -398,3 +398,34 @@ def join_theta_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("total"),
     )
+
+
+_LATERAL_TOPN_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.top_price
+FROM {c} AS c,
+LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS top_price
+         FROM {o}
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 2) AS o
+"""
+
+
+@register("join_lateral_topn", "G",
+          oracle=_LATERAL_TOPN_SQL.format(c="customer", o="orders"),
+          doc="Correlated LATERAL subquery join: top-2 orders per customer "
+              "expressed as a per-row dependent subquery with ORDER BY + "
+              "LIMIT — the join-shaped twin of window_rank's row_number "
+              "formulation, same SQL text on both engines")
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst decorrelates the lateral subquery into a join +
+    per-key top-k (DomainJoin rewrite) rather than executing it per
+    outer row — the plan converges with the window formulation, which
+    is exactly why exposing LATERAL costs nothing at scale: the
+    surface is per-row, the execution is set-oriented. Deterministic
+    (o_totalprice, o_orderkey) ordering so LIMIT 2 ties can't flip."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    c = _view(load(spark, sf_dir, "customer"), sf_dir, "lat_c")
+    o = _view(load(spark, sf_dir, "orders"), sf_dir, "lat_o")
+    return spark.sql(_LATERAL_TOPN_SQL.format(c=c, o=o))

@@ -248,3 +248,36 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((v > 1e18) | F.lit(True)).alias("null_or_true"),
         (v == F.lit(None)).isNull().alias("eq_null_is_null"),
     )
+
+
+_SCALAR_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+       CAST(json_extract(props, '$.k') AS INTEGER) * 2 + 1 AS k_derived,
+       CAST(json_extract(props, '$.missing') AS INTEGER) AS k_missing
+FROM events
+"""
+
+
+@register("scalar_variant", "G", oracle=_SCALAR_VARIANT_ORACLE,
+          doc="VARIANT semi-structured extraction: parse_json into the "
+              "open-schema VARIANT type, typed variant_get field access "
+              "(int and string views of the same field), missing-path "
+              "NULL — the schema-on-read path vs scalar_json's "
+              "fixed-schema from_json")
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT stores a parsed binary form, so repeated field access
+    skips re-tokenizing the JSON text (the scale win over
+    get_json_object, which re-parses per call) while staying
+    schema-flexible where from_json demands a declared struct. All
+    four extractions run on ONE parse_json, demonstrating exactly
+    that reuse."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_int"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
+        (F.expr("variant_get(parse_json(props), '$.k', 'int')") * 2 + 1).alias("k_derived"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'int')").alias("k_missing"),
+    )
