@@ -565,3 +565,58 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("both_cnt").cast("double") / F.col("n_a"), 6).alias("containment"),
         )
     )
+
+
+EDIT_DIST_LEN_BUCKET = 16  # docs within a bucket differ by < 16 chars
+EDIT_DIST_MAX_FRAC = 0.2   # near-dup iff edits ≤ 20% of the shorter doc
+
+_EDIT_DISTANCE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+         CAST(floor(n_chars / {EDIT_DIST_LEN_BUCKET}) AS BIGINT) AS len_bucket
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE levenshtein(a.norm, b.norm)
+      <= {EDIT_DIST_MAX_FRAC} * least(length(a.norm), length(b.norm))
+"""
+
+
+@register("dedup_editdistance", "X", oracle=_EDIT_DISTANCE_ORACLE, bench=False,
+          doc="Edit-distance near-dup verify: Levenshtein ≤ 20% of the "
+              "shorter doc, candidate pairs blocked by (lang, length "
+              "bucket) — the character-level verifier that catches "
+              "small-edit duplicates token-level Jaccard scores as "
+              "distinct")
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein is O(len²) per pair, so it NEVER runs corpus-wide:
+    the (lang, length-bucket) equi-join is the blocking stage (a real
+    pipeline would use LSH candidates, as dedup_near_verified does —
+    the length bucket keeps this one oracle-expressible), and the
+    distance only verifies pairs inside a block. bench=False for the
+    same reason dedup_embedding is: a quadratic-within-block verify
+    stage is costed by its candidate generator, not benched standalone."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        _norm_text(F.col("text")).alias("norm"),
+        F.floor(F.col("n_chars") / EDIT_DIST_LEN_BUCKET).alias("len_bucket"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.norm"), F.col("b.norm"))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(dist <= EDIT_DIST_MAX_FRAC
+               * F.least(F.length("a.norm"), F.length("b.norm")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )

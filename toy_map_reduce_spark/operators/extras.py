@@ -283,3 +283,31 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array("o_orderpriority_freqItems"), ",").alias("frequent_priorities"),
         F.array_join(F.sort_array("o_orderstatus_freqItems"), ",").alias("frequent_statuses"),
     )
+
+
+_GROUPING_ID_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_id,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM {t}
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_grouping_id", "G",
+          oracle=_GROUPING_ID_SQL.format(t="lineitem"),
+          doc="GROUPING()/grouping-id discrimination over ROLLUP: subtotal "
+              "rows carry NULL group keys, and only the grouping bits can "
+              "tell an aggregated-away key from a genuinely NULL one — the "
+              "correctness detail every BI layer on top of rollups needs")
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical SQL text both engines (the grouping-bit contract is the
+    thing under test; Spark's GROUPING_ID() builtin is avoided in favor
+    of explicit bit arithmetic because engines disagree on bit order).
+    Executes as the same single expand+aggregate as agg_rollup — the
+    grouping columns are free metadata, not extra shuffles."""
+    v = _view(load(spark, sf_dir, "lineitem"), sf_dir, "gid_lineitem")
+    return spark.sql(_GROUPING_ID_SQL.format(t=v))

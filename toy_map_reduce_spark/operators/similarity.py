@@ -421,3 +421,54 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assigned"),
         F.round(F.avg("sim"), 6).alias("avg_sim"),
     )
+
+
+TRUNCATE_DIM = 8  # retained leading dimensions (matryoshka-style)
+
+_TRUNCATE_FIDELITY_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label,
+         sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS full_norm,
+         sqrt(list_reduce([x * x FOR x IN e[1:{TRUNCATE_DIM}]], (a, b) -> a + b)) AS trunc_norm
+  FROM d
+)
+SELECT vec_id, label,
+       CAST(round(1000000 * trunc_norm / full_norm) AS BIGINT) AS fidelity_micro
+FROM n
+"""
+
+
+@register("embedding_truncate_fidelity", "X", oracle=_TRUNCATE_FIDELITY_ORACLE,
+          doc="Matryoshka-style truncation fidelity: cosine between each "
+              "embedding and its first-8-dims truncation reduces to "
+              "|trunc|/|full| — the per-vector audit run before committing "
+              "to a cheaper ANN index dimension")
+def embedding_truncate_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cos(full, zero-padded truncation) = Σ_{{i≤k}} x_i² / (|full|·|trunc|)
+    = |trunc|/|full| — so the audit is two array folds per row, no pairs,
+    no shuffle beyond the scan. Fold order is ascending-index on both
+    engines, making the doubles bit-identical before the micro-int round
+    (same contract as dedup_embedding)."""
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    d = emb.select("vec_id", "label", as_double.alias("e"))
+    n = d.select(
+        "vec_id",
+        "label",
+        F.sqrt(sq_sum(F.col("e"))).alias("full_norm"),
+        F.sqrt(sq_sum(F.slice(F.col("e"), 1, TRUNCATE_DIM))).alias("trunc_norm"),
+    )
+    return n.select(
+        "vec_id",
+        "label",
+        F.round(1000000 * F.col("trunc_norm") / F.col("full_norm"))
+        .cast("bigint")
+        .alias("fidelity_micro"),
+    )
