@@ -506,3 +506,97 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.groupBy("event_type", "next_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+_AB_TEST_ORACLE = """
+WITH assigned AS (
+  SELECT user_id % 2 AS bucket, event_type, value
+  FROM events
+)
+SELECT bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(value), 2) AS total_value,
+       round(var_samp(value), 4) AS value_var
+FROM assigned
+GROUP BY bucket, event_type
+"""
+
+
+@register("events_ab_test", "G", oracle=_AB_TEST_ORACLE,
+          doc="Experiment readout: deterministic hash-bucket assignment "
+              "(user_id % 2 — every rerun and engine agrees on arms), "
+              "per-arm per-event-type count/total/variance — the inputs a "
+              "t-test needs, computed as one partial+final aggregate")
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-by-hash is the scale contract for experimentation:
+    no assignment table to join (a 10⁹-user assignment join is the #1
+    self-inflicted shuffle in experiment pipelines) and arms are stable
+    under replays. Variance aggregates merge associatively, so the
+    whole readout is one map-side-combining pass."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select((F.col("user_id") % 2).alias("bucket"), "event_type", "value")
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.var_samp("value"), 4).alias("value_var"),
+        )
+    )
+
+
+_PARETO_ABC_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, rev_cents,
+         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents,
+         CAST(SUM(rev_cents) OVER () AS BIGINT) AS total_cents
+  FROM cust
+)
+SELECT o_custkey, rev_cents,
+       CASE WHEN cum_cents * 10 <= total_cents * 8 THEN 'A'
+            WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@register("orders_pareto_abc", "G", oracle=_PARETO_ABC_ORACLE,
+          doc="Pareto / ABC segmentation: customers ranked by revenue, "
+              "running integer-cents share classed A (≤80%), B (≤95%), "
+              "C — the inventory/CRM 80-20 analysis, boundary tests in "
+              "exact integer arithmetic")
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The running sum is a global-ordering window — the one legitimate
+    use of an unpartitioned window, because its input is the customer
+    aggregate (|customers| rows, already reduced), never the fact table.
+    Class boundaries compare cum*10 ≤ total*8 in BIGINT cents, so no
+    float share can flip a customer's class cross-engine."""
+    orders = load(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
+    )
+    w_run = Window.orderBy(F.col("rev_cents").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = cust.select(
+        "o_custkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w_run).alias("cum_cents"),
+        F.sum("rev_cents").over(w_all).alias("total_cents"),
+    )
+    return ranked.select(
+        "o_custkey",
+        "rev_cents",
+        F.when(F.col("cum_cents") * 10 <= F.col("total_cents") * 8, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -319,3 +319,66 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_desc") == 1, F.col("v"))).alias("close"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+EWMA_ALPHA = 0.2
+
+_EWMA_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type, date_trunc('second', ts) AS ts_sec, event_id,
+         round(value, 2) AS v
+  FROM events
+),
+series AS (
+  SELECT event_type,
+         list(v ORDER BY ts_sec, event_id) AS vs
+  FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(len(vs) AS BIGINT) AS n_points,
+       round(list_reduce(vs, (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 6)
+         AS ewma
+FROM series
+"""
+
+
+@register("timeseries_ewma", "X", oracle=_EWMA_ORACLE,
+          doc="Exponentially weighted moving average per series: a true "
+              "recursive stateful fold (ewma = αx + (1−α)·prev, seeded "
+              "with the first point) over the time-ordered value list — "
+              "the operator class window frames cannot express")
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA's recurrence makes every output depend on the full prefix, so
+    it is NOT a frame-expressible window function; the exact formulation
+    is an ordered left fold, here sort_array(collect_list) + aggregate
+    with the first element as the seed — identical associativity order
+    to DuckDB's list_reduce, so the doubles match bit-for-bit before
+    rounding. Scale contract: one shuffle on the series key and the
+    SERIES history must fit one task (true of per-entity telemetry; an
+    unbounded stream runs the same recurrence incrementally in
+    stream_stateful_custom's applyInPandasWithState shape instead)."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.struct(
+            F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+            F.col("event_id").alias("event_id"),
+            F.round("value", 2).alias("v"),
+        ).alias("p"),
+    )
+    series = pts.groupBy("event_type").agg(
+        F.transform(F.sort_array(F.collect_list("p")), lambda s: s["v"]).alias("vs")
+    )
+    a = EWMA_ALPHA
+    return series.select(
+        "event_type",
+        F.size("vs").cast("bigint").alias("n_points"),
+        F.round(
+            F.aggregate(
+                F.slice(F.col("vs"), 2, F.size("vs") - 1),
+                F.element_at(F.col("vs"), 1),
+                lambda acc, x: a * x + (1 - a) * acc,
+            ),
+            6,
+        ).alias("ewma"),
+    )
