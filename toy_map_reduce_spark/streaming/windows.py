@@ -563,3 +563,36 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     sink = run_to_table(counts, "stream_update_sink", "update", sf_dir)
     return sink.groupBy("event_type").agg(F.max("cnt").alias("cnt"))
+
+
+_STREAM_STATIC_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 2) AS total_value
+FROM events JOIN customer ON user_id % 150 = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("stream_static_join", "S", oracle=_STREAM_STATIC_JOIN_ORACLE,
+          doc="Stream-static enrichment join: the event stream joined to "
+              "the static customer dimension (re-resolved per micro-batch, "
+              "no state, no watermark needed on the static side), then a "
+              "per-segment running aggregate in complete mode")
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third join regime after stream-stream and batch: the static
+    side is planned as an ordinary broadcast per micro-batch, which is
+    how streaming enrichment against a slowly changing dimension works
+    at scale (each batch sees the dim's current snapshot; no join state
+    accumulates). The % 150 key maps synthetic user ids onto the
+    customer table's key space."""
+    from toy_map_reduce_spark.tables import load
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(cust, ev["user_id"] % 150 == cust["c_custkey"])
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_table(agg, "stream_static_sink", "complete", sf_dir)
