@@ -620,3 +620,61 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("edit_dist"),
         )
     )
+
+
+_INCREMENTAL_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+incoming AS (
+  SELECT doc_id, lang,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents WHERE doc_id % 2 = 1
+),
+fresh AS (
+  SELECT i.doc_id, i.lang, i.h,
+         row_number() OVER (PARTITION BY i.h ORDER BY i.doc_id) AS rn
+  FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = i.h)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS admitted,
+       CAST((SELECT COUNT(*) FROM incoming) AS BIGINT) AS incoming_total
+FROM fresh WHERE rn = 1
+GROUP BY lang
+"""
+
+
+@register("dedup_incremental", "X", oracle=_INCREMENTAL_DEDUP_ORACLE,
+          doc="Incremental ingest dedup: a new batch (odd doc_ids) admitted "
+              "against the existing corpus (even doc_ids) — anti-join on "
+              "content hash against the corpus, then first-wins dedup "
+              "within the batch itself; per-language admission counts")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape for continuous ingestion: the corpus side
+    reduces to its hash set (in practice a bloom/hash index you maintain,
+    not a rescan), the anti-join is keyed on the digest (uniform, no
+    skew), and within-batch dedup is a window over the same key — the
+    batch shuffles once. Splitting one fixture table by doc_id parity
+    stands in for corpus vs. new-crawl."""
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "lang", F.sha2(_norm_text(F.col("text")), 256).alias("h")
+    )
+    corpus = hashed.where(F.col("doc_id") % 2 == 0).select("h")
+    incoming = hashed.where(F.col("doc_id") % 2 == 1)
+    from pyspark.sql import Window
+
+    fresh = (
+        incoming.join(corpus, "h", "left_anti")
+        .withColumn("rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+        .where(F.col("rn") == 1)
+    )
+    n_incoming = incoming.agg(F.count(F.lit(1)).alias("incoming_total"))
+    return (
+        fresh.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("admitted"))
+        .crossJoin(F.broadcast(n_incoming))
+        .select("lang", "admitted", "incoming_total")
+    )

@@ -230,3 +230,35 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").cast("long").alias("n_orders"),
         F.round(F.sum("spend"), 2).alias("total_spend"),
     )
+
+
+_EXISTS_FLAG_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT) AS n_with_urgent
+FROM (
+  SELECT c.c_custkey, c.c_mktsegment,
+         EXISTS (SELECT 1 FROM {o} WHERE o_custkey = c.c_custkey
+                 AND o_orderpriority = '1-URGENT') AS has_urgent
+  FROM {c} AS c
+) flagged
+GROUP BY c_mktsegment
+"""
+
+
+@register("subquery_exists_flag", "G",
+          oracle=_EXISTS_FLAG_SQL.format(c="customer", o="orders"),
+          doc="Projected EXISTS (existence/mark join): the subquery result "
+              "as a BOOLEAN COLUMN rather than a filter — rows are kept "
+              "either way and the flag feeds a conditional aggregate")
+def subquery_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A filtering EXISTS plans as a left-semi join (drops rows); a
+    PROJECTED one needs the ExistenceJoin variant — a left-outer-shaped
+    hash join that emits a synthetic boolean instead of dropping or
+    duplicating, still one shuffle on the correlation key. Same SQL text
+    on both engines."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    c = _view(load(spark, sf_dir, "customer"), sf_dir, "ef_c")
+    o = _view(load(spark, sf_dir, "orders"), sf_dir, "ef_o")
+    return spark.sql(_EXISTS_FLAG_SQL.format(c=c, o=o))

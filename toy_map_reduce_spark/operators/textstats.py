@@ -460,3 +460,67 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("micro_entropy")
         )
     )
+
+
+COOC_WINDOW = 3   # max token-position distance for a co-occurrence pair
+COOC_TOP_N = 100
+
+_COOCCURRENCE_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, tok, CAST(i AS BIGINT) AS p
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  ), LATERAL (SELECT unnest(toks) AS tok,
+                     unnest(range(1, len(toks) + 1)) AS i) u
+  WHERE tok <> ''
+),
+pairs AS (
+  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id
+   AND b.p - a.p BETWEEN 1 AND {COOC_WINDOW}
+   AND a.tok <> b.tok
+  GROUP BY 1, 2
+)
+SELECT w1, w2, n FROM pairs
+ORDER BY n DESC, w1, w2
+LIMIT {COOC_TOP_N}
+"""
+
+
+@register("text_cooccurrence", "X", oracle=_COOCCURRENCE_ORACLE,
+          doc="Skip-gram co-occurrence counts: token pairs within a "
+              "±3-position window per document, unordered-canonicalized, "
+              "corpus-wide top-100 — the count matrix behind GloVe/PMI "
+              "embedding training")
+def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The position self-join is keyed on doc_id (equi) with the window
+    as a residual range predicate — fan-out is bounded by COOC_WINDOW
+    per token, so the join output is ≤ w·|tokens|, linear in the corpus,
+    never all-pairs-within-doc. The final top-100 is
+    TakeOrderedAndProject with a total (n, w1, w2) order so ties can't
+    flip between engines. At 100 TB the (w1, w2) count aggregate is the
+    heavy shuffle, with map-side combining doing most of the collapse."""
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ", -1)).alias("i", "tok"),
+    ).where(F.col("tok") != "").select(
+        "doc_id", "tok", (F.col("i") + 1).cast("bigint").alias("p")
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") - F.col("a.p")).between(1, COOC_WINDOW)
+            & (F.col("a.tok") != F.col("b.tok")),
+        )
+        .groupBy(
+            F.least("a.tok", "b.tok").alias("w1"),
+            F.greatest("a.tok", "b.tok").alias("w2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.orderBy(F.col("n").desc(), "w1", "w2").limit(COOC_TOP_N)
