@@ -194,3 +194,68 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n_shards_merged"),
     )
+
+
+_BITMAP_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_bitmap_distinct", "G", oracle=_BITMAP_DISTINCT_ORACLE,
+          doc="EXACT distinct count via mergeable bitmaps: keys bucketed by "
+              "bitmap_bucket_number, per-bucket bitmap_construct_agg, then "
+              "per-group sum of bitmap_count — the high-throughput exact "
+              "alternative to COUNT(DISTINCT)'s expand-and-dedup")
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) plans a two-phase expand (every distinct value is
+    shuffled); the bitmap formulation instead aggregates fixed-size
+    bitmaps that merge associatively — at 100 TB each (group, bucket)
+    partial is one bitmap regardless of row count, and the second-level
+    sum is over |groups|·|buckets| tiny rows. Exact, unlike HLL, while
+    costing like a sketch when the key domain is bounded (integer ids)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.selectExpr(
+            "l_returnflag",
+            "bitmap_bucket_number(l_suppkey) AS bkt",
+            "bitmap_bit_position(l_suppkey) AS pos",
+        )
+        .groupBy("l_returnflag", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("c"))
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum("c").cast("bigint").alias("n_distinct")
+    )
+
+
+_APPROX_TOP_K_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_approx_top_k", "G", oracle=_APPROX_TOP_K_ORACLE,
+          doc="approx_top_k heavy-hitter sketch, k sized to cover the full "
+              "key domain so the result set is deterministic (a k smaller "
+              "than the domain makes the boundary item data-dependent — "
+              "the flake class this registry avoids); exploded back to "
+              "exact per-key counts for the oracle")
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the sketch family (HLL distinct, GK percentiles,
+    freqItems support, CMS-style top-k): one pass, fixed memory, and the
+    sketch merges across partitions — the 100 TB dashboard query. With
+    k ≥ |domain| and maxItemsTracked at its default the counts are exact,
+    which is what makes an exact SQL oracle legitimate here."""
+    ev = load(spark, sf_dir, "events")
+    topk = ev.selectExpr("approx_top_k(event_type, 8) AS tk")
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+    )
