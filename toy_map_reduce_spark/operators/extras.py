@@ -311,3 +311,38 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping columns are free metadata, not extra shuffles."""
     v = _view(load(spark, sf_dir, "lineitem"), sf_dir, "gid_lineitem")
     return spark.sql(_GROUPING_ID_SQL.format(t=v))
+
+
+_REGRESSION_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+       round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_regression", "G", oracle=_REGRESSION_ORACLE,
+          doc="Linear-regression aggregates per group: regr_slope/"
+              "intercept/r2/avgx/avgy of price on quantity — the one-pass "
+              "OLS family completing the stats battery (agg_stats covers "
+              "moments and correlation)")
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regr_* aggregates are sufficient-statistic folds (Σx, Σy, Σxy,
+    Σx², n) — fully mergeable, so at 100 TB they cost exactly one
+    map-side-combining pass like SUM does; the slope/intercept division
+    happens once per group at finalization. Rounded at the true-precision
+    boundary on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 6).alias("avg_x"),
+        F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 4).alias("avg_y"),
+    )

@@ -281,3 +281,45 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("variant_get(parse_json(props), '$.k', 'int')") * 2 + 1).alias("k_derived"),
         F.expr("variant_get(parse_json(props), '$.missing', 'int')").alias("k_missing"),
     )
+
+
+_TRY_ARITH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber - 1 = 0 THEN NULL
+            ELSE round(l_extendedprice / (l_linenumber - 1), 4) END AS safe_div,
+       TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN 'oops'
+                     ELSE CAST(l_linenumber AS VARCHAR) END AS INTEGER) AS safe_parse,
+       CASE WHEN l_linenumber % 2 = 0 THEN NULL
+            ELSE CAST(l_linenumber AS BIGINT) * 10 END AS safe_mul
+FROM lineitem
+"""
+
+
+@register("scalar_try_arith", "G", oracle=_TRY_ARITH_ORACLE,
+          doc="Error-safe arithmetic battery: try_divide (÷0 → NULL), "
+              "try_to_number on planted garbage (parse failure → NULL), "
+              "conditional overflow guard — NULL-not-exception semantics, "
+              "the reference's Try(toInt).getOrElse(0) rule "
+              "(UserDefinedFunctions.scala:23) done the engine-native way")
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* functions fail rows to NULL instead of failing the job —
+    at 100 TB one malformed record must never kill a 6-hour pipeline run,
+    and a filter-then-compute rewrite both double-scans and races schema
+    drift. The oracle encodes the same NULL contract via guards/TRY_CAST
+    (DuckDB raises on ÷0, so the guard is explicit there)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1), 4
+        ).alias("safe_div"),
+        F.try_to_number(
+            F.when(F.col("l_linenumber") % 3 == 0, F.lit("oops"))
+            .otherwise(F.col("l_linenumber").cast("string")),
+            F.lit("999"),
+        ).cast("int").alias("safe_parse"),
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("l_linenumber").cast("bigint") * 10)
+        .alias("safe_mul"),
+    )
