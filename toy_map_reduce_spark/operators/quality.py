@@ -435,3 +435,65 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(bits) / F.count(F.lit(1)), 6).alias("avg_bits"),
         )
     )
+
+
+_BIGRAM_LOGPROB_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+  FROM t WHERE len(toks) >= 2
+),
+uni AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+),
+pair AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(SUM(-log2(CAST(c12 AS DOUBLE) / c1)) / COUNT(*), 6) AS avg_bits
+FROM bg JOIN pair USING (w1, w2) JOIN uni USING (w1)
+GROUP BY doc_id
+"""
+
+
+@register("text_bigram_logprob", "X", oracle=_BIGRAM_LOGPROB_ORACLE,
+          doc="Bigram-LM conditional surprisal per document: corpus "
+              "p(w2|w1) = c(w1w2)/c(w1), per-doc mean -log2 bits — the "
+              "next step up from text_unigram_logprob's context-free "
+              "proxy, sharper at separating fluent text from shuffled "
+              "tokens")
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram caveats apply doubled: both count tables come from
+    partial+final aggregates, and the two probe joins are keyed on
+    (w1, w2) / (w1) where AQE skew-splitting covers the hot-prefix side.
+    Note c(w1) here counts w1 as a bigram PREFIX (not raw frequency), so
+    the conditional distribution sums to 1 per prefix by construction —
+    the detail that makes the bits comparable across docs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("t")
+    ).where(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.posexplode(F.slice(F.col("t"), 1, F.size("t") - 1)).alias("i", "w1"),
+        F.col("t").alias("t"),
+    ).select(
+        "doc_id", "w1", F.element_at("t", F.col("i") + 2).alias("w2")
+    )
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bits = -F.log2(F.col("c12").cast("double") / F.col("c1"))
+    return (
+        bg.join(pair, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(bits) / F.count(F.lit(1)), 6).alias("avg_bits"),
+        )
+    )
