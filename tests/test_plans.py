@@ -210,3 +210,31 @@ def test_theta_tier_is_broadcast_nested_loop(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_theta_tier")
     assert "BroadcastNestedLoopJoin" in plan, "theta join must broadcast the tier table"
     assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_topn_is_topk(spark, sf_dir):
+    # the corpus-wide top-100 must plan per-partition top-k + merge,
+    # never a global sort of the full pair table
+    plan = plan_of(spark, sf_dir, "text_cooccurrence")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_weighted_broadcasts_weights(spark, sf_dir):
+    # the k-row per-language weight table must broadcast onto the corpus
+    plan = plan_of(spark, sf_dir, "sample_weighted")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bitmap_distinct_has_partial_aggregation(spark, sf_dir):
+    # both aggregate levels must show map-side partials (the whole point
+    # of the bitmap formulation is mergeable partial state)
+    plan = plan_of(spark, sf_dir, "agg_bitmap_distinct")
+    assert plan.count("HashAggregate") >= 4  # 2 levels × (partial + final)
+
+
+def test_tpch_q9_broadcasts_dims(spark, sf_dir):
+    # part/supplier/nation are dimension-sized: the fact side must join
+    # them via broadcast, keeping lineitem's only shuffle for orders
+    plan = plan_of(spark, sf_dir, "sql_tpch_q9")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -148,3 +148,24 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.unionByName(supp, allowMissingColumns=True).select(
         "key", "name", "acctbal", "src"
     )
+
+
+_SET_INTERSECT_ALL_ORACLE = """
+SELECT partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+  INTERSECT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+)
+GROUP BY partkey
+"""
+
+
+@register("set_intersect_all", "G", oracle=_SET_INTERSECT_ALL_ORACLE,
+          doc="INTERSECT ALL (multiset intersection: each value survives "
+              "min(multiplicity_left, multiplicity_right) times) — "
+              "completes the set-operator family")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
+    r = li.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
+    return a.intersectAll(r).groupBy("partkey").agg(F.count(F.lit(1)).alias("cnt"))
