@@ -379,3 +379,114 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+PYDS_PARTITIONS = 4
+PYDS_ROWS_PER_PART = 250
+
+_PYDS_ORACLE = f"""
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(val) AS BIGINT) AS total
+FROM (
+  SELECT range AS id,
+         range % 10 AS bucket,
+         (range * 37) % 1000 AS val
+  FROM range({PYDS_PARTITIONS * PYDS_ROWS_PER_PART})
+)
+GROUP BY bucket
+"""
+
+
+@register("source_python_datasource", "G", oracle=_PYDS_ORACLE,
+          doc="Custom connector via the Python DataSource API (Spark 4): a "
+              "partition-aware deterministic generator source registered "
+              "with spark.dataSource.register, read in parallel (one task "
+              "per InputPartition), then aggregated")
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource API is the connector surface for systems
+    with no JVM driver: schema(), partitions() (the parallelism
+    contract — each InputPartition becomes one task, exactly how a real
+    connector maps shards/splits), and a per-partition read() generator
+    crossing to the JVM via Arrow batches. The generator here is
+    deterministic pure arithmetic so the DuckDB oracle can reproduce it
+    exactly — the plumbing (registration, planning, parallel read) is
+    the real thing a warehouse/REST/queue connector would use."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    n_parts, per_part = PYDS_PARTITIONS, PYDS_ROWS_PER_PART
+
+    class _RangePartition(InputPartition):
+        def __init__(self, idx: int):
+            self.idx = idx
+
+    class _SynthReader(DataSourceReader):
+        def partitions(self):
+            return [_RangePartition(i) for i in range(n_parts)]
+
+        def read(self, partition):
+            base = partition.idx * per_part
+            for i in range(base, base + per_part):
+                yield (i, i % 10, (i * 37) % 1000)
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "tmr_synth"
+
+        def schema(self) -> str:
+            return "id long, bucket long, val long"
+
+        def reader(self, schema):
+            return _SynthReader()
+
+    spark.dataSource.register(SynthSource)
+    df = spark.read.format("tmr_synth").load()
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").cast("bigint").alias("total")
+    )
+
+
+_DYN_OVERWRITE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM (
+  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_returnflag <> 'A'
+  UNION ALL
+  SELECT l_returnflag, l_quantity * 2 AS l_quantity
+  FROM lineitem WHERE l_returnflag = 'A'
+)
+GROUP BY l_returnflag
+"""
+
+
+@register("sink_dynamic_partition_overwrite", "G", oracle=_DYN_OVERWRITE_ORACLE,
+          doc="Dynamic partition overwrite: a full partitioned write, then a "
+              "second overwrite-mode write touching ONLY the 'A' partition "
+              "(doubled quantities) — untouched partitions must survive; "
+              "read-back aggregate proves the merge semantics")
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partitionOverwriteMode=dynamic replaces exactly the partitions the
+    incoming frame contains — the idempotent daily-reload primitive (a
+    static overwrite would truncate the whole table; appends would
+    duplicate). This is also the semantics the reference's append-mode
+    FileWriter hazard (SURVEY.md §4.3) needs replaced with at scale."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    path = _scratch(sf_dir, "dyn_overwrite")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    patch = (
+        li.where(F.col("l_returnflag") == "A")
+        .select("l_returnflag", (F.col("l_quantity") * 2).alias("l_quantity"))
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
