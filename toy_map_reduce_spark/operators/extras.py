@@ -346,3 +346,38 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 6).alias("avg_x"),
         F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 4).alias("avg_y"),
     )
+
+
+_PIVOT_CLAUSE_ORACLE = """
+SELECT l_returnflag,
+       round(o_status, 2) AS qty_open,
+       round(f_status, 2) AS qty_filled
+FROM (
+  SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+  PIVOT (SUM(l_quantity) FOR l_linestatus IN ('O' AS o_status, 'F' AS f_status))
+)
+"""
+
+
+@register("sql_pivot_clause", "G", oracle=_PIVOT_CLAUSE_ORACLE,
+          doc="The SQL PIVOT clause (vs pivot_sum's DataFrame API): rows to "
+              "columns with explicit value list and aliases — both engines "
+              "speak the clause natively, output columns name-aligned")
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An EXPLICIT value list is the scale contract for PIVOT: an
+    inferred list would require a distinct pre-pass AND make the output
+    schema data-dependent (breaking downstream plans). With the list
+    given, Catalyst compiles this to the same single conditional
+    aggregate as pivot_sum — the clause is surface, not a new engine."""
+    v = _view(load(spark, sf_dir, "lineitem"), sf_dir, "pivot_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               round(o_status, 2) AS qty_open,
+               round(f_status, 2) AS qty_filled
+        FROM (
+          SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM {v})
+          PIVOT (SUM(l_quantity) FOR l_linestatus IN ('O' AS o_status, 'F' AS f_status))
+        )
+        """
+    )

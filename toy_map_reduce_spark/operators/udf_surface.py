@@ -195,3 +195,59 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_mktsegment").applyInPandas(
         center, schema="c_custkey long, c_mktsegment string, dev_scaled_cents long"
     )
+
+
+_UDTF_TABLE_ARG_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def _group_summary_udtf_cls():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, total_chars bigint")
+    class GroupSummaryUDTF:
+        """Polymorphic table-function over a PARTITION BY'd table argument:
+        eval() sees every row of one partition, terminate() emits the
+        group's summary — a Python-defined grouped aggregate surfaced
+        through SQL's FROM clause."""
+
+        def __init__(self) -> None:
+            self._lang = None
+            self._n = 0
+            self._chars = 0
+
+        def eval(self, row):  # noqa: D401
+            self._lang = row["lang"]
+            self._n += 1
+            self._chars += int(row["n_chars"])
+
+        def terminate(self):
+            if self._lang is not None:
+                yield (self._lang, self._n, self._chars)
+
+    return GroupSummaryUDTF
+
+
+@register("udtf_table_arg", "X", oracle=_UDTF_TABLE_ARG_ORACLE, bench=False,
+          doc="UDTF with a TABLE(...) PARTITION BY argument (Spark 4 "
+              "polymorphic table function): per-partition eval/terminate "
+              "lifecycle computing a grouped summary through the SQL FROM "
+              "clause — the table-function twin of applyInPandas")
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION BY on the table argument is the distribution contract:
+    Spark shuffles the input on the key and instantiates one UDTF per
+    partition, streaming rows through eval() — unlike applyInPandas the
+    group never materializes as one frame, so per-group state can be O(1)
+    even when a group is huge. The oracle is the plain GROUP BY twin."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    spark.udtf.register("tmr_group_summary", _group_summary_udtf_cls())
+    v = _view(load(spark, sf_dir, "documents"), sf_dir, "udtf_ta_docs")
+    return spark.sql(
+        f"SELECT * FROM tmr_group_summary(TABLE({v}) PARTITION BY lang)"
+    )
