@@ -429,3 +429,37 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _view(load(spark, sf_dir, "customer"), sf_dir, "lat_c")
     o = _view(load(spark, sf_dir, "orders"), sf_dir, "lat_o")
     return spark.sql(_LATERAL_TOPN_SQL.format(c=c, o=o))
+
+
+_JOIN_RIGHT_ORACLE = """
+SELECT o_orderkey, o_totalprice_r, c_custkey, c_name
+FROM (
+  SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice_r,
+         c.c_custkey, c.c_name
+  FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+  RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+)
+"""
+
+
+@register("join_right", "G", oracle=_JOIN_RIGHT_ORACLE,
+          doc="Right outer join: every customer survives, open orders "
+              "attach where they exist — the literal RIGHT OUTER surface "
+              "completing the outer-join family (left/full registered "
+              "separately)")
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst canonicalizes RIGHT OUTER to a LEFT OUTER with sides
+    swapped, so the build/stream choice (and the broadcast of the
+    filtered orders side here) is unchanged — registered because the
+    surface is part of the contract, not because the engine needs new
+    machinery."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    cust = load(spark, sf_dir, "customer")
+    return orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "right_outer"
+    ).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice_r"),
+        "c_custkey",
+        "c_name",
+    )

@@ -490,3 +490,35 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
     )
+
+
+_TEXT_LINES_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(MIN(length(text)) AS BIGINT) AS min_len,
+       CAST(MAX(length(text)) AS BIGINT) AS max_len
+FROM documents
+"""
+
+
+@register("source_text_lines", "G", oracle=_TEXT_LINES_ORACLE,
+          doc="Line-oriented text source: documents written one-per-line "
+              "and read back with spark.read.text (the row-per-line twin "
+              "of source_wholetext's file-per-record semantics), corpus "
+              "length stats on the read-back")
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read.text is the splittable text path — unlike wholeTextFiles a
+    10 GB file fans out across tasks on newline-aligned splits, which is
+    why line-oriented is the only text layout that scales. The fixture
+    corpus contains no embedded newlines (pinned by the write below
+    staying lossless), so line count equals doc count."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    path = _scratch(sf_dir, "text_lines")
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.min(F.length("value")).cast("bigint").alias("min_len"),
+        F.max(F.length("value")).cast("bigint").alias("max_len"),
+    )
