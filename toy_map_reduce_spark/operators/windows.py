@@ -183,3 +183,42 @@ def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+_WINDOW_MEDIAN_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round(quantile_cont(l_quantity, 0.5)
+             OVER (PARTITION BY l_returnflag), 6) AS med_qty,
+       round(quantile_cont(l_quantity, 0.25)
+             OVER (PARTITION BY l_returnflag), 6) AS p25_qty,
+       round(l_quantity - quantile_cont(l_quantity, 0.5)
+             OVER (PARTITION BY l_returnflag), 6) AS dev_from_med
+FROM lineitem
+"""
+
+
+@register("window_median", "G", oracle=_WINDOW_MEDIAN_ORACLE,
+          doc="Ordered-statistic window aggregates: exact interpolated "
+              "median/p25 over an unframed partition, attached to every "
+              "row (deviation-from-median) — the windowed form of "
+              "agg_percentile's grouped surface")
+def window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An unframed percentile window buffers each partition once and
+    broadcasts one scalar back to its rows — same per-partition sort
+    cost as the grouped percentile plus a row-preserving join Spark
+    fuses into the window exchange. Partitioning on a bounded-
+    cardinality key (returnflag) keeps it skew-safe; the 100 TB variant
+    for high-cardinality keys is agg_percentile + broadcast join, the
+    pattern window_outlier_zscore demonstrates."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    med = F.expr("percentile(l_quantity, 0.5)").over(w)
+    p25 = F.expr("percentile(l_quantity, 0.25)").over(w)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(med, 6).alias("med_qty"),
+        F.round(p25, 6).alias("p25_qty"),
+        F.round(F.col("l_quantity") - med, 6).alias("dev_from_med"),
+    )
