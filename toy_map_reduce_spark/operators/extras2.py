@@ -262,3 +262,32 @@ def subquery_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _view(load(spark, sf_dir, "customer"), sf_dir, "ef_c")
     o = _view(load(spark, sf_dir, "orders"), sf_dir, "ef_o")
     return spark.sql(_EXISTS_FLAG_SQL.format(c=c, o=o))
+
+
+_CROSSTAB_ORACLE = """
+SELECT l_returnflag AS l_returnflag_l_linestatus,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("stat_crosstab", "G", oracle=_CROSSTAB_ORACLE,
+          doc="df.stat.crosstab contingency table (returnflag × linestatus "
+              "pair counts pivoted wide) — the DataFrameStatFunctions "
+              "surface; safe here because l_linestatus's domain {F, O} is "
+              "schema-stable across scale factors")
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crosstab's output schema is DATA-DEPENDENT (one column per distinct
+    value) — fine for a bounded enum like linestatus, an anti-pattern for
+    open-domain keys at scale, where the pivot-with-explicit-values form
+    (sql_pivot_clause) is the contract instead. Executes as one pair
+    count + local pivot."""
+    li = load(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select(
+        "l_returnflag_l_linestatus",
+        F.col("F").cast("bigint").alias("F"),
+        F.col("O").cast("bigint").alias("O"),
+    )

@@ -244,3 +244,41 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("props", "k INT").getField("k").alias("k_struct"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
     )
+
+
+_TIMEZONE_ORACLE = """
+SELECT event_id,
+       date_trunc('second', ts) AS ts_utc,
+       CAST(date_trunc('second', ts) AT TIME ZONE 'UTC'
+            AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS ts_ny,
+       CAST(date_trunc('second', ts) AT TIME ZONE 'UTC'
+            AT TIME ZONE 'Asia/Tokyo' AS TIMESTAMP) AS ts_tokyo,
+       CAST(hour(CAST(date_trunc('second', ts) AT TIME ZONE 'UTC'
+                      AT TIME ZONE 'America/New_York' AS TIMESTAMP)) AS INTEGER)
+         AS ny_hour
+FROM events
+"""
+
+
+@register("scalar_timezone", "G", oracle=_TIMEZONE_ORACLE,
+          doc="Timezone conversion battery: UTC wall-clock shifted to "
+              "America/New_York (DST-observing) and Asia/Tokyo (fixed "
+              "offset) plus local-hour extraction — both engines resolve "
+              "against the same IANA tzdata")
+def scalar_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_utc_timestamp is the explicit-conversion form that keeps the
+    column's storage UTC and shifts only the wall-clock view — the
+    correct pattern for a 100 TB event table serving local-time
+    dashboards (storing local times bakes one zone into the data and
+    breaks every cross-zone aggregate). Seconds-floored first per the
+    events.ts precision contract."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.date_trunc("second", F.col("ts"))
+    ny = F.from_utc_timestamp(sec, "America/New_York")
+    return ev.select(
+        "event_id",
+        sec.alias("ts_utc"),
+        ny.alias("ts_ny"),
+        F.from_utc_timestamp(sec, "Asia/Tokyo").alias("ts_tokyo"),
+        F.hour(ny).cast("int").alias("ny_hour"),
+    )
