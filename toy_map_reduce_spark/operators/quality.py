@@ -497,3 +497,55 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(bits) / F.count(F.lit(1)), 6).alias("avg_bits"),
         )
     )
+
+
+BLOCKLIST = ("error", "fail", "slow")
+
+_BLOCKLIST_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_intersect(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                            {list(BLOCKLIST)})) AS n_terms_hit,
+         len(list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                         t -> list_contains({list(BLOCKLIST)}, t))) AS n_hits
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+       CAST(SUM(n_terms_hit) AS BIGINT) AS total_distinct_terms_hit
+FROM scored
+GROUP BY lang
+"""
+
+
+@register("text_blocklist_filter", "X", oracle=_BLOCKLIST_ORACLE,
+          doc="Blocklist safety filter: per-doc token matches against a "
+              "broadcast term list (total hits + distinct terms hit), "
+              "per-language clean/flagged counts — the list-based content "
+              "filter stage that runs beside the heuristic quality_filter")
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocklist is a literal array expression — at real scale a
+    10⁵-term list still broadcasts as one array (or a broadcast-joined
+    lookup table for multi-word phrases), so the scan stays one pass
+    with zero shuffle before the final per-language aggregate.
+    array_intersect counts DISTINCT terms hit; the filter-count gives
+    total occurrences — both signals real safety pipelines log for
+    audit."""
+    from toy_map_reduce_spark.functions.text import norm_text
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(norm_text(F.col("text")), " ")
+    bl = F.array(*[F.lit(t) for t in BLOCKLIST])
+    scored = docs.select(
+        "lang",
+        F.size(F.array_intersect(toks, bl)).alias("n_terms_hit"),
+        F.size(F.filter(toks, lambda t: F.array_contains(bl, t))).alias("n_hits"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") == 0, 1).otherwise(0)).cast("bigint").alias("n_clean"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        F.sum("n_terms_hit").cast("bigint").alias("total_distinct_terms_hit"),
+    )

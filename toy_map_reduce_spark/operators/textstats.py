@@ -524,3 +524,64 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return pairs.orderBy(F.col("n").desc(), "w1", "w2").limit(COOC_TOP_N)
+
+
+BPE_TOP_N = 20
+
+_BPE_PAIRS_ORACLE = f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n
+  FROM words, LATERAL (SELECT unnest(range(1, length(word))) AS i) u
+  GROUP BY substr(word, i, 2)
+)
+SELECT pair, n FROM pairs
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP_N}
+"""
+
+
+@register("tokenize_bpe_pairs", "X", oracle=_BPE_PAIRS_ORACLE,
+          doc="One BPE training step's core computation: adjacent-symbol "
+              "pair counts within words, weighted by word frequency — the "
+              "top pair is the next merge a byte-pair-encoding tokenizer "
+              "would learn")
+def tokenize_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale trick real BPE trainers use is right here: aggregate to
+    the WORD-FREQUENCY table first (vocab-sized, not corpus-sized), then
+    explode character pairs weighted by freq — pair counting costs
+    O(vocab · word_len), independent of corpus row count after the first
+    aggregate. The iterative trainer reruns this after each merge;
+    dedup_clusters/graph_pagerank demonstrate that loop-unrolled shape."""
+    from toy_map_reduce_spark.functions.text import norm_text
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("word")
+        )
+        .where(F.length("word") >= 2)  # 1-char words have no pairs; also
+        # guards Spark's sequence(1, 0), which would generate a DESCENDING
+        # [1, 0] range where DuckDB's range(1, 1) is empty
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    return pairs.orderBy(F.col("n").desc(), "pair").limit(BPE_TOP_N)
