@@ -585,3 +585,49 @@ def tokenize_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").alias("n"))
     )
     return pairs.orderBy(F.col("n").desc(), "pair").limit(BPE_TOP_N)
+
+
+BOILERPLATE_MIN_FRAC = 10  # shingle is boilerplate if df ≥ n_docs / 10
+
+_BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+    FROM toks WHERE len(t) >= 3
+  ) WHERE shingle <> ''
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+FROM sh, total
+GROUP BY shingle, n_docs
+HAVING COUNT(*) * {BOILERPLATE_MIN_FRAC} >= n_docs
+"""
+
+
+@register("text_boilerplate_shingles", "X", oracle=_BOILERPLATE_ORACLE,
+          doc="Boilerplate mining: shingles present in ≥ 10% of documents "
+              "with their document frequency — the inverse view of the "
+              "dedup df-cap (what templates/navigation chrome look like "
+              "corpus-wide), integer-exact threshold")
+def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same partial+final shingle-df aggregate that powers
+    capped_shingles (never a window on the shingle key), filtered from
+    the other side: high-df survivors ARE the boilerplate report a
+    curation team reviews before choosing DF_CAP. The threshold compares
+    df·10 ≥ n_docs in integers, so no ratio can flip cross-engine."""
+    from toy_map_reduce_spark.operators.dedup import _shingles
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tbl = _shingles(docs).groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df_tbl.crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") * BOILERPLATE_MIN_FRAC >= F.col("n_docs"))
+        .select("shingle", "df")
+    )

@@ -382,3 +382,64 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     )
+
+
+_PEAKS_ORACLE = """
+WITH pts AS (
+  SELECT event_type, date_trunc('second', ts) AS ts_sec, event_id,
+         round(value, 2) AS v
+  FROM events
+),
+nbr AS (
+  SELECT event_type, ts_sec, v,
+         lag(v)  OVER (PARTITION BY event_type ORDER BY ts_sec, event_id) AS prev_v,
+         lead(v) OVER (PARTITION BY event_type ORDER BY ts_sec, event_id) AS next_v
+  FROM pts
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_peaks,
+       round(MAX(v), 2) AS max_peak
+FROM nbr
+WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+  AND v > prev_v AND v > next_v
+GROUP BY event_type
+"""
+
+
+@register("timeseries_peaks", "X", oracle=_PEAKS_ORACLE,
+          doc="Local-maximum peak detection: strict lag/lead comparison "
+              "per series with a deterministic (ts, event_id) order, "
+              "per-series peak counts — the alerting primitive over "
+              "telemetry streams")
+def timeseries_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window shuffle on the series key computes both neighbors;
+    endpoints are excluded (no neighbor = no peak claim). Strict
+    inequality on both sides makes plateaus peak-free — the convention
+    that keeps the count stable under floating-point-identical
+    rounding."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+        "event_id",
+        F.round("value", 2).alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_sec", "event_id")
+    nbr = pts.select(
+        "event_type",
+        "v",
+        F.lag("v").over(w).alias("prev_v"),
+        F.lead("v").over(w).alias("next_v"),
+    )
+    peaks = nbr.where(
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("v") > F.col("prev_v"))
+        & (F.col("v") > F.col("next_v"))
+    )
+    return peaks.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_peaks"),
+        F.round(F.max("v"), 2).alias("max_peak"),
+    )
