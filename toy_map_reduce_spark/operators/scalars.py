@@ -282,3 +282,93 @@ def scalar_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_utc_timestamp(sec, "Asia/Tokyo").alias("ts_tokyo"),
         F.hour(ny).cast("int").alias("ny_hour"),
     )
+
+
+_STRING2_ORACLE = """
+SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       CAST(strpos(p_name, 'o') AS INTEGER) AS first_o,
+       repeat(p_brand, 2) AS brand_twice,
+       split_part(p_name, ' ', 1) AS first_word,
+       split_part(p_name, ' ', 2) AS second_word,
+       left(p_name, 4) AS head4,
+       right(p_name, 3) AS tail3,
+       CAST(ascii(p_name) AS INTEGER) AS first_code,
+       chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS letter
+FROM part
+"""
+
+
+@register("scalar_string2", "G", oracle=_STRING2_ORACLE,
+          doc="String battery 2: translate, substring position (instr/"
+              "strpos), repeat, split_part field extraction, left/right, "
+              "ascii/chr — the remaining everyday string surface beyond "
+              "scalar_string's case/concat/regex set")
+def scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All JVM-codegen expressions; instr and strpos agree on 1-based /
+    0-if-absent semantics, and split_part on 1-based field indexing with
+    '' for a missing field — pinned here so a port never has to re-derive
+    the off-by-one conventions."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.instr("p_name", "o").cast("int").alias("first_o"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.left(F.col("p_name"), F.lit(4)).alias("head4"),
+        F.right(F.col("p_name"), F.lit(3)).alias("tail3"),
+        F.ascii("p_name").cast("int").alias("first_code"),
+        F.chr(65 + F.col("p_partkey") % 26).alias("letter"),
+    )
+
+
+_ARRAY2_ORACLE = """
+WITH d AS (
+  SELECT vec_id,
+         range(1, vec_id % 5 + 3) AS a1,
+         range(vec_id % 3 + 1, vec_id % 3 + 5) AS a2
+  FROM embeddings
+)
+SELECT vec_id,
+       list_sort(list_distinct(list_concat(a1, a2))) AS union_sorted,
+       list_sort(list_distinct(list_intersect(a1, a2))) AS intersect_sorted,
+       list_sort(list_filter(list_distinct(a1), x -> NOT list_contains(a2, x)))
+         AS except_sorted,
+       CAST(coalesce(list_position(a1, 2), 0) AS INTEGER) AS pos_of_2,
+       list_contains(a2, 3) AS has_3,
+       flatten([a1, a2]) AS flat,
+       [vec_id % 3 FOR i IN range(3)] AS repeated
+FROM d
+"""
+
+
+@register("scalar_array2", "G", oracle=_ARRAY2_ORACLE,
+          doc="Array battery 2: union/intersect/except (sorted for "
+              "order-free compare), position, containment, flatten, "
+              "array_repeat over derived integer sequences — the set-"
+              "algebra half of the array surface beyond scalar_array's "
+              "fold/slice/filter set")
+def scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's array_union/except dedup while preserving first-occurrence
+    order and DuckDB's list_distinct gives no order guarantee — so every
+    set-result is sorted on BOTH sides before comparison; position is
+    1-based with 0-for-absent pinned via coalesce. Integer sequences
+    (not the float embeddings) keep equality semantics exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.sequence(F.lit(1), F.col("vec_id") % 5 + 2).alias("a1"),
+        F.sequence(F.col("vec_id") % 3 + 1, F.col("vec_id") % 3 + 4).alias("a2"),
+    )
+    return d.select(
+        "vec_id",
+        F.array_sort(F.array_union("a1", "a2")).alias("union_sorted"),
+        F.array_sort(F.array_intersect("a1", "a2")).alias("intersect_sorted"),
+        F.array_sort(F.array_except("a1", "a2")).alias("except_sorted"),
+        F.array_position("a1", 2).cast("int").alias("pos_of_2"),
+        F.array_contains("a2", 3).alias("has_3"),
+        F.flatten(F.array("a1", "a2")).alias("flat"),
+        F.array_repeat(F.col("vec_id") % 3, 3).alias("repeated"),
+    )
