@@ -151,3 +151,75 @@ def test_chunking_covers_every_token_with_exact_overlap(spark, sizes):
         # coverage: last chunk's end reaches the final token
         last = chunks[-1]
         assert last.chunk_idx * CHUNK_STRIDE + last.n_chunk_tokens == n
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+                min_size=1, max_size=40))
+def test_ewma_fold_bounded_and_matches_python(spark, values):
+    """The ordered-fold EWMA must equal an independent Python recurrence
+    bit-for-bit (same fold order) and always lie within [min, max] of the
+    series — the invariants of a convex recursive average."""
+    from toy_map_reduce_spark.operators.timeseries import EWMA_ALPHA
+
+    values = [round(v, 2) for v in values]
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    got = (
+        df.agg(
+            F.aggregate(
+                F.slice(F.collect_list("v"), 2, 10**6),
+                F.first("v"),
+                lambda acc, x: EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc,
+            ).alias("e")
+        )
+    )
+    # collect_list order is nondeterministic across partitions; single
+    # partition input (createDataFrame of a small list) preserves order
+    e = got.collect()[0].e
+    expected = values[0]
+    for v in values[1:]:
+        expected = EWMA_ALPHA * v + (1 - EWMA_ALPHA) * expected
+    assert e == expected, (e, expected)
+    assert min(values) - 1e-9 <= e <= max(values) + 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.sampled_from(["ab", "abc", "a", "bcbc", "ccc", "abab"]),
+                min_size=2, max_size=25))
+def test_bpe_pairs_match_bruteforce(spark, words):
+    """tokenize_bpe_pairs' weighted pair counts must equal a brute-force
+    Python count over the same corpus."""
+    from collections import Counter
+
+    df = spark.createDataFrame([(" ".join(words),)], ["text"]).withColumn(
+        "doc_id", F.lit(1)
+    )
+    docs = df.select("doc_id", "text")
+    from toy_map_reduce_spark.functions.text import norm_text
+
+    w = (
+        docs.select(F.explode(F.split(norm_text(F.col("text")), " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        w.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    got = {r.pair: r.n for r in pairs.collect()}
+    expected = Counter()
+    for word in words:
+        if len(word) >= 2:
+            for i in range(len(word) - 1):
+                expected[word[i : i + 2]] += 1
+    assert got == dict(expected), (got, dict(expected))
