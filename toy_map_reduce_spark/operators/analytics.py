@@ -600,3 +600,103 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+_CONVERSION_TIME_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN date_trunc('second', ts) END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN date_trunc('second', ts) END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+),
+conv AS (
+  SELECT user_id,
+         CAST(epoch(first_purchase) - epoch(first_view) AS BIGINT) AS secs
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(secs) AS BIGINT) AS min_secs,
+       round(quantile_cont(secs, 0.5), 2) AS median_secs,
+       round(quantile_cont(secs, 0.9), 2) AS p90_secs,
+       CAST(MAX(secs) AS BIGINT) AS max_secs
+FROM conv
+"""
+
+
+@register("events_conversion_time", "G", oracle=_CONVERSION_TIME_ORACLE,
+          doc="Time-to-convert distribution: first view → first purchase "
+              "latency per user, min/median/p90/max over converters — the "
+              "product-analytics companion to events_funnel's stage counts")
+def events_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One conditional-MIN aggregate per user (map-side combining over
+    the event stream), then one tiny percentile over |converters| rows —
+    the latency distribution costs one scan regardless of event volume.
+    Integer epoch seconds in, exact interpolated percentiles out."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.date_trunc("second", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", sec)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", sec)).alias("first_purchase"),
+    )
+    conv = firsts.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")).alias("secs")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("secs").cast("bigint").alias("min_secs"),
+        F.round(F.expr("percentile(secs, 0.5)"), 2).alias("median_secs"),
+        F.round(F.expr("percentile(secs, 0.9)"), 2).alias("p90_secs"),
+        F.max("secs").cast("bigint").alias("max_secs"),
+    )
+
+
+_DAU_WAU_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+),
+acts AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+)
+SELECT days.d AS day,
+       CAST(COUNT(DISTINCT CASE WHEN acts.d = days.d THEN acts.user_id END) AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT acts.user_id) AS BIGINT) AS wau
+FROM days
+JOIN acts ON acts.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d
+"""
+
+
+@register("events_dau_wau", "G", oracle=_DAU_WAU_ORACLE,
+          doc="DAU / trailing-7-day WAU per day: day spine range-joined to "
+              "daily-active facts, conditional distinct for the same-day "
+              "count — the engagement dashboard's stickiness inputs")
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A trailing-window COUNT DISTINCT is not window-expressible (frames
+    can't dedup), so the scalable form is exactly this: reduce events to
+    (day, user) once — the heavy, map-side-combining step — then
+    range-join the tiny day spine over a 7-day band and count distinct
+    per day. Join fan-out is ≤ 7 rows per (day, user): linear, bounded,
+    skew-free."""
+    ev = load(spark, sf_dir, "events")
+    acts = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    days = acts.select("d").distinct().withColumnRenamed("d", "day")
+    joined = days.join(
+        acts,
+        (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAYS"))
+        & (F.col("d") <= F.col("day")),
+    )
+    return joined.groupBy("day").agg(
+        F.count_distinct(
+            F.when(F.col("d") == F.col("day"), F.col("user_id"))
+        ).cast("bigint").alias("dau"),
+        F.count_distinct("user_id").cast("bigint").alias("wau"),
+    )
