@@ -425,3 +425,20 @@ def test_hll_merge_estimate_within_bound(spark, sf_dir):
         est.approx_distinct_parts,
         exact,
     )
+
+
+def test_lsh_eval_invariants(spark, sf_dir):
+    """The eval report's set algebra must be internally consistent:
+    hits ≤ both sides, ratios in [0, 1e6], and recall meaningful (the
+    banding threshold ≈ 0.59 sits above the 0.5 truth cutoff, so recall
+    < 1.0 is expected — but hits must be nonzero whenever both sides
+    are)."""
+    from toy_map_reduce_spark.registry import get_spec
+
+    row = get_spec("dedup_lsh_eval").builder(spark, sf_dir).collect()[0]
+    assert row.n_hits <= row.n_candidates
+    assert row.n_hits <= row.n_truth
+    assert 0 <= row.recall_micro <= 1_000_000
+    assert 0 <= row.precision_micro <= 1_000_000
+    if row.n_truth and row.n_candidates:
+        assert row.n_hits > 0

@@ -678,3 +678,31 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_incoming))
         .select("lang", "admitted", "incoming_total")
     )
+
+
+@register("dedup_lsh_eval", "X", oracle=None, bench=False,
+          doc="LSH quality report: precision/recall of the MinHash-banding "
+              "candidate set against exact df-capped Jaccard ≥ 0.5 ground "
+              "truth, as micro-ints — the tuning feedback loop for the "
+              "knob table (bands/rows/df-cap). Rows-only (the LSH side "
+              "has no SQL twin); invariants pytest-pinned")
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """This is how the NUM_BANDS×BAND_ROWS threshold gets validated in
+    production: run both pipelines over a sample, measure candidate
+    recall against exact ground truth, adjust knobs. One shared
+    persisted shingle stage feeds both sides; the pair-set comparison
+    is two tiny joins on (doc_a, doc_b)."""
+    docs = load(spark, sf_dir, "documents")
+    sh_all = shingle_stage(docs)
+    cand = minhash_candidates(docs, sh_all=sh_all).select("doc_a", "doc_b")
+    truth = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+
+    n_cand = cand.count()
+    n_truth = truth.count()
+    n_hit = cand.join(truth, ["doc_a", "doc_b"], "inner").count()
+    recall = (1_000_000 * n_hit) // n_truth if n_truth else 1_000_000
+    precision = (1_000_000 * n_hit) // n_cand if n_cand else 1_000_000
+    return spark.createDataFrame(
+        [(n_cand, n_truth, n_hit, recall, precision)],
+        "n_candidates long, n_truth long, n_hits long, recall_micro long, precision_micro long",
+    )

@@ -472,3 +472,83 @@ def embedding_truncate_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fidelity_micro"),
     )
+
+
+PQ_SUBSPACES = 2       # split the 64-dim vector into two 32-dim halves
+PQ_CENTROIDS = 4       # deterministic codebook: vec_id 0..3's halves
+PQ_HALF = 32
+
+_PQ_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+halves AS (
+  SELECT vec_id, 1 AS half, e[1:{PQ_HALF}] AS h FROM d
+  UNION ALL
+  SELECT vec_id, 2 AS half, e[{PQ_HALF + 1}:{2 * PQ_HALF}] AS h FROM d
+),
+cents AS (
+  SELECT vec_id AS cid, half, h AS c FROM halves WHERE vec_id < {PQ_CENTROIDS}
+),
+dists AS (
+  SELECT v.vec_id, v.half, c.cid,
+         list_reduce(list_transform(range(1, {PQ_HALF} + 1),
+                                    i -> (v.h[i] - c.c[i]) * (v.h[i] - c.c[i])),
+                     (a, b) -> a + b) AS dist
+  FROM halves v JOIN cents c ON c.half = v.half
+),
+best AS (
+  SELECT vec_id, half, cid,
+         row_number() OVER (PARTITION BY vec_id, half ORDER BY dist, cid) AS rn
+  FROM dists
+)
+SELECT c1.cid AS code1, c2.cid AS code2, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM (SELECT vec_id, cid FROM best WHERE half = 1 AND rn = 1) c1
+JOIN (SELECT vec_id, cid FROM best WHERE half = 2 AND rn = 1) c2 USING (vec_id)
+GROUP BY c1.cid, c2.cid
+"""
+
+
+@register("embedding_pq_codes", "X", oracle=_PQ_ORACLE,
+          doc="Product quantization: 64-dim vectors split into two 32-dim "
+              "subspaces, each assigned to its nearest of 4 deterministic "
+              "codebook centroids (L2, ascending-index fold) — cell "
+              "occupancy counts per (code1, code2). The third ANN "
+              "primitive beside hyperplane LSH and IVF cells")
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ's scale contract: the codebook is tiny and broadcasts (here 4
+    centroids per subspace; production uses 256 → one byte per
+    subspace), so encoding is a single map-side pass over the vectors —
+    no shuffle until the final occupancy count. Distances are
+    ascending-index double folds, bit-identical cross-engine, and the
+    argmin tiebreak orders by (dist, cid) so assignment is total."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    halves = d.select(
+        "vec_id", F.lit(1).alias("half"), F.slice("e", 1, PQ_HALF).alias("h")
+    ).unionAll(
+        d.select(
+            "vec_id", F.lit(2).alias("half"),
+            F.slice("e", PQ_HALF + 1, PQ_HALF).alias("h"),
+        )
+    )
+    cents = halves.where(F.col("vec_id") < PQ_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("half").alias("c_half"), F.col("h").alias("c")
+    )
+    dist = F.aggregate(
+        F.zip_with("h", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    dists = halves.join(
+        F.broadcast(cents), F.col("half") == F.col("c_half")
+    ).select("vec_id", "half", "cid", dist.alias("dist"))
+    w = Window.partitionBy("vec_id", "half").orderBy("dist", "cid")
+    best = dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    c1 = best.where(F.col("half") == 1).select("vec_id", F.col("cid").alias("code1"))
+    c2 = best.where(F.col("half") == 2).select("vec_id", F.col("cid").alias("code2"))
+    return c1.join(c2, "vec_id").groupBy("code1", "code2").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
