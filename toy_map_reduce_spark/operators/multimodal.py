@@ -212,3 +212,42 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         schema="doc_id long, thumb_len int, thumb_checksum long, thumb_head string",
     )
+
+
+_MM_DEDUP_ORACLE = """
+SELECT md5(hex(CAST(text AS BLOB))) AS blob_digest,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count,
+       CAST(MIN(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("multimodal_dedup_blob", "X", oracle=_MM_DEDUP_ORACLE,
+          doc="Binary-payload exact dedup: digest over the opaque blob "
+              "(hex-normalized so both engines hash identical strings), "
+              "min-doc_id survivorship — dedup_exact's contract applied "
+              "to the media column instead of text")
+def multimodal_dedup_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical media files are the dominant duplicate class in crawled
+    image/audio corpora (same CDN asset under many URLs), and blob-digest
+    groupBy is the first pass before any perceptual hashing — same
+    uniform-key shuffle properties as dedup_exact. Hashing the HEX of
+    the blob pins a byte-identical cross-engine input (DuckDB's md5
+    takes VARCHAR)."""
+    docs = load(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.hex(blob)).alias("blob_digest"),
+            F.length(blob).alias("nb"),
+        )
+        .groupBy("blob_digest")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("nb").cast("bigint").alias("n_bytes"),
+        )
+    )

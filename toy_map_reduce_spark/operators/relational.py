@@ -458,3 +458,29 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _view(load(spark, sf_dir, "orders"), sf_dir, "q18_orders")
     c = _view(load(spark, sf_dir, "customer"), sf_dir, "q18_customer")
     return spark.sql(_TPCH_Q18_SQL.format(l=l, o=o, c=c))
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM {t}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", "G",
+          oracle=_GROUP_BY_ALL_SQL.format(t="lineitem"),
+          doc="GROUP BY ALL / ORDER BY ALL: the infer-the-keys syntax both "
+              "engines support natively — every non-aggregate select item "
+              "becomes a grouping key, identical SQL text on both sides")
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure surface sugar: Catalyst expands ALL to the explicit key list
+    during analysis, so the plan is byte-identical to agg_basic's — what
+    the query buys is resilience to select-list edits in maintained
+    reports (add a column, the grouping follows)."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    v = _view(load(spark, sf_dir, "lineitem"), sf_dir, "gba_lineitem")
+    return spark.sql(_GROUP_BY_ALL_SQL.format(t=v))
