@@ -332,14 +332,14 @@ WITH d AS (
   FROM embeddings
 )
 SELECT vec_id,
-       list_sort(list_distinct(list_concat(a1, a2))) AS union_sorted,
-       list_sort(list_distinct(list_intersect(a1, a2))) AS intersect_sorted,
-       list_sort(list_filter(list_distinct(a1), x -> NOT list_contains(a2, x)))
+       coalesce(array_to_string(list_sort(list_distinct(list_concat(a1, a2))), '|'), '') AS union_sorted,
+       coalesce(array_to_string(list_sort(list_distinct(list_intersect(a1, a2))), '|'), '') AS intersect_sorted,
+       coalesce(array_to_string(list_sort(list_filter(list_distinct(a1), x -> NOT list_contains(a2, x))), '|'), '')
          AS except_sorted,
        CAST(coalesce(list_position(a1, 2), 0) AS INTEGER) AS pos_of_2,
        list_contains(a2, 3) AS has_3,
-       flatten([a1, a2]) AS flat,
-       [vec_id % 3 FOR i IN range(3)] AS repeated
+       coalesce(array_to_string(flatten([a1, a2]), '|'), '') AS flat,
+       coalesce(array_to_string([vec_id % 3 FOR i IN range(3)], '|'), '') AS repeated
 FROM d
 """
 
@@ -355,8 +355,15 @@ def scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
     order and DuckDB's list_distinct gives no order guarantee — so every
     set-result is sorted on BOTH sides before comparison; position is
     1-based with 0-for-absent pinned via coalesce. Integer sequences
-    (not the float embeddings) keep equality semantics exact."""
+    (not the float embeddings) keep equality semantics exact. Array
+    outputs serialize to '|'-joined strings: the driver's canonicalizer
+    hashes scalar cells only (pinned by
+    tests/test_plans.py::test_no_complex_typed_output_columns)."""
     emb = load(spark, sf_dir, "embeddings")
+
+    def ser(col):
+        return F.concat_ws("|", F.transform(col, lambda x: x.cast("string")))
+
     d = emb.select(
         "vec_id",
         F.sequence(F.lit(1), F.col("vec_id") % 5 + 2).alias("a1"),
@@ -364,11 +371,11 @@ def scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "vec_id",
-        F.array_sort(F.array_union("a1", "a2")).alias("union_sorted"),
-        F.array_sort(F.array_intersect("a1", "a2")).alias("intersect_sorted"),
-        F.array_sort(F.array_except("a1", "a2")).alias("except_sorted"),
+        ser(F.array_sort(F.array_union("a1", "a2"))).alias("union_sorted"),
+        ser(F.array_sort(F.array_intersect("a1", "a2"))).alias("intersect_sorted"),
+        ser(F.array_sort(F.array_except("a1", "a2"))).alias("except_sorted"),
         F.array_position("a1", 2).cast("int").alias("pos_of_2"),
         F.array_contains("a2", 3).alias("has_3"),
-        F.flatten(F.array("a1", "a2")).alias("flat"),
-        F.array_repeat(F.col("vec_id") % 3, 3).alias("repeated"),
+        ser(F.flatten(F.array("a1", "a2"))).alias("flat"),
+        ser(F.array_repeat(F.col("vec_id") % 3, 3)).alias("repeated"),
     )
