@@ -238,3 +238,11 @@ def test_tpch_q9_broadcasts_dims(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sql_tpch_q9")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sorted_clustered_scan_pushes_date_filter(spark, sf_dir):
+    # the whole point of the sorted layout: the range predicate must reach
+    # the parquet reader as PushedFilters so row-group stats can skip
+    plan = plan_of(spark, sf_dir, "sink_sorted_clustered")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[-1], pushed

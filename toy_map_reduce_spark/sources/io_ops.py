@@ -522,3 +522,48 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("value")).cast("bigint").alias("min_len"),
         F.max(F.length("value")).cast("bigint").alias("max_len"),
     )
+
+
+_SORTED_CLUSTERED_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("sink_sorted_clustered", "G", oracle=_SORTED_CLUSTERED_ORACLE,
+          doc="Sort-clustered parquet layout: lineitem rewritten "
+              "sortWithinPartitions(l_shipdate), then a ship-date range "
+              "query over the read-back — the row-group min/max stats a "
+              "sorted layout produces are what make time-range scans "
+              "cheap at 100 TB")
+def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering by the dominant filter column is the third layout
+    lever after partitioning (sink_partitioned_parquet) and bucketing
+    (join_bucketed): within each file, parquet row-group statistics
+    become tight, so a date-range predicate skips whole row groups at
+    the reader with zero planner involvement. The write sorts only
+    WITHIN partitions — no global sort, no extra shuffle beyond an
+    optional repartition."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    path = _scratch(sf_dir, "sorted_clustered")
+    (
+        li.repartition(4)
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    filtered = back.where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    return filtered.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+    )
