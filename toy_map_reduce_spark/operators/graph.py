@@ -178,3 +178,76 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+BFS_LEVELS = 3
+
+_BFS_ORACLE = f"""
+WITH und AS (
+  SELECT DISTINCT least(o_custkey % {PR_NODES_MOD}, o_orderkey % {PR_NODES_MOD}) AS a,
+                  greatest(o_custkey % {PR_NODES_MOD}, o_orderkey % {PR_NODES_MOD}) AS b
+  FROM orders
+  WHERE o_custkey % {PR_NODES_MOD} <> o_orderkey % {PR_NODES_MOD}
+),
+edges AS (SELECT a AS src, b AS dst FROM und UNION SELECT b, a FROM und),
+l0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS lvl),
+l1 AS (
+  SELECT DISTINCT e.dst AS node, 1 AS lvl FROM l0 JOIN edges e ON e.src = l0.node
+  WHERE e.dst NOT IN (SELECT node FROM l0)
+),
+l2 AS (
+  SELECT DISTINCT e.dst AS node, 2 AS lvl FROM l1 JOIN edges e ON e.src = l1.node
+  WHERE e.dst NOT IN (SELECT node FROM l0 UNION SELECT node FROM l1)
+),
+l3 AS (
+  SELECT DISTINCT e.dst AS node, 3 AS lvl FROM l2 JOIN edges e ON e.src = l2.node
+  WHERE e.dst NOT IN (SELECT node FROM l0 UNION SELECT node FROM l1
+                      UNION SELECT node FROM l2)
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(lvl AS INTEGER) AS level
+FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+      UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+"""
+
+
+@register("graph_bfs_levels", "G", oracle=_BFS_ORACLE,
+          doc="3-level BFS from node 0 over the undirected hash graph: "
+              "frontier-expansion joins with visited-set anti-joins — the "
+              "traversal shape completing the graph family (PageRank / "
+              "components / triangles / BFS)")
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each level is one join (frontier × edges) plus an anti-join
+    against the visited set — the frontier is |reachable| rows, never
+    the edge table, and the loop unrolls into one DAG exactly like
+    graph_pagerank. At real scale the visited set pins to a broadcast
+    once levels saturate (most graphs: 3-4 hops)."""
+    orders = load(spark, sf_dir, "orders")
+    src = F.col("o_custkey") % PR_NODES_MOD
+    dst = F.col("o_orderkey") % PR_NODES_MOD
+    und = (
+        orders.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+
+    frontier = load(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        [(0,)], "node long"
+    ).select("node", F.lit(0).alias("level"))
+    visited = frontier
+    for lvl in range(1, BFS_LEVELS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(lvl).alias("level"))
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("level").cast("int").alias("level"),
+    )

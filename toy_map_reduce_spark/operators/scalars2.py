@@ -323,3 +323,41 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("l_linenumber").cast("bigint") * 10)
         .alias("safe_mul"),
     )
+
+
+_SCALAR_STRUCT_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROW(l_returnflag, l_linestatus) = ROW('A', 'F') AS BOOLEAN) AS is_af,
+       CAST(ROW(l_quantity, l_extendedprice) < ROW(25.0, 30000.0) AS BOOLEAN)
+         AS below_pivot,
+       CASE WHEN ROW(l_returnflag, CAST(l_quantity AS DOUBLE))
+                 > ROW('N', 20.0)
+            THEN 'hi' ELSE 'lo' END AS bucket
+FROM lineitem
+"""
+
+
+@register("scalar_struct", "G", oracle=_SCALAR_STRUCT_ORACLE,
+          doc="Struct/row-value semantics: tuple equality and LEXICOGRAPHIC "
+              "ordering (the semantics min_by/max_by tiebreaks and "
+              "composite sort keys rely on), emitted as scalar booleans")
+def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-value comparison is field-by-field lexicographic on both
+    engines — the contract that makes struct(ts, id) a legal total-order
+    tiebreak throughout this repo (OHLC, latest-per-key, argmin). Pinned
+    here directly; outputs are scalars per the driver canonicalizer
+    rule."""
+    li = load(spark, sf_dir, "lineitem")
+    s_flag = F.struct(F.col("l_returnflag"), F.col("l_linestatus"))
+    s_num = F.struct(F.col("l_quantity"), F.col("l_extendedprice"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (s_flag == F.struct(F.lit("A"), F.lit("F"))).alias("is_af"),
+        (s_num < F.struct(F.lit(25.0), F.lit(30000.0))).alias("below_pivot"),
+        F.when(
+            F.struct(F.col("l_returnflag"), F.col("l_quantity").cast("double"))
+            > F.struct(F.lit("N"), F.lit(20.0)),
+            "hi",
+        ).otherwise("lo").alias("bucket"),
+    )
