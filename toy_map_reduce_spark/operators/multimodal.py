@@ -251,3 +251,35 @@ def multimodal_dedup_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("nb").cast("bigint").alias("n_bytes"),
         )
     )
+
+
+_PAIR_TABLE_ORACLE = """
+SELECT d.lang, e.label,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY d.lang, e.label
+"""
+
+
+@register("multimodal_pair_table", "X", oracle=_PAIR_TABLE_ORACLE,
+          doc="Modality-pair assembly: text docs keyed to their embedding "
+              "rows (doc_id = vec_id), per-(lang, label) pair counts — the "
+              "manifest-building join that precedes contrastive-pair "
+              "training exports")
+def multimodal_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair table is a plain equi-join because both modalities carry
+    the same content key — which is the design point: multimodal ingest
+    should assign the shared key at crawl time so pairing never needs
+    fuzzy matching. Both sides shuffle once on the id (or zero times if
+    the lakehouse bucketed them — join_bucketed's layout)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

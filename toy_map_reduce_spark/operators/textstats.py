@@ -631,3 +631,45 @@ def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") * BOILERPLATE_MIN_FRAC >= F.col("n_docs"))
         .select("shingle", "df")
     )
+
+
+_LANGID_CONFUSION_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_marker_score_sql(lg)} AS s_{lg}" for lg in _LANG_ORDER)}
+  FROM t
+),
+guessed AS (
+  SELECT lang,
+         CASE
+           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh'
+         END AS lang_guess
+  FROM s
+)
+SELECT lang, lang_guess,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM guessed
+GROUP BY lang, lang_guess
+"""
+
+
+@register("text_langid_confusion", "X", oracle=_LANGID_CONFUSION_ORACLE,
+          doc="Language-ID confusion matrix: true label × classifier guess "
+              "counts — the evaluation rollup over text_lang_id's per-doc "
+              "output, the matrix any classifier-stage pipeline reports")
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition, not new machinery: the per-doc classifier runs as the
+    same pure column expressions as text_lang_id, and the confusion
+    matrix is one |labels|²-bounded aggregate on top — at 100 TB the
+    matrix costs the classifier scan plus a negligible shuffle."""
+    from toy_map_reduce_spark.registry import get_spec
+
+    per_doc = get_spec("text_lang_id").builder(spark, sf_dir)
+    return per_doc.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
