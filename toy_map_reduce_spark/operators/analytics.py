@@ -700,3 +700,50 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("dau"),
         F.count_distinct("user_id").cast("bigint").alias("wau"),
     )
+
+
+_PEAK_RATE_ORACLE = """
+WITH pts AS (
+  SELECT user_id, date_trunc('second', ts) AS ts_sec, event_id FROM events
+),
+rated AS (
+  SELECT user_id,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+                             RANGE BETWEEN INTERVAL 60 SECOND PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS trailing_min_cnt
+  FROM pts
+)
+SELECT user_id,
+       CAST(MAX(trailing_min_cnt) AS BIGINT) AS peak_per_min,
+       CAST(COUNT(*) AS BIGINT) AS total_events
+FROM rated
+GROUP BY user_id
+"""
+
+
+@register("events_peak_rate", "G", oracle=_PEAK_RATE_ORACLE,
+          doc="Peak request rate per user: trailing-60s event count via a "
+              "time-RANGE window frame, then per-user max — the "
+              "rate-limiting / abuse-detection signal")
+def events_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id serves both the RANGE-frame window (time-
+    based, so simultaneous events count together regardless of row
+    order) and the max aggregate. Per-user history is bounded, so the
+    frame scan is linear — the streaming twin would keep a 60s state
+    buffer per key (stream_tumbling's state shape)."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", F.date_trunc("second", F.col("ts")).alias("ts_sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts_sec"))
+        .rangeBetween(-60, 0)
+    )
+    rated = pts.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("trailing_min_cnt")
+    )
+    return rated.groupBy("user_id").agg(
+        F.max("trailing_min_cnt").cast("bigint").alias("peak_per_min"),
+        F.count(F.lit(1)).alias("total_events"),
+    )
