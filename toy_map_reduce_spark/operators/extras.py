@@ -381,3 +381,59 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_ASOF_FORWARD_ORACLE = """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       date_trunc('second', c.ts) AS click_sec,
+       v.view_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+  SELECT event_id AS view_id
+  FROM events
+  WHERE event_type = 'view' AND user_id = c.user_id AND ts >= c.ts
+  ORDER BY ts, event_id
+  LIMIT 1
+) v ON TRUE
+"""
+
+
+@register("join_asof_forward", "G", oracle=_ASOF_FORWARD_ORACLE,
+          doc="Forward as-of join: each click matched to the FIRST view at "
+              "or after it (the look-ahead direction join_asof's backward "
+              "carry can't express) — same union-tag linear form, "
+              "first-ignorenulls over the following frame")
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical scale shape to join_asof — one shuffle on user_id, one
+    ordered pass — with the frame flipped to (current, unbounded
+    following). Tie rule pinned: a view sharing the click's timestamp
+    qualifies (clicks sort before views on ties), matching the oracle's
+    ts >= c.ts."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("long").alias("view_id"), F.lit(1).alias("is_click"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts",
+        F.col("event_id").alias("view_id"), F.lit(0).alias("is_click"),
+    )
+    tagged = clicks.unionByName(views)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc(), F.col("event_id").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    attributed = tagged.withColumn(
+        "next_view", F.first("view_id", ignorenulls=True).over(w)
+    )
+    return (
+        attributed.where(F.col("is_click") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.date_trunc("second", "ts").alias("click_sec"),
+            F.col("next_view").alias("view_id"),
+        )
+    )

@@ -361,3 +361,36 @@ def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi",
         ).otherwise("lo").alias("bucket"),
     )
+
+
+_BASE64_ORACLE = """
+SELECT doc_id,
+       base64(CAST(text AS BLOB)) AS b64,
+       CAST(length(base64(CAST(text AS BLOB))) AS INTEGER) AS b64_len,
+       CAST(CAST(from_base64(base64(CAST(text AS BLOB))) AS VARCHAR) = text
+            AS BOOLEAN) AS roundtrips
+FROM documents
+"""
+
+
+@register("scalar_base64", "G", oracle=_BASE64_ORACLE,
+          doc="Base64 encode/decode roundtrip over the text payload as "
+              "bytes — the wire-encoding scalar multimodal manifests and "
+              "JSON-embedded blobs lean on; roundtrip fidelity asserted "
+              "in-row")
+def scalar_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine trap pinned here: Spark's base64 is the MIME encoder
+    (CRLF-wrapped every 76 chars, a Hive compatibility holdover) while
+    DuckDB emits unwrapped RFC 4648 — the wrapping is stripped so the
+    canonical unwrapped form compares byte-equal. The in-row roundtrip
+    boolean makes the query self-checking (a corrupt codec shows as
+    FALSE before any oracle diff)."""
+    docs = load(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    b64 = F.regexp_replace(F.base64(blob), "[\\r\\n]", "")
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.length(b64).cast("int").alias("b64_len"),
+        (F.unbase64(b64).cast("string") == F.col("text")).alias("roundtrips"),
+    )
