@@ -437,3 +437,38 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_view").alias("view_id"),
         )
     )
+
+
+_KURTOSIS_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       -- DuckDB kurtosis is the sample-corrected G2; Spark's is population
+       -- excess g2 — invert G2 = ((n-1)/((n-2)(n-3)))((n+1)g2 + 6):
+       round(kurtosis(l_quantity) * (COUNT(*) - 2) * (COUNT(*) - 3)
+             / ((COUNT(*) - 1.0) * (COUNT(*) + 1.0))
+             - 6.0 / (COUNT(*) + 1.0), 6) AS qty_kurtosis,
+       round(kurtosis(l_extendedprice) * (COUNT(*) - 2) * (COUNT(*) - 3)
+             / ((COUNT(*) - 1.0) * (COUNT(*) + 1.0))
+             - 6.0 / (COUNT(*) + 1.0), 6) AS price_kurtosis
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_kurtosis", "G", oracle=_KURTOSIS_ORACLE,
+          doc="Excess kurtosis per group, completing the moment family "
+              "(mean/var/skew in agg_stats): Spark's population g2 vs "
+              "DuckDB's sample G2 reconciled by the exact Fisher "
+              "correction inverse in the oracle")
+def agg_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like every moment aggregate, kurtosis folds four mergeable power
+    sums — one map-side-combining pass at any scale. The sample-vs-
+    population definitional split is the classic silent cross-engine bug
+    (numbers look plausible, differ by O(1/n)); the conversion is pinned
+    numerically in the oracle rather than papered over with tolerance."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("qty_kurtosis"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("price_kurtosis"),
+    )

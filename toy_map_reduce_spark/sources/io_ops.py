@@ -567,3 +567,50 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
     )
+
+
+_CSV_QUOTED_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN tricky = concat(c_name, ',"', c_mktsegment, '"')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_intact
+FROM (
+  SELECT c_name, c_mktsegment,
+         concat(c_name, ',"', c_mktsegment, '"') AS tricky
+  FROM customer
+)
+"""
+
+
+@register("source_csv_quoted_roundtrip", "G", oracle=_CSV_QUOTED_ORACLE,
+          doc="CSV quoting fidelity: values containing embedded delimiters "
+              "AND quote characters written with standard quoting/escaping "
+              "and read back — every row must survive byte-identical "
+              "(the failure mode the reference's quote-free key,value "
+              "codec has, SURVEY.md §2.A #9)")
+def source_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted value embeds both the field delimiter and the quote
+    char — the two characters naive CSV corrupts. Spark's writer quotes
+    and doubles embedded quotes (RFC 4180); the read-back comparison
+    column proves losslessness row-by-row, and the oracle computes the
+    expected intact count from the ORIGINAL table, so any corruption
+    breaks the hash."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.concat(F.col("c_name"), F.lit(',"'), F.col("c_mktsegment"), F.lit('"')).alias("tricky"),
+    )
+    path = _scratch(sf_dir, "csv_quoted")
+    cust.write.mode("overwrite").option("header", "true").csv(path)
+    schema = "c_custkey long, c_name string, c_mktsegment string, tricky string"
+    back = spark.read.schema(schema).option("header", "true").csv(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("tricky")
+                == F.concat(F.col("c_name"), F.lit(',"'), F.col("c_mktsegment"), F.lit('"')),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_intact"),
+    )
