@@ -442,3 +442,15 @@ def test_lsh_eval_invariants(spark, sf_dir):
     assert 0 <= row.precision_micro <= 1_000_000
     if row.n_truth and row.n_candidates:
         assert row.n_hits > 0
+
+
+def test_phash_pairs_deterministic_and_symmetric_free(spark, sf_dir):
+    """The fake-phash pair retrieval must be rerun-deterministic and emit
+    each unordered pair once (doc_a < doc_b)."""
+    from toy_map_reduce_spark.registry import get_spec
+
+    df1 = sorted(map(tuple, get_spec("multimodal_phash_pairs").builder(spark, sf_dir).collect()))
+    df2 = sorted(map(tuple, get_spec("multimodal_phash_pairs").builder(spark, sf_dir).collect()))
+    assert df1 == df2
+    for a, b, _ in df1:
+        assert a < b

@@ -283,3 +283,35 @@ def multimodal_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@register("multimodal_phash_pairs", "X", oracle=None, bench=False,
+          doc="Perceptual-hash near-dup pairs over the opaque blobs: a "
+              "deterministic 64-bit stand-in phash (the real DCT hash "
+              "needs a decoder the image lacks) fed through the SAME "
+              "pigeonhole block self-join as dedup_simhash_pairs — the "
+              "pair-retrieval machinery is real and shared; only the "
+              "hash function is a fake. Rows-only; determinism "
+              "pytest-pinned")
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dedup at scale is exactly simhash dedup with a
+    different signature function: 64-bit hash, Hamming threshold,
+    block-rotation retrieval. Reusing simhash_pairs proves the operator
+    boundary: when a media lib lands, only the signature expression
+    changes (sampled-byte xxhash → DCT phash), not the join machinery."""
+    from toy_map_reduce_spark.operators.dedup import simhash_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    # deterministic fake: hash 4 sampled byte-ranges of the blob into the
+    # signature (stands in for coarse image features)
+    sig = docs.select(
+        "doc_id",
+        F.xxhash64(
+            F.substring(F.hex(blob), 1, 16),
+            F.substring(F.hex(blob), 33, 16),
+            F.substring(F.hex(blob), 65, 16),
+            F.length(blob),
+        ).alias("simhash"),
+    )
+    return simhash_pairs(sig, max_hamming=3).withColumnRenamed("hamming", "phash_dist")

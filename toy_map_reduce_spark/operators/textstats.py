@@ -673,3 +673,55 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("lang", "lang_guess").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+ZIPF_TOP_RANKS = 200
+
+_ZIPF_ORACLE = f"""
+WITH freq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, word) AS rnk FROM freq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+       round(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS fit_r2
+FROM ranked
+WHERE rnk <= {ZIPF_TOP_RANKS}
+"""
+
+
+@register("text_zipf_slope", "X", oracle=_ZIPF_ORACLE,
+          doc="Zipf-law fit: OLS slope of log frequency on log rank over "
+              "the top-200 vocabulary — natural corpora slope ≈ −1; "
+              "strong deviation flags synthetic or template-heavy data "
+              "in a corpus audit")
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary aggregate (partial+final), a rank window over the tiny
+    top slice, one regression aggregate — the audit costs one corpus
+    scan. The (f DESC, word) rank tiebreak keeps rank assignment total,
+    so both engines regress over identical (rank, freq) pairs."""
+    from pyspark.sql import Window
+    from toy_map_reduce_spark.functions.text import norm_text
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(norm_text(F.col("text")), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("f").desc(), "word"))
+    ).where(F.col("rnk") <= ZIPF_TOP_RANKS)
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
+    )
