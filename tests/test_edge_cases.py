@@ -114,3 +114,14 @@ def test_compaction_actually_reduces_file_count(spark, sf_dir):
     tight = glob.glob(_scratch(sf_dir, "compact/tight") + "/part-*.parquet")
     assert len(tight) == COMPACT_TARGET_FILES
     assert len(frag) > len(tight)
+
+
+def test_recursive_cte_agrees_with_unrolled_bfs(spark, sf_dir):
+    """The declarative WITH RECURSIVE reachability and the hand-unrolled
+    BFS loop are two formulations of the same computation — their result
+    sets must be identical."""
+    from toy_map_reduce_spark.registry import get_spec
+
+    a = sorted(map(tuple, get_spec("sql_recursive_cte").builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple, get_spec("graph_bfs_levels").builder(spark, sf_dir).collect()))
+    assert a == b

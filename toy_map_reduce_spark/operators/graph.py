@@ -251,3 +251,45 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("level").cast("int").alias("level"),
     )
+
+
+_RECURSIVE_CTE_SQL = f"""
+WITH RECURSIVE
+und AS (
+  SELECT DISTINCT least(o_custkey % {PR_NODES_MOD}, o_orderkey % {PR_NODES_MOD}) AS a,
+                  greatest(o_custkey % {PR_NODES_MOD}, o_orderkey % {PR_NODES_MOD}) AS b
+  FROM {{t}}
+  WHERE o_custkey % {PR_NODES_MOD} <> o_orderkey % {PR_NODES_MOD}
+),
+edges AS (SELECT a AS src, b AS dst FROM und UNION SELECT b, a FROM und),
+reach(node, lvl) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, r.lvl + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.lvl < 3
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(lvl) AS INTEGER) AS level
+FROM reach
+GROUP BY node
+"""
+
+
+@register("sql_recursive_cte", "G",
+          oracle=_RECURSIVE_CTE_SQL.format(t="orders"),
+          doc="WITH RECURSIVE (Spark 4): depth-bounded transitive "
+              "reachability from node 0 over the hash graph, identical "
+              "SQL text on both engines — the declarative twin of "
+              "graph_bfs_levels' hand-unrolled loop, and it must agree "
+              "with it")
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTEs landed in Spark 4 — before that, iteration meant
+    driver-side loop unrolling (graph_bfs_levels, dedup_clusters). The
+    depth bound (lvl < 3) plus the MIN(lvl) rollup makes UNION ALL
+    recursion cycle-safe on a cyclic graph: paths enumerate, levels
+    collapse. Each recursion step is one join against the frontier —
+    the same physical shape the unrolled form produces."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    v = _view(load(spark, sf_dir, "orders"), sf_dir, "rcte_orders")
+    return spark.sql(_RECURSIVE_CTE_SQL.format(t=v))
