@@ -747,3 +747,106 @@ def events_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("trailing_min_cnt").cast("bigint").alias("peak_per_min"),
         F.count(F.lit(1)).alias("total_events"),
     )
+
+
+_BEHAVIOR_ENTROPY_ORACLE = """
+WITH cnt AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY user_id
+)
+SELECT cnt.user_id,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       round(SUM(-(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 6)
+         AS entropy_bits
+FROM cnt JOIN tot USING (user_id)
+GROUP BY cnt.user_id
+"""
+
+
+@register("events_behavior_entropy", "G", oracle=_BEHAVIOR_ENTROPY_ORACLE,
+          doc="Behavioral entropy per user: Shannon entropy of the "
+              "event-type distribution — near-zero entropy (one repeated "
+              "action) is the classic bot/scripted-traffic signal")
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two stacked mergeable aggregates (per-(user, type) counts, then
+    per-user entropy over ≤ |event types| rows) — the scan dominates at
+    any scale, and the entropy arithmetic runs over a handful of rows
+    per user. Same sum-of-p-log-p float discipline as agg_entropy
+    (6 dp over a few bounded terms)."""
+    ev = load(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cnt.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum(-p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+    )
+
+
+_GINI_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+  FROM cust
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s0,
+         CAST(SUM(i * cents) AS BIGINT) AS s1
+  FROM ranked
+)
+SELECT n, s0 AS total_cents,
+       CAST(floor(1000000.0 * (2 * s1 - (n + 1) * s0) / (n * s0)) AS BIGINT)
+         AS gini_micro
+FROM sums
+"""
+
+
+@register("orders_gini", "G", oracle=_GINI_ORACLE,
+          doc="Gini coefficient of customer revenue concentration via the "
+              "rank formula G = (2·Σi·x(i) − (n+1)·Σx) / (n·Σx) over "
+              "ascending-sorted integer cents — one number auditing the "
+              "80/20 shape orders_pareto_abc classes row-by-row")
+def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank formula needs one global ordering — over the CUSTOMER
+    aggregate (already reduced), like orders_pareto_abc's running sum,
+    never the fact table. All sums are exact BIGINTs; only the final
+    normalization divides, and the floored micro-int can't flip because
+    both engines divide the same exact integers."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    ranked = cust.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).cast("bigint").alias("i"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s0"),
+        F.sum(F.col("i") * F.col("cents")).alias("s1"),
+    )
+    return sums.select(
+        "n",
+        F.col("s0").alias("total_cents"),
+        F.floor(
+            1000000.0 * (2 * F.col("s1") - (F.col("n") + 1) * F.col("s0"))
+            / (F.col("n") * F.col("s0"))
+        ).cast("bigint").alias("gini_micro"),
+    )
