@@ -850,3 +850,53 @@ def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("s0"))
         ).cast("bigint").alias("gini_micro"),
     )
+
+
+_LONGEST_STREAK_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY date_trunc('second', ts), event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY date_trunc('second', ts), event_id) AS rn_t
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM ordered
+  GROUP BY user_id, event_type, rn - rn_t
+)
+SELECT user_id,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM runs
+GROUP BY user_id
+"""
+
+
+@register("events_longest_streak", "G", oracle=_LONGEST_STREAK_ORACLE,
+          doc="Longest same-event-type run per user: the rn − rn_by_type "
+              "islands trick on equality runs (vs window_gaps_islands' "
+              "consecutive-value runs) — streaks, retries, and repeated- "
+              "action bursts in one window pass")
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two row_numbers over the same (ts, id) order differ by a constant
+    within each maximal same-type run, so runs fall out of one groupBy —
+    no self-join, no iteration. Both windows and the aggregate partition
+    on user_id: a single shuffle serves everything."""
+    ev = load(spark, sf_dir, "events")
+    ord_cols = [F.date_trunc("second", F.col("ts")), F.col("event_id")]
+    w_all = Window.partitionBy("user_id").orderBy(*ord_cols)
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(*ord_cols)
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    runs = ordered.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_runs"),
+    )

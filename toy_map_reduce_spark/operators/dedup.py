@@ -706,3 +706,55 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_cand, n_truth, n_hit, recall, precision)],
         "n_candidates long, n_truth long, n_hits long, recall_micro long, precision_micro long",
     )
+
+
+PREFIX_LEN = 120
+
+_DEDUP_PREFIX_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, {PREFIX_LEN}) AS prefix,
+         length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_len
+  FROM documents
+)
+SELECT md5(prefix) AS prefix_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(norm_len) AS BIGINT) AS min_len,
+       CAST(MAX(norm_len) AS BIGINT) AS max_len
+FROM p
+WHERE length(prefix) = {PREFIX_LEN}
+GROUP BY md5(prefix)
+HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_prefix", "X", oracle=_DEDUP_PREFIX_ORACLE,
+          doc="Prefix-hash dedup: clusters sharing an identical 120-char "
+              "normalized prefix but (per the length spread) differing "
+              "tails — the truncated-copy / pagination-duplicate detector "
+              "exact-hash dedup misses and shingle Jaccard dilutes")
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated copies (same article cut at different lengths) defeat
+    whole-text hashing and score poorly on symmetric Jaccard; a fixed-
+    length prefix digest catches them with dedup_exact's exact cost
+    model — one uniform hash-keyed groupBy, map-side combining. Short
+    docs (< prefix length) are excluded: their 'prefix' is the whole
+    doc, which exact dedup already owns."""
+    docs = load(spark, sf_dir, "documents")
+    norm = _norm_text(F.col("text"))
+    p = docs.select(
+        "doc_id",
+        F.substring(norm, 1, PREFIX_LEN).alias("prefix"),
+        F.length(norm).alias("norm_len"),
+    ).where(F.length("prefix") == PREFIX_LEN)
+    return (
+        p.groupBy(F.md5("prefix").alias("prefix_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("norm_len").cast("bigint").alias("min_len"),
+            F.max("norm_len").cast("bigint").alias("max_len"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
