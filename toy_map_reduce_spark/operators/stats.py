@@ -1,0 +1,293 @@
+"""Statistical-audit operators (G tier): chi-square independence, Benford
+first-digit audit, MAD robust outliers, cohort LTV curves, and lag
+autocorrelation — the data-quality / analytics screens a warehouse runs on
+fact tables, each as exact window/aggregate compositions with DuckDB twins.
+
+Generalizes the reference's single group-and-fold data plane
+(``WorkerServiceImpl.scala:123-154``) to multi-stage keyed aggregation:
+every operator here is a composition of groupBy reductions (each one
+map-side partial-aggregated) plus at most one per-key window.
+
+Scale notes (100 TB):
+- chi-square / Benford reduce to a handful of rows before any join; the
+  marginal tables are broadcast-sized by construction (|langs| × |sources|,
+  9 digits), so the fact scan is one shuffle-light pass.
+- MAD needs exact medians, which are sort-based per key — the honest cost
+  of a robust statistic; the keys (event_type) are low-cardinality, so at
+  100 TB this is the place to swap in approx_percentile (the engine
+  exposes that surface as agg_approx_percentile).
+- cohort LTV shuffles once on cohort and runs a bounded cumulative window
+  per cohort (months, not rows).
+- lag autocorrelation windows over the *hourly rollup*, not raw events —
+  the series length is hours-of-history (~10⁴ rows/year), so the single
+  ordered partition is a deliberate, documented post-reduction step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+_CHI_SQUARE_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, SUM(o) AS row_total FROM obs GROUP BY lang),
+ct AS (SELECT source, SUM(o) AS col_total FROM obs GROUP BY source),
+g  AS (SELECT SUM(o) AS grand FROM obs),
+grid AS (
+  SELECT rt.lang, ct.source, rt.row_total, ct.col_total, g.grand,
+         COALESCE(obs.o, 0) AS o
+  FROM rt CROSS JOIN ct CROSS JOIN g
+  LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+)
+SELECT round(SUM(pow(o - row_total * col_total / CAST(grand AS DOUBLE), 2)
+              / (row_total * col_total / CAST(grand AS DOUBLE))), 6) AS chi2,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+       CAST(MAX(grand) AS BIGINT) AS n
+FROM grid
+"""
+
+
+@register("stat_chi_square", "G", oracle=_CHI_SQUARE_ORACLE,
+          doc="Chi-square test of independence on the lang × source "
+              "contingency of documents — observed vs expected cell counts "
+              "including zero-observed cells, one statistic row out")
+def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact table reduces to |langs| × |sources| cells in one
+    map-side-combined groupBy; marginals and the complete grid (needed so
+    zero-observed cells still contribute their expected count) are all
+    broadcast-sized, so the 100 TB cost is a single scan + tiny joins."""
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("row_total"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("col_total"))
+    g = obs.agg(F.sum("o").alias("grand"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+    )
+    exp = F.col("row_total") * F.col("col_total") / F.col("grand").cast("double")
+    return grid.agg(
+        F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias("chi2"),
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
+        .cast("long").alias("dof"),
+        F.max("grand").alias("n"),
+    )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS observed_frac,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_frac,
+       round(abs(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+FROM c CROSS JOIN t
+ORDER BY digit
+"""
+
+
+@register("stat_benford", "G", oracle=_BENFORD_ORACLE,
+          doc="Benford's-law first-digit audit of order totals: observed "
+              "leading-digit distribution vs log10(1 + 1/d) expectation — "
+              "the classic synthetic-data / fraud screen")
+def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First digit via integer-string truncation, NOT floor(log10(x))
+    scaling: the two engines' libm log10 disagree by an ulp just below
+    powers of 10, which shifts the floor and fabricates a 'digit 10'
+    bucket (observed on the sf0.001 fixture). floor→BIGINT→first char is
+    exact on both. The fact scan collapses to ≤ 9 rows before the total
+    join, so the audit is one pass at any scale."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = orders.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    frac = F.col("n").cast("double") / F.col("total")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit", "n",
+            F.round(frac, 6).alias("observed_frac"),
+            F.round(benford, 6).alias("benford_frac"),
+            F.round(F.abs(frac - benford), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       round(MAX(d.med), 6) AS med,
+       round(MAX(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@register("stat_mad_outliers", "G", oracle=_MAD_ORACLE,
+          doc="Robust outlier screen per event_type: median absolute "
+              "deviation with the 1.4826 normal-consistency factor, "
+              "flagging |x − med| > 3σ̂ — the screen z-scores can't do "
+              "when the data itself contains the outliers")
+def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact medians per low-cardinality key (the honest sort-based
+    cost of a robust statistic — the 100 TB swap-in is percentile_approx,
+    exposed separately as agg_approx_percentile), then one counting pass.
+    All three aggregations key on event_type, so AQE coalesces them onto
+    one exchange layout."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_COHORT_LTV_ORACLE = """
+WITH first_m AS (
+  SELECT o_custkey,
+         MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT f.cohort_m,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m AS midx,
+         round(SUM(round(o.o_totalprice, 2)), 2) AS revenue
+  FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+  GROUP BY f.cohort_m, midx
+)
+SELECT CAST((cohort_m - 1) // 12 AS BIGINT) AS cohort_year,
+       CAST((cohort_m - 1) % 12 + 1 AS BIGINT) AS cohort_month,
+       midx, revenue,
+       round(SUM(revenue) OVER (PARTITION BY cohort_m ORDER BY midx
+                                ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+FROM rev
+ORDER BY cohort_year, cohort_month, midx
+"""
+
+
+@register("orders_cohort_ltv", "G", oracle=_COHORT_LTV_ORACLE,
+          doc="Cohort lifetime-value curve: customers cohorted by first "
+              "order month, revenue accumulated over month index per "
+              "cohort — the standard subscription/GMV retention readout")
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month arithmetic is pure integers (y*12+m) so cross-engine date
+    semantics can't drift. One shuffle keys the cohort assignment
+    (per-customer min), one keys the cohort×month rollup; the cumulative
+    window runs over months-per-cohort (bounded, tiny) — never rows."""
+    orders = load(spark, sf_dir, "orders")
+    mcol = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    first_m = orders.groupBy("o_custkey").agg(F.min(mcol).alias("cohort_m"))
+    rev = (
+        orders.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort_m",
+            (mcol - F.col("cohort_m")).alias("midx"),
+        )
+        .agg(F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("midx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.select(
+            F.floor((F.col("cohort_m") - 1) / 12).cast("long").alias("cohort_year"),
+            (((F.col("cohort_m") - 1) % 12 + 1).cast("long")).alias("cohort_month"),
+            "midx", "revenue",
+            F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+        )
+        .orderBy("cohort_year", "cohort_month", "midx")
+    )
+
+
+_LAG_CORR_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, round(SUM(value), 6) AS s
+  FROM events GROUP BY h
+),
+lagged AS (
+  SELECT s,
+         lag(s, 1) OVER (ORDER BY h) AS s1,
+         lag(s, 2) OVER (ORDER BY h) AS s2,
+         lag(s, 3) OVER (ORDER BY h) AS s3
+  FROM hourly
+)
+SELECT * FROM (
+  SELECT 1 AS lag, round(corr(s, s1), 6) AS autocorr FROM lagged
+  UNION ALL
+  SELECT 2 AS lag, round(corr(s, s2), 6) FROM lagged
+  UNION ALL
+  SELECT 3 AS lag, round(corr(s, s3), 6) FROM lagged
+) ORDER BY lag
+"""
+
+
+@register("timeseries_lag_corr", "G", oracle=_LAG_CORR_ORACLE,
+          doc="Lag-1..3 autocorrelation of the hourly event-value series — "
+              "the seasonality probe run before fitting any forecast model; "
+              "Pearson corr of the series against its own lags")
+def timeseries_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered window runs over the *hourly rollup* (hours-of-history
+    rows, ~10⁴/year), not raw events — the single-partition ORDER BY is a
+    deliberate post-reduction step, same pattern as timeseries_ewma. The
+    raw-event reduction underneath is a standard one-shuffle groupBy."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(F.sum("value"), 6).alias("s")
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "s",
+        F.lag("s", 1).over(w).alias("s1"),
+        F.lag("s", 2).over(w).alias("s2"),
+        F.lag("s", 3).over(w).alias("s3"),
+    )
+    parts = [
+        lagged.agg(
+            F.lit(k).alias("lag"),
+            F.round(F.corr("s", f"s{k}"), 6).alias("autocorr"),
+        )
+        for k in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("lag")

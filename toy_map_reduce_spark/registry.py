@@ -61,6 +61,7 @@ _OPERATOR_MODULES = (
     "toy_map_reduce_spark.operators.analytics",
     "toy_map_reduce_spark.operators.quality",
     "toy_map_reduce_spark.operators.graph",
+    "toy_map_reduce_spark.operators.stats",
     "toy_map_reduce_spark.streaming.windows",
     "toy_map_reduce_spark.sources.io_ops",
     "toy_map_reduce_spark.sources.bucketing",
