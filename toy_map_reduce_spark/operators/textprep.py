@@ -1,0 +1,253 @@
+"""Text-preparation operators (X tier): readability scoring, HTML
+stripping, chat-template flattening, and URL extraction — the transform
+stages that sit between raw crawl/chat logs and the tokenizer in an LLM
+data pipeline, each as pure JVM column expressions with exact DuckDB twins.
+
+Like the reference's tokenizer UDF (``UserDefinedFunctions.scala:12-16``,
+split-on-spaces), every operator here is per-row and embarrassingly
+parallel: zero shuffles except the final small aggregations, so the 100 TB
+plan is a pure map over the scan with predicate/column pruning intact.
+
+The HTML / chat / URL corpora are inline literal tables (same pattern as
+join_theta_tier's tier table): the synthetic documents fixture is plain
+prose, so these operators carry their own representative rows in both the
+Spark builder and the VALUES clause of the oracle — identical bytes on
+both sides, no filesystem dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+_READABILITY_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syllables
+  FROM documents
+)
+SELECT doc_id, words, sentences, syllables,
+       round(206.835 - 1.015 * words / sentences
+                     - 84.6 * syllables / words, 4) AS flesch
+FROM m
+"""
+
+
+@register("text_readability", "X", oracle=_READABILITY_ORACLE,
+          doc="Flesch reading-ease per document: words / sentence-marker "
+              "runs / vowel-group syllable estimate — the classic "
+              "readability quality signal, all regex-countable")
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syllables ≈ maximal vowel-group runs (the standard cheap estimator);
+    all three counts are regexp_extract_all sizes, one map pass, no
+    shuffle at all — the scan parallelism IS the operator parallelism."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " "))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))),
+        F.lit(1),
+    )
+    m = docs.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    return m.select(
+        "doc_id", "words", "sentences", "syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * F.col("words") / F.col("sentences")
+            - F.lit(84.6) * F.col("syllables") / F.col("words"),
+            4,
+        ).alias("flesch"),
+    )
+
+
+# Inline HTML corpus: one row per realistic crawl snippet (tags, nesting,
+# entities, attributes). Kept byte-identical between builder and oracle.
+_HTML_ROWS = [
+    (1, "<html><head><title>Spark at Scale</title></head>"
+        "<body><h1>Intro</h1><p>Shuffles &amp; joins matter.</p></body></html>"),
+    (2, "<div class=\"post\"><a href=\"https://example.com\">A &lt;link&gt;</a>"
+        " and <b>bold</b> text</div>"),
+    (3, "<p>No title here</p><p>Second paragraph with trailing space </p>"),
+    (4, "plain text, zero markup"),
+]
+
+_HTML_VALUES = ", ".join(
+    "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _HTML_ROWS
+)
+
+_HTML_STRIP_ORACLE = f"""
+WITH raw(page_id, html) AS (VALUES {_HTML_VALUES}),
+s AS (
+  SELECT page_id,
+         trim(regexp_replace(
+           replace(replace(replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           ' +', ' ', 'g')) AS body,
+         regexp_extract(html, '<title>([^<]*)</title>', 1) AS title
+  FROM raw
+)
+SELECT page_id, title, body, len(string_split(body, ' ')) AS n_words
+FROM s
+"""
+
+
+@register("text_html_strip", "X", oracle=_HTML_STRIP_ORACLE,
+          doc="HTML → text extraction: tag strip, entity decode, "
+              "whitespace collapse, <title> capture — the first transform "
+              "applied to every crawled page before quality filtering")
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure regexp_replace chain (patterns restricted to the dialect
+    intersection of Java regex and RE2: no backrefs, no lookarounds) —
+    per-row map, zero shuffle; at crawl scale this runs at scan speed."""
+    raw = spark.createDataFrame(_HTML_ROWS, "page_id int, html string")
+    detagged = F.regexp_replace("html", "<[^>]*>", " ")
+    decoded = F.replace(
+        F.replace(
+            F.replace(detagged, F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"), F.lit("<"),
+        ),
+        F.lit("&gt;"), F.lit(">"),
+    )
+    body = F.trim(F.regexp_replace(decoded, " +", " "))
+    s = raw.select(
+        "page_id",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        body.alias("body"),
+    )
+    return s.select(
+        "page_id", "title", "body",
+        F.size(F.split("body", " ")).alias("n_words"),
+    )
+
+
+# Inline chat corpus: (conv_id, turn, role, content) — two conversations,
+# multi-turn, out-of-order rows to make the ORDER BY turn semantics real.
+_CHAT_ROWS = [
+    (1, 2, "assistant", "Use a broadcast join for the small side."),
+    (1, 1, "user", "How do I join a tiny dim table at scale?"),
+    (1, 3, "user", "And if both sides are large?"),
+    (1, 4, "assistant", "Shuffle on the join key and let AQE handle skew."),
+    (2, 1, "user", "Summarize MinHash in one line."),
+    (2, 2, "assistant", "Hash shingles, keep per-band minima, bucket-join the bands."),
+]
+
+_CHAT_VALUES = ", ".join(
+    "({}, {}, '{}', '{}')".format(c, t, r, x.replace("'", "''"))
+    for c, t, r, x in _CHAT_ROWS
+)
+
+_CHAT_TEMPLATE_ORACLE = f"""
+WITH turns(conv_id, turn, role, content) AS (VALUES {_CHAT_VALUES})
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       string_agg('<|' || role || '|>' || content, '' ORDER BY turn) AS rendered,
+       CAST(len(string_split(string_agg(content, ' ' ORDER BY turn), ' ')) AS INT) AS n_tokens
+FROM turns
+GROUP BY conv_id
+"""
+
+
+@register("tokenize_chat_template", "X", oracle=_CHAT_TEMPLATE_ORACLE,
+          doc="Chat-template flattening: multi-turn conversations rendered "
+              "to a single '<|role|>content' training string in turn order, "
+              "with whitespace token counts — the SFT-data serialization "
+              "step")
+def tokenize_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order is imposed by array_sort over (turn, …) structs AFTER the
+    per-conversation collect — deterministic regardless of shuffle
+    arrival order (collect_list alone is not). One shuffle on conv_id;
+    per-conversation state is bounded by turns-per-chat, never corpus
+    size."""
+    turns = spark.createDataFrame(
+        _CHAT_ROWS, "conv_id int, turn int, role string, content string"
+    )
+    sorted_turns = F.array_sort(
+        F.collect_list(F.struct("turn", "role", "content"))
+    )
+    grouped = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        sorted_turns.alias("ts"),
+    )
+    rendered = F.array_join(
+        F.transform("ts", lambda t: F.concat(
+            F.lit("<|"), t["role"], F.lit("|>"), t["content"]
+        )),
+        "",
+    )
+    token_text = F.array_join(F.transform("ts", lambda t: t["content"]), " ")
+    return grouped.select(
+        "conv_id",
+        "n_turns",
+        rendered.alias("rendered"),
+        F.size(F.split(token_text, " ")).alias("n_tokens"),
+    )
+
+
+# Inline link corpus: pages with zero-to-many URLs embedded in prose.
+_LINK_ROWS = [
+    (1, "See https://spark.apache.org/docs and https://duckdb.org for more"),
+    (2, "Mirrors: https://spark.apache.org/downloads plus http://example.com/a/b"),
+    (3, "no links in this one"),
+    (4, "dup domain https://duckdb.org/why and text after"),
+]
+
+_LINK_VALUES = ", ".join(
+    "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _LINK_ROWS
+)
+
+_URL_EXTRACT_ORACLE = f"""
+WITH pages(page_id, text) AS (VALUES {_LINK_VALUES}),
+urls AS (
+  SELECT page_id,
+         unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9./_-]+')) AS url
+  FROM pages
+)
+SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT page_id) AS BIGINT) AS n_pages,
+       MIN(url) AS sample_url
+FROM urls
+GROUP BY domain
+"""
+
+
+@register("text_url_extract", "X", oracle=_URL_EXTRACT_ORACLE,
+          doc="URL harvesting: regexp-extract all links, explode, group by "
+              "domain with link/page counts — the outlink analysis behind "
+              "crawl frontier seeding and domain-level quality scores")
+def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode produces links-per-page rows (bounded small), then one
+    map-side-combined groupBy on domain; at crawl scale domain skew is
+    real (a few CDNs dominate) — counts are partial-aggregated so the hot
+    domain costs one combiner row per task, not a hot partition."""
+    pages = spark.createDataFrame(_LINK_ROWS, "page_id int, text string")
+    urls = pages.select(
+        "page_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit("https?://[A-Za-z0-9./_-]+"), F.lit(0))
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            F.regexp_extract("url", "https?://([^/]+)", 1).alias("domain"),
+            "page_id", "url",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("page_id").alias("n_pages"),
+            F.min("url").alias("sample_url"),
+        )
+    )

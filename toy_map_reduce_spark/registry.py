@@ -62,6 +62,7 @@ _OPERATOR_MODULES = (
     "toy_map_reduce_spark.operators.quality",
     "toy_map_reduce_spark.operators.graph",
     "toy_map_reduce_spark.operators.stats",
+    "toy_map_reduce_spark.operators.textprep",
     "toy_map_reduce_spark.streaming.windows",
     "toy_map_reduce_spark.sources.io_ops",
     "toy_map_reduce_spark.sources.bucketing",
