@@ -463,3 +463,100 @@ def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
     )
+
+
+# Inline campaign calendar (the fixture's events span 2024-01): literal
+# intervals, byte-identical between builder and oracle.
+_CAMPAIGNS = [
+    ("new_year", "2024-01-01 00:00:00", "2024-01-03 23:59:59"),
+    ("flash_sale", "2024-01-10 12:00:00", "2024-01-11 12:00:00"),
+    ("weekend_push", "2024-01-13 00:00:00", "2024-01-14 23:59:59"),
+    ("retention_wave", "2024-01-20 06:00:00", "2024-01-25 18:00:00"),
+    ("month_end", "2024-01-28 00:00:00", "2024-01-31 00:00:00"),
+]
+
+_CAMPAIGN_VALUES = ", ".join(
+    f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in _CAMPAIGNS
+)
+
+_INTERVAL_OVERLAP_ORACLE = f"""
+WITH campaigns(campaign, c_start, c_end) AS (VALUES {_CAMPAIGN_VALUES}),
+activity AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         MIN(date_trunc('second', ts)) AS a_start,
+         MAX(date_trunc('second', ts)) AS a_end
+  FROM events GROUP BY user_id, day
+),
+cdays AS (
+  SELECT campaign, c_start, c_end,
+         CAST(unnest(range(CAST(c_start AS DATE), CAST(c_end AS DATE) + 1,
+                           INTERVAL 1 DAY)) AS DATE) AS day
+  FROM campaigns
+),
+hits AS (
+  SELECT c.campaign, a.user_id, a.day,
+         least(a.a_end, c.c_end) AS o_end,
+         greatest(a.a_start, c.c_start) AS o_start
+  FROM activity a JOIN cdays c ON a.day = c.day
+  WHERE a.a_start <= c.c_end AND a.a_end >= c.c_start
+)
+SELECT campaign,
+       CAST(COUNT(*) AS BIGINT) AS n_user_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(epoch(o_end) AS BIGINT) - CAST(epoch(o_start) AS BIGINT))
+            AS BIGINT) AS overlap_sec
+FROM hits
+GROUP BY campaign
+"""
+
+
+@register("join_interval_overlap", "G", oracle=_INTERVAL_OVERLAP_ORACLE,
+          doc="Interval-overlap join: per-user daily activity spans "
+              "[min ts, max ts] matched against a campaign calendar by "
+              "interval intersection, with exact overlap-seconds — the "
+              "attribution-window join, day-bucketed for scale")
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-correct interval join: campaigns explode into their
+    covered DAYS (sequence over the date range), so the fact side joins on
+    a day equi-key and the precise interval predicate is a post-join
+    filter over an already-tiny candidate set. Two large interval sets
+    joined on raw overlap would be a cartesian product — the day bucket is
+    what makes Catalyst plan a hash join. Overlap arithmetic is integer
+    epoch seconds after second-floor on both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("second", "ts").alias("ts_sec"),
+        F.to_date("ts").alias("day"),
+    )
+    activity = ev.groupBy("user_id", "day").agg(
+        F.min("ts_sec").alias("a_start"), F.max("ts_sec").alias("a_end")
+    )
+    campaigns = spark.createDataFrame(
+        _CAMPAIGNS, "campaign string, c_start_s string, c_end_s string"
+    ).select(
+        "campaign",
+        F.to_timestamp("c_start_s").alias("c_start"),
+        F.to_timestamp("c_end_s").alias("c_end"),
+    )
+    cdays = campaigns.select(
+        "campaign", "c_start", "c_end",
+        F.explode(
+            F.sequence(F.to_date("c_start"), F.to_date("c_end"))
+        ).alias("day"),
+    )
+    hits = (
+        activity.join(F.broadcast(cdays), "day")
+        .where((F.col("a_start") <= F.col("c_end")) & (F.col("a_end") >= F.col("c_start")))
+        .select(
+            "campaign", "user_id",
+            F.least("a_end", "c_end").alias("o_end"),
+            F.greatest("a_start", "c_start").alias("o_start"),
+        )
+    )
+    return hits.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.unix_timestamp("o_end") - F.unix_timestamp("o_start")
+        ).alias("overlap_sec"),
+    )

@@ -552,3 +552,75 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c1.join(c2, "vec_id").groupBy("code1", "code2").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+_CENTROID_UPDATE_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm FROM d
+),
+c AS (SELECT vec_id AS centroid_id, e AS c_e, nrm AS c_nrm FROM n WHERE vec_id < {KMEANS_K}),
+scored AS (
+  SELECT n.vec_id, n.e, c.centroid_id,
+         list_reduce([n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)], (x, y) -> x + y)
+           / (n.nrm * c.c_nrm) AS sim
+  FROM n, c
+),
+assigned AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT vec_id, e, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+elems AS (
+  SELECT centroid_id,
+         unnest([{{'pos': i - 1, 'v': e[i]}} FOR i IN range(1, len(e) + 1)],
+                recursive := true)
+  FROM assigned
+)
+SELECT centroid_id, pos,
+       round(AVG(v), 6) AS c_val,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM elems
+GROUP BY centroid_id, pos
+"""
+
+
+@register("embedding_centroid_update", "X", oracle=_CENTROID_UPDATE_ORACLE,
+          doc="Full k-means Lloyd iteration: argmax-cosine assignment to "
+              "the 8 deterministic seed centroids, then element-wise mean "
+              "recompute of every centroid — emitted exploded as "
+              "(centroid, dimension, value) so the next iteration's "
+              "broadcast table is exactly this output")
+def embedding_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the iterative-k-means story started by
+    embedding_kmeans_assign: assignment is broadcast × narrow scan (the
+    vectors never shuffle), and the recompute explodes to dim rows per
+    vector then collapses through a map-side partial average keyed on
+    (centroid, pos) — k × dim result rows regardless of corpus size, so
+    chained iterations move only the centroid table."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", _as_double(F.col("embedding")).alias("e")).withColumn(
+        "nrm", _norm(F.col("e"))
+    )
+    c = d.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("c_e"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = d.crossJoin(F.broadcast(c)).select(
+        "vec_id", "e", "centroid_id",
+        (_dot(F.col("e"), F.col("c_e")) / (F.col("nrm") * F.col("c_nrm"))).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    assigned = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    elems = assigned.select(
+        "centroid_id", F.posexplode("e").alias("pos", "v")
+    )
+    return elems.groupBy("centroid_id", "pos").agg(
+        F.round(F.avg("v"), 6).alias("c_val"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

@@ -614,3 +614,56 @@ def source_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("bigint").alias("n_intact"),
     )
+
+
+_JSON_CORRUPT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 89 = 7) AS BIGINT) AS n_corrupt,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 89 <> 7) AS BIGINT) AS n_clean,
+       round(SUM(CASE WHEN o_orderkey % 89 <> 7 THEN round(o_totalprice, 2) END), 2) AS clean_price_sum
+FROM orders
+"""
+
+
+@register("source_json_corrupt", "G", oracle=_JSON_CORRUPT_ORACLE,
+          doc="PERMISSIVE JSON-lines parse with planted truncated records: "
+              "syntactically broken lines land in _corrupt_record with "
+              "typed columns nulled — the JSON twin of "
+              "source_csv_malformed, same principled no-silent-garbage "
+              "contract (vs WorkerServiceImpl.scala:132-135)")
+def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows with orderkey ≡ 7 (mod 89) are written truncated mid-object so
+    the JSON parser must fail them; PERMISSIVE keeps the line in
+    _corrupt_record. The counts prove exactly which rows failed — nothing
+    silently dropped. Scan-parallel at any scale: JSON lines split by
+    newline, corruption handling is per-row."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    good = F.concat(
+        F.lit('{"o_orderkey": '), F.col("o_orderkey").cast("string"),
+        F.lit(', "price": '), F.col("price").cast("string"), F.lit("}"),
+    )
+    lines = orders.select(
+        F.when(F.col("o_orderkey") % 89 == 7,
+               F.substring(good, 1, 20)).otherwise(good).alias("value")
+    )
+    path = _scratch(sf_dir, "json_corrupt")
+    lines.write.mode("overwrite").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.count("price").alias("n_clean"),
+        F.round(F.sum("price"), 2).alias("clean_price_sum"),
+    )
