@@ -291,3 +291,59 @@ def timeseries_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("lag")
+
+
+_WINSORIZE_ORACLE = """
+WITH p AS (
+  SELECT quantile_cont(o_totalprice, 0.05) AS p05,
+         quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders
+),
+w AS (
+  SELECT o.o_totalprice AS raw,
+         least(greatest(o.o_totalprice, p.p05), p.p95) AS wins,
+         p.p05, p.p95
+  FROM orders o CROSS JOIN p
+)
+SELECT round(MAX(p05), 6) AS p05,
+       round(MAX(p95), 6) AS p95,
+       round(AVG(raw), 6) AS mean_raw,
+       round(AVG(wins), 6) AS mean_wins,
+       round(stddev_samp(raw), 6) AS std_raw,
+       round(stddev_samp(wins), 6) AS std_wins,
+       CAST(COUNT(*) FILTER (WHERE raw < p05) AS BIGINT) AS n_clipped_low,
+       CAST(COUNT(*) FILTER (WHERE raw > p95) AS BIGINT) AS n_clipped_high
+FROM w
+"""
+
+
+@register("stat_winsorize", "G", oracle=_WINSORIZE_ORACLE,
+          doc="Winsorization at the exact 5th/95th percentiles: clip order "
+              "totals into [p05, p95] and report mean/std before vs after "
+              "plus clip counts — the outlier treatment that preserves row "
+              "count, complementing stat_mad_outliers' flagging")
+def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont) are sort-based per the agg_percentile honesty note;
+    the clip pass is a broadcast of the 1-row percentile table over the
+    scan — two passes total, no row-level shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    p = orders.agg(
+        F.percentile("o_totalprice", 0.05).alias("p05"),
+        F.percentile("o_totalprice", 0.95).alias("p95"),
+    )
+    w = orders.crossJoin(F.broadcast(p)).select(
+        F.col("o_totalprice").alias("raw"),
+        F.least(F.greatest("o_totalprice", F.col("p05")), F.col("p95")).alias("wins"),
+        "p05", "p95",
+    )
+    return w.agg(
+        F.round(F.max("p05"), 6).alias("p05"),
+        F.round(F.max("p95"), 6).alias("p95"),
+        F.round(F.avg("raw"), 6).alias("mean_raw"),
+        F.round(F.avg("wins"), 6).alias("mean_wins"),
+        F.round(F.stddev_samp("raw"), 6).alias("std_raw"),
+        F.round(F.stddev_samp("wins"), 6).alias("std_wins"),
+        F.count(F.when(F.col("raw") < F.col("p05"), 1)).alias("n_clipped_low"),
+        F.count(F.when(F.col("raw") > F.col("p95"), 1)).alias("n_clipped_high"),
+    )

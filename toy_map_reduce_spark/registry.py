@@ -63,6 +63,8 @@ _OPERATOR_MODULES = (
     "toy_map_reduce_spark.operators.graph",
     "toy_map_reduce_spark.operators.stats",
     "toy_map_reduce_spark.operators.textprep",
+    "toy_map_reduce_spark.operators.sketches",
+    "toy_map_reduce_spark.operators.features",
     "toy_map_reduce_spark.streaming.windows",
     "toy_map_reduce_spark.sources.io_ops",
     "toy_map_reduce_spark.sources.bucketing",
