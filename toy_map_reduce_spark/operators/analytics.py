@@ -900,3 +900,128 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("bigint").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_runs"),
     )
+
+
+PATH_LEN = 5    # first-N event types per converting user
+PATH_TOP = 10   # most common paths reported
+
+_PATH_TO_CONVERSION_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts_sec
+  FROM events
+),
+conv AS (
+  SELECT user_id, MIN(ts_sec) AS conv_ts FROM ev
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+pre AS (
+  SELECT e.user_id, e.event_type, e.ts_sec, e.event_id,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts_sec, e.event_id) AS rn
+  FROM ev e JOIN conv c ON e.user_id = c.user_id
+  WHERE e.ts_sec < c.conv_ts
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts_sec, event_id) AS path
+  FROM pre WHERE rn <= {PATH_LEN}
+  GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {PATH_TOP}
+"""
+
+
+@register("events_path_to_conversion", "G", oracle=_PATH_TO_CONVERSION_ORACLE,
+          doc=f"Path-to-conversion mining: the first {PATH_LEN} event types "
+              "each user emits strictly before their first purchase, "
+              "joined into a '>'-path and ranked by user count — the "
+              "attribution-path readout of a clickstream warehouse")
+def events_path_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle keys user_id for both the conversion lookup and the
+    per-user window; the path assembly sorts the ≤{PATH_LEN} collected
+    structs AFTER collection (array_sort), so shuffle arrival order can't
+    leak into the string. Path cardinality is bounded by event-type^N, so
+    the final count is broadcast-small."""
+    ev = _events_sec(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts_sec"
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("conv_ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    pre = (
+        ev.join(conv, "user_id")
+        .where(F.col("ts_sec") < F.col("conv_ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PATH_LEN)
+    )
+    paths = pre.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts_sec", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(PATH_TOP)
+    )
+
+
+_INTERPURCHASE_ORACLE = """
+WITH g AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         date_diff('day',
+                   lag(CAST(o_orderdate AS DATE))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(AVG(gap_days), 4) AS avg_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days
+FROM g GROUP BY o_custkey
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("orders_interpurchase", "G", oracle=_INTERPURCHASE_ORACLE,
+          doc="Inter-purchase cadence per customer: day gaps between "
+              "consecutive orders via lag over a deterministically "
+              "tie-broken order sequence — the reorder-cycle input to "
+              "churn and replenishment models")
+def orders_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on o_custkey serves both the lag window and the final
+    aggregate (same-key window→groupBy reuses the exchange); gaps are
+    integer day arithmetic on DATE-cast timestamps, exact on both
+    engines."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap_days"),
+    )
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+            F.min("gap_days").cast("long").alias("min_gap_days"),
+        )
+        .where(F.col("n_orders") >= 2)
+    )

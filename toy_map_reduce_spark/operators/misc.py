@@ -259,3 +259,36 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("bigint").alias("cnt"),
         )
     )
+
+
+_BOOL_AGG_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_deep_discount,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       bool_and(l_quantity <= 50) AS all_qty_bounded,
+       bool_and(l_discount >= 0.0) AS all_nonneg_discount,
+       CAST(COUNT(*) FILTER (WHERE l_quantity > 45 AND l_discount = 0.0) AS BIGINT)
+         AS n_bulk_full_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_bool", "G", oracle=_BOOL_AGG_ORACLE,
+          doc="Boolean aggregate battery: count_if / bool_or (ANY) / "
+              "bool_and (EVERY) predicates per return flag — the "
+              "assertion-style aggregates behind data-quality contracts")
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four reduce map-side like any sum — bool_or/bool_and are
+    max/min on bits — so the data-quality sweep costs one combiner pass
+    over the scan at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_deep_discount"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.bool_and(F.col("l_quantity") <= 50).alias("all_qty_bounded"),
+        F.bool_and(F.col("l_discount") >= 0.0).alias("all_nonneg_discount"),
+        F.count_if(
+            (F.col("l_quantity") > 45) & (F.col("l_discount") == 0.0)
+        ).alias("n_bulk_full_price"),
+    )

@@ -394,3 +394,42 @@ def scalar_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(b64).cast("int").alias("b64_len"),
         (F.unbase64(b64).cast("string") == F.col("text")).alias("roundtrips"),
     )
+
+
+_SCALAR_CALENDAR_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_1q,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+       date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy
+FROM orders
+"""
+
+
+@register("scalar_calendar", "G", oracle=_SCALAR_CALENDAR_ORACLE,
+          doc="Calendar-interval battery: month/quarter addition with "
+              "month-end clamping, last_day, quarter/ISO-week truncation, "
+              "day arithmetic — the date edge semantics every report "
+              "pipeline trips over once")
+def scalar_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_months clamps Jan 31 + 1m to the shorter month's end on BOTH
+    engines (Spark add_months ≡ DuckDB + INTERVAL 1 MONTH); week
+    truncation is ISO-Monday on both. Pure per-row projection — scan
+    speed at any scale."""
+    o = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 1).alias("plus_1m"),
+        F.add_months(d, 3).alias("plus_1q"),
+        F.last_day(d).alias("month_end"),
+        F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("quarter_start"),
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week_start"),
+        F.datediff(d, F.lit("1992-01-01").cast("date")).alias("days_since_epoch"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )

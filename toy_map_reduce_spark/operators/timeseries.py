@@ -13,7 +13,7 @@ is scanned exactly once regardless of how many resolutions are served.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from toy_map_reduce_spark.registry import register
@@ -201,7 +201,7 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch per row, turning a 200k-row spine into minutes of O(n²) work;
     the DESC running frame is the O(n) formulation. Spine size is
     time-range/step per key, independent of event count."""
-    from pyspark.sql import Window
+    pass  # Window imported at module level
 
     ev = load(spark, sf_dir, "events")
     bounds = ev.groupBy("event_type").agg(
@@ -294,7 +294,7 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate. Both steps partition by (event_type, day): one shuffle,
     bounded state, and the per-partition ordering cost is the sort a
     time-series table is usually already clustered by."""
-    from pyspark.sql import Window
+    pass  # Window imported at module level
 
     ev = load(spark, sf_dir, "events").select(
         "event_type",
@@ -417,7 +417,7 @@ def timeseries_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality on both sides makes plateaus peak-free — the convention
     that keeps the count stable under floating-point-identical
     rounding."""
-    from pyspark.sql import Window
+    pass  # Window imported at module level
 
     ev = load(spark, sf_dir, "events")
     pts = ev.select(
@@ -442,4 +442,46 @@ def timeseries_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peaks.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_peaks"),
         F.round(F.max("v"), 2).alias("max_peak"),
+    )
+
+
+_MOVING_STATS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         round(SUM(round(o_totalprice, 2)), 2) AS rev
+  FROM orders GROUP BY day
+)
+SELECT day, rev,
+       round(AVG(rev) OVER w, 6) AS mov_avg7,
+       round(MIN(rev) OVER w, 2) AS mov_min7,
+       round(MAX(rev) OVER w, 2) AS mov_max7,
+       round(stddev_samp(rev) OVER w, 6) AS mov_std7,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("timeseries_moving_stats", "G", oracle=_MOVING_STATS_ORACLE,
+          doc="Trailing 7-row moving average/min/max/stddev over the daily "
+              "revenue series — the smoothing pass of every ops dashboard, "
+              "as one bounded ROWS frame")
+def timeseries_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window runs over the DAILY rollup (days-of-history rows), not
+    raw orders — same post-reduction discipline as timeseries_ewma. The
+    frame is ROWS-bounded (7), so state per row is O(1); per-day sums are
+    rounded before the window on both engines to keep the moving stddev
+    bit-stable."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day", "rev",
+        F.round(F.avg("rev").over(w), 6).alias("mov_avg7"),
+        F.round(F.min("rev").over(w), 2).alias("mov_min7"),
+        F.round(F.max("rev").over(w), 2).alias("mov_max7"),
+        F.round(F.stddev_samp("rev").over(w), 6).alias("mov_std7"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
