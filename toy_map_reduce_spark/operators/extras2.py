@@ -291,3 +291,65 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F").cast("bigint").alias("F"),
         F.col("O").cast("bigint").alias("O"),
     )
+
+
+_TABLE_DIFF_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN round(round(o_totalprice, 2) * 1.1, 2)
+              ELSE round(o_totalprice, 2) END AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+b AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 11 <> 0
+),
+j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k, a.price AS pa, b.price AS pb
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+),
+c AS (
+  SELECT k,
+         CASE WHEN pa IS NULL THEN 'added'
+              WHEN pb IS NULL THEN 'removed'
+              WHEN pa <> pb THEN 'changed'
+              ELSE 'unchanged' END AS class
+  FROM j
+)
+SELECT class, CAST(COUNT(*) AS BIGINT) AS n, MIN(k) AS sample_key
+FROM c GROUP BY class
+"""
+
+
+@register("table_diff", "G", oracle=_TABLE_DIFF_ORACLE,
+          doc="Snapshot diff: two deterministically-derived versions of "
+              "orders full-outer-joined on the key and classified "
+              "added/removed/changed/unchanged — the reconciliation audit "
+              "run between every pair of pipeline snapshots")
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One co-partitioned full outer join on the snapshot key (both sides
+    shuffle once on o_orderkey; with bucketed layout — see
+    sources/bucketing.py — even that exchange disappears), then a 4-row
+    classification aggregate. The diff never materializes unchanged rows
+    anywhere except inside the join."""
+    orders = load(spark, sf_dir, "orders")
+    base_price = F.round("o_totalprice", 2)
+    a = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.round(base_price * 1.1, 2))
+        .otherwise(base_price).alias("pa"),
+    )
+    b = orders.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", base_price.alias("pb")
+    )
+    j = a.join(b, "o_orderkey", "full_outer")
+    c = j.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("pa").isNull(), "added")
+        .when(F.col("pb").isNull(), "removed")
+        .when(F.col("pa") != F.col("pb"), "changed")
+        .otherwise("unchanged").alias("class"),
+    )
+    return c.groupBy("class").agg(
+        F.count(F.lit(1)).alias("n"), F.min("k").alias("sample_key")
+    )

@@ -292,3 +292,47 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_quantity") > 45) & (F.col("l_discount") == 0.0)
         ).alias("n_bulk_full_price"),
     )
+
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str,
+       round(AVG(len(CAST({c} AS VARCHAR))), 4) AS avg_len
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_columns", "G", oracle=_PROFILE_ORACLE,
+          doc="One-pass column profiler over orders: count / null-count / "
+              "distinct / lexical min-max / average rendered length per "
+              "column — the SUMMARIZE-style data-profiling sweep, via "
+              "stack-unpivot so the table scans once")
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side unpivots the four columns into (col_name, v) rows
+    with stack — ONE scan for the whole profile, then a single groupBy on
+    col_name (4 groups) with map-side partials. The oracle spells it as a
+    per-column UNION for clarity; Catalyst gets the fused form. Doubles
+    render shortest-roundtrip identically on both engines (values < 1e7,
+    before either engine's scientific-notation cutover)."""
+    orders = load(spark, sf_dir, "orders")
+    pairs = ", ".join(
+        f"'{c}', cast({c} as string)" for c in _PROFILE_COLS
+    )
+    long_df = orders.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {pairs}) as (col_name, v)"
+    )
+    return long_df.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_str"),
+        F.max("v").alias("max_str"),
+        F.round(F.avg(F.length("v")), 4).alias("avg_len"),
+    )

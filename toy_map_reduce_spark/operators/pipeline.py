@@ -551,3 +551,78 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept"),
         F.sum("n_chars").cast("long").alias("kept_chars"),
     )
+
+
+CURRICULUM_BANDS = 4
+CURRICULUM_HEAD = 3  # first docs surfaced per band in the shuffled order
+
+_CURRICULUM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS difficulty FROM documents
+),
+banded AS (
+  SELECT doc_id, difficulty,
+         ntile({CURRICULUM_BANDS}) OVER (ORDER BY difficulty, doc_id) AS band,
+         md5(CAST(doc_id AS VARCHAR) || '#epoch0') AS shuffle_key
+  FROM d
+),
+ranked AS (
+  SELECT band, doc_id, difficulty,
+         row_number() OVER (PARTITION BY band ORDER BY shuffle_key) AS rn
+  FROM banded
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(difficulty) AS BIGINT) AS min_difficulty,
+       CAST(MAX(difficulty) AS BIGINT) AS max_difficulty,
+       string_agg(CASE WHEN rn <= {CURRICULUM_HEAD} THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY rn) AS head_docs
+FROM ranked GROUP BY band
+"""
+
+
+@register("pipeline_curriculum_order", "X", oracle=_CURRICULUM_ORACLE,
+          doc=f"Curriculum data ordering: docs banded into "
+              f"{CURRICULUM_BANDS} difficulty quartiles (token count), "
+              "then deterministically hash-shuffled WITHIN each band — "
+              "easy-to-hard epoch ordering with md5(doc_id#epoch) as the "
+              "reproducible shuffle, never rand()")
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same determinism contract as dataset_split/sample_hash: the shuffle
+    key is a hash of (doc_id, epoch), so every re-run and every engine
+    produces the identical order, and the next epoch just changes the
+    salt. The band assignment is a global ntile (exact-quartile honesty
+    note as feature_quantile_bucket); at 100 TB the swap-in is
+    approx-percentile band edges broadcast over the scan."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("difficulty")
+    )
+    wb = Window.orderBy("difficulty", "doc_id")
+    banded = docs.select(
+        "doc_id", "difficulty",
+        F.ntile(CURRICULUM_BANDS).over(wb).alias("band"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#epoch0")))
+        .alias("shuffle_key"),
+    )
+    wr = Window.partitionBy("band").orderBy("shuffle_key")
+    ranked = banded.withColumn("rn", F.row_number().over(wr))
+    head = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= CURRICULUM_HEAD,
+                        F.struct("rn", F.col("doc_id").cast("string").alias("d")),
+                    )
+                )
+            ),
+            lambda s: s["d"],
+        ),
+        ",",
+    )
+    return ranked.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("difficulty").cast("long").alias("min_difficulty"),
+        F.max("difficulty").cast("long").alias("max_difficulty"),
+        head.alias("head_docs"),
+    )

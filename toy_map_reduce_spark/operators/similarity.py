@@ -624,3 +624,85 @@ def embedding_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("v"), 6).alias("c_val"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+_EMBEDDING_OUTLIERS_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm FROM d
+),
+c AS (SELECT vec_id AS centroid_id, e AS c_e, nrm AS c_nrm FROM n WHERE vec_id < {KMEANS_K}),
+scored AS (
+  SELECT n.vec_id, c.centroid_id,
+         list_reduce([n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)], (x, y) -> x + y)
+           / (n.nrm * c.c_nrm) AS sim
+  FROM n, c
+),
+assigned AS (
+  SELECT vec_id, centroid_id, round(sim, 9) AS sim FROM (
+    SELECT vec_id, centroid_id, sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT centroid_id, AVG(sim) AS mu, stddev_samp(sim) AS sigma
+  FROM assigned GROUP BY centroid_id
+)
+SELECT a.centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(*) FILTER (WHERE a.sim < s.mu - 2 * s.sigma) AS BIGINT) AS n_outliers,
+       round(MIN(a.sim), 6) AS min_sim,
+       round(AVG(a.sim), 6) AS avg_sim
+FROM assigned a JOIN stats s ON a.centroid_id = s.centroid_id
+GROUP BY a.centroid_id
+"""
+
+
+@register("embedding_outliers", "X", oracle=_EMBEDDING_OUTLIERS_ORACLE,
+          doc="Embedding-space junk detection: vectors assigned to their "
+              "nearest seed centroid, then flagged when cosine similarity "
+              "falls 2σ below the cluster mean — the screen that catches "
+              "corrupt or off-distribution embeddings before training")
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same broadcast-assignment skeleton as embedding_kmeans_assign (the
+    vectors never shuffle); the outlier pass adds one k-row stats
+    aggregate broadcast back over the assignments. Similarities are
+    9dp-rounded before the 2σ comparison so the threshold test is
+    bit-stable cross-engine."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", _as_double(F.col("embedding")).alias("e")).withColumn(
+        "nrm", _norm(F.col("e"))
+    )
+    c = d.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("c_e"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = d.crossJoin(F.broadcast(c)).select(
+        "vec_id", "centroid_id",
+        (_dot(F.col("e"), F.col("c_e")) / (F.col("nrm") * F.col("c_nrm"))).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.round("sim", 9).alias("sim"))
+    )
+    stats = assigned.groupBy("centroid_id").agg(
+        F.avg("sim").alias("mu"), F.stddev_samp("sim").alias("sigma")
+    )
+    return (
+        assigned.join(F.broadcast(stats), "centroid_id")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count(
+                F.when(F.col("sim") < F.col("mu") - 2 * F.col("sigma"), 1)
+            ).alias("n_outliers"),
+            F.round(F.min("sim"), 6).alias("min_sim"),
+            F.round(F.avg("sim"), 6).alias("avg_sim"),
+        )
+    )
