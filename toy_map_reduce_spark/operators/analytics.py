@@ -1025,3 +1025,53 @@ def orders_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") >= 2)
     )
+
+
+_CUMULATIVE_USERS_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+new_by_day AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY first_day
+),
+dau AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau FROM events GROUP BY day
+)
+SELECT d.day,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+       CAST(d.dau AS BIGINT) AS dau
+FROM dau d LEFT JOIN new_by_day n ON d.day = n.day
+"""
+
+
+@register("events_cumulative_users", "G", oracle=_CUMULATIVE_USERS_ORACLE,
+          doc="Running distinct-user count by day via the first-touch "
+              "trick: min(day) per user, daily new-user counts, cumulative "
+              "sum — exact cumulative COUNT DISTINCT without any "
+              "distinct-over-window state")
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct is NOT computed as a distinct-over-window (state
+    grows with users seen); the first-touch reduction makes it a plain
+    cumulative SUM over the tiny daily rollup. Two keyed groupBys + one
+    days-length window — the scalable form of a growth dashboard's
+    headline curve."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_by_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    dau = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j = dau.join(new_by_day, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users"), "dau"
+    )
+    return j.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        F.col("dau").cast("long").alias("dau"),
+    )

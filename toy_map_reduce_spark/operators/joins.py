@@ -560,3 +560,78 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("o_end") - F.unix_timestamp("o_start")
         ).alias("overlap_sec"),
     )
+
+
+SCD2_CUTOVER = "1995-07-01"  # dim version boundary (fixture dates span 1992-1998)
+
+_SCD2_LOOKUP_ORACLE = f"""
+WITH cents AS (
+  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+dim AS (
+  SELECT c_custkey, DATE '1990-01-01' AS valid_from, DATE '{SCD2_CUTOVER}' AS valid_to,
+         bal_cents, 'v1' AS version
+  FROM cents
+  UNION ALL
+  SELECT c_custkey, DATE '{SCD2_CUTOVER}', DATE '9999-12-31',
+         CAST(floor(bal_cents * 1.05 + 0.5) AS BIGINT), 'v2'
+  FROM cents
+),
+j AS (
+  SELECT d.version, o.o_orderkey, d.bal_cents
+  FROM orders o JOIN dim d
+    ON o.o_custkey = d.c_custkey
+   AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+   AND CAST(o.o_orderdate AS DATE) < d.valid_to
+)
+SELECT version,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(bal_cents) AS BIGINT) AS bal_sum_cents
+FROM j GROUP BY version
+"""
+
+
+@register("join_scd2_lookup", "G", oracle=_SCD2_LOOKUP_ORACLE,
+          doc="Point-in-time SCD2 lookup: orders joined to the customer-"
+              "dimension version valid at order date (equi key + validity "
+              "interval) — the temporal dimension join every warehouse "
+              "fact load performs, the consumer side of cdc_scd2")
+def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join keeps an EQUI conjunct (custkey) so Catalyst hash-joins on
+    it and evaluates the validity-interval predicate as a post-join
+    filter — the same only-legal-plan note as join_range. Each fact row
+    matches exactly one version by construction (half-open intervals
+    partition time), so row counts are preserved — the invariant the
+    aggregate exposes. Balances travel as integer CENTS end-to-end:
+    round(x*1.05, 2) re-rounds a float product, whose half-cent edges
+    resolve differently per engine across 10⁵ customers (observed at
+    sf0.01) — floor(cents*1.05 + 0.5) on exact integers is bit-stable."""
+    cust = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    v1 = cust.select(
+        "c_custkey",
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(SCD2_CUTOVER).cast("date").alias("valid_to"),
+        cents.alias("bal_cents"), F.lit("v1").alias("version"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.lit(SCD2_CUTOVER).cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.floor(cents * 1.05 + 0.5).cast("long").alias("bal_cents"),
+        F.lit("v2").alias("version"),
+    )
+    dim = v1.unionByName(v2)
+    orders = load(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    j = orders.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (od >= F.col("valid_from"))
+        & (od < F.col("valid_to")),
+    )
+    return j.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("bal_cents").cast("long").alias("bal_sum_cents"),
+    )

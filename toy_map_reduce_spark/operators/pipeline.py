@@ -626,3 +626,82 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("difficulty").cast("long").alias("max_difficulty"),
         head.alias("head_docs"),
     )
+
+
+_DATASET_CARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, md5(text) AS h, len(string_split(text, ' ')) AS toks
+  FROM documents
+),
+lang_top AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM t) AS share
+  FROM t GROUP BY lang ORDER BY share DESC, lang LIMIT 1
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM t
+  UNION ALL
+  SELECT 'n_tokens', CAST(SUM(toks) AS DOUBLE) FROM t
+  UNION ALL
+  SELECT 'mean_doc_tokens', round(AVG(toks), 4) FROM t
+  UNION ALL
+  SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS DOUBLE) FROM t
+  UNION ALL
+  SELECT 'top_lang_share', round(MAX(share), 6) FROM lang_top
+  UNION ALL
+  SELECT 'exact_dup_rate',
+         round(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6) FROM t
+)
+"""
+
+
+@register("pipeline_dataset_card", "X", oracle=_DATASET_CARD_ORACLE,
+          doc="Dataset-card generator: corpus size, token totals, language "
+              "spread, dominant-language share, and exact-duplicate rate "
+              "as one (metric, value) summary — the headline stats block "
+              "of a training-data release card")
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every metric is a one-pass aggregate (dup rate reuses the SHA/md5
+    content-hash distinct from dedup_exact; top-language share is a
+    groupBy on a low-cardinality key) — the whole card costs two scans
+    and shuffles only rollup-sized intermediates at any corpus scale."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("toks"),
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.round(F.avg("toks"), 4).alias("mean_doc_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_hashes"),
+    )
+    top_share = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(base.select("n_docs")))
+        .select((F.col("c").cast("double") / F.col("n_docs")).alias("share"), "lang")
+        .orderBy(F.col("share").desc(), "lang")
+        .limit(1)
+    )
+    metrics = base.crossJoin(F.broadcast(top_share)).select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("n_docs"), F.lit("n_tokens"), F.lit("mean_doc_tokens"),
+                    F.lit("n_langs"), F.lit("top_lang_share"), F.lit("exact_dup_rate"),
+                ),
+                F.array(
+                    F.col("n_docs").cast("double"),
+                    F.col("n_tokens").cast("double"),
+                    F.col("mean_doc_tokens"),
+                    F.col("n_langs").cast("double"),
+                    F.round("share", 6),
+                    F.round(
+                        F.lit(1.0) - F.col("n_hashes").cast("double") / F.col("n_docs"), 6
+                    ),
+                ),
+            )
+        ).alias("metric", "value")
+    )
+    return metrics

@@ -725,3 +725,58 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
     )
+
+
+_NGRAM_NOVELTY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+  FROM t WHERE len(toks) >= 3
+),
+first_seen AS (
+  SELECT ngram, MIN(doc_id) AS first_doc FROM ng GROUP BY ngram
+)
+SELECT ng.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(*) FILTER (WHERE fs.first_doc = ng.doc_id) AS BIGINT) AS n_novel,
+       round(CAST(COUNT(*) FILTER (WHERE fs.first_doc = ng.doc_id) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM ng JOIN first_seen fs ON ng.ngram = fs.ngram
+GROUP BY ng.doc_id
+"""
+
+
+@register("text_ngram_novelty", "X", oracle=_NGRAM_NOVELTY_ORACLE,
+          doc="N-gram novelty per document: fraction of a doc's distinct "
+              "word trigrams whose first corpus occurrence (min doc_id) is "
+              "this doc — the incremental-information signal that ranks "
+              "near-template docs at ~0 without any pairwise comparison")
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty without pairwise comparison: one groupBy on the trigram key
+    assigns global first-occurrence (map-side partial min neutralizes hot
+    boilerplate trigrams — the same aggregate-not-window rule as
+    capped_shingles), one join back, one groupBy on doc_id. Shuffle
+    volume is the distinct doc-trigram list, linear in corpus size."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).where(F.size("toks") >= 3)
+    tri = F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+    )
+    ng = docs.select("doc_id", F.explode(tri).alias("ngram")).distinct()
+    first_seen = ng.groupBy("ngram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return (
+        ng.join(first_seen, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )
