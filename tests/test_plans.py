@@ -246,3 +246,37 @@ def test_sorted_clustered_scan_pushes_date_filter(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sink_sorted_clustered")
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "l_shipdate" in pushed[-1], pushed
+
+
+def test_feature_scale_broadcasts_fit_stats(spark, sf_dir):
+    # fit = tiny per-group stats; transform must broadcast them over the
+    # fact scan — the fact side never shuffles
+    plan = plan_of(spark, sf_dir, "feature_scale")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_novelty_first_seen_is_aggregate_not_window(spark, sf_dir):
+    # first-occurrence must be a partial+final aggregate on the trigram
+    # key, never a Window over it (hot boilerplate trigram = straggler) —
+    # same rule as capped_shingles
+    plan = plan_of(spark, sf_dir, "text_ngram_novelty")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sketch_count_min_no_window_no_cartesian(spark, sf_dir):
+    # the counter build is pure keyed aggregation; estimation joins the
+    # 4-cells-per-word rows against the broadcast counter table
+    plan = plan_of(spark, sf_dir, "sketch_count_min")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_lookup_plans_keyed_join(spark, sf_dir):
+    # the validity-interval predicate must ride on the custkey equi join,
+    # not degrade the plan to a nested-loop over both sides
+    plan = plan_of(spark, sf_dir, "join_scd2_lookup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
