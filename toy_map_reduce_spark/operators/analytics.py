@@ -1075,3 +1075,39 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
         F.col("dau").cast("long").alias("dau"),
     )
+
+
+_HOURLY_HEATMAP_ORACLE = """
+WITH t AS (
+  SELECT isodow(ts) AS dow_iso, hour(ts) AS hr FROM events
+),
+c AS (
+  SELECT dow_iso, hr, COUNT(*) AS n FROM t GROUP BY dow_iso, hr
+)
+SELECT CAST(dow_iso AS INT) AS dow_iso, CAST(hr AS INT) AS hr,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS frac
+FROM c
+"""
+
+
+@register("events_hourly_heatmap", "G", oracle=_HOURLY_HEATMAP_ORACLE,
+          doc="Day-of-week × hour activity heatmap with traffic share — "
+              "ISO day numbering on both engines (Spark weekday+1 ≡ "
+              "DuckDB isodow), sidestepping the Sunday=1 vs Sunday=0 "
+              "convention trap the engines disagree on")
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dayofweek() is the classic cross-engine trap (Spark Sunday=1,
+    DuckDB Sunday=0); ISO numbering is the only convention both engines
+    express natively. The heatmap is a ≤168-cell aggregate — the
+    share-of-total window runs over those cells, not raw events."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow_iso"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return c.select(
+        "dow_iso", "hr", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("frac"),
+    )

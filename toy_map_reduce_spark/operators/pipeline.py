@@ -705,3 +705,68 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("metric", "value")
     )
     return metrics
+
+
+MANIFEST_SHARDS = 16
+
+_SHARD_MANIFEST_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 8)) AS BIGINT)
+           % {MANIFEST_SHARDS} AS shard,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS h
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id,
+       md5(string_agg(h, '' ORDER BY doc_id)) AS shard_digest
+FROM d GROUP BY shard
+"""
+
+
+@register("pipeline_shard_manifest", "X", oracle=_SHARD_MANIFEST_ORACLE,
+          doc=f"Dataset-release manifest: docs hash-assigned to "
+              f"{MANIFEST_SHARDS} shards (md5(doc_id#shard), never rand), "
+              "per-shard sizes, id ranges, and an order-independent "
+              "content digest (md5 over doc hashes in doc_id order) — the "
+              "integrity index shipped next to every released shard set")
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard digest is md5 of per-doc content hashes concatenated in
+    doc_id order — computed by sorting the collected (doc_id, hash)
+    structs AFTER the per-shard collect, so shuffle arrival order can't
+    change the digest (the same array_sort determinism contract as
+    tokenize_chat_template). Per-shard state is docs-per-shard hashes,
+    bounded by the shard size a release would cap anyway."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#shard"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % MANIFEST_SHARDS
+        ).alias("shard"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5("text").alias("h"),
+    )
+    digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                lambda s: s["h"],
+            ),
+            "",
+        )
+    )
+    return docs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        digest.alias("shard_digest"),
+    )

@@ -667,3 +667,82 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("price").alias("n_clean"),
         F.round(F.sum("price"), 2).alias("clean_price_sum"),
     )
+
+
+_XML_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(round(o_totalprice, 2)), 2) AS total
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("source_xml_roundtrip", "G", oracle=_XML_ORACLE,
+          doc="XML write/read roundtrip (Spark 4 native XML source, "
+              "rowTag records): orders serialized to XML and parsed back "
+              "with an explicit schema — the document-feed ingest format "
+              "legacy enterprise pipelines still emit")
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML is split-parallel per file part (each task parses its own
+    part), so the roundtrip scales like any text source; the explicit
+    schema keeps the read one-pass (schema inference would scan twice).
+    The aggregate proves value fidelity through the format."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    path = _scratch(sf_dir, "xml_roundtrip")
+    orders.write.mode("overwrite").format("xml").option("rowTag", "order").save(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    back = spark.read.format("xml").option("rowTag", "order").schema(schema).load(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 2).alias("total"),
+    )
+
+
+_MANAGED_TABLE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(round(o_totalprice, 2)), 2) AS total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("sink_table_catalog", "G", oracle=_MANAGED_TABLE_ORACLE,
+          doc="Catalog-table sink: orders saved as a named table "
+              "(explicit parquet location) and queried back through "
+              "spark.sql by name — the catalog surface that lets SQL-only "
+              "consumers reach datasets the engine materializes")
+def sink_table_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """saveAsTable + name-based SQL read: the catalog entry carries path
+    and schema so downstream SQL needs no path knowledge. The physical
+    layout is plain parquet — at scale this is where partitionBy/bucketBy
+    land (exhibited separately by sink_partitioned_parquet and
+    sources/bucketing.py); the catalog is metadata only."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("price")
+    )
+    path = _scratch(sf_dir, "catalog_table")
+    (
+        orders.write.mode("overwrite")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable("orders_cataloged")
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               round(SUM(price), 2) AS total
+        FROM orders_cataloged
+        GROUP BY o_orderpriority
+        """
+    )
