@@ -280,3 +280,61 @@ def test_scd2_lookup_plans_keyed_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_scd2_lookup")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_remove_boilerplate_plans_aggregate_broadcast(spark, sf_dir):
+    # chunk df must be a partial+final aggregate on the chunk key (never a
+    # Window — a hot boilerplate chunk would straggle one task), and the
+    # top-K list must come back as a broadcast join over the chunk rows
+    plan = plan_of(spark, sf_dir, "text_remove_boilerplate")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_fit_stats_broadcast_not_window(spark, sf_dir):
+    # PSI totals and the target-encoder fit are one-row / segment-row
+    # aggregates broadcast over the fact scan — the fact rows never feed
+    # a whole-partition window
+    for name in ("stat_psi", "feature_target_encode"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Window" not in plan, name
+        assert "HashAggregate" in plan, name
+
+
+def test_ks_windows_over_distinct_values_only(spark, sf_dir):
+    # the cumulative ECDF window must run over the groupBy(value)
+    # aggregate (one row per distinct value), so an aggregate appears
+    # below the window in the plan
+    plan = plan_of(spark, sf_dir, "stat_ks_test")
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_nearest_single_window_pass(spark, sf_dir):
+    # both directional carries share one partition+ordering, so the plan
+    # must contain exactly one Window operator (one sort, one pass) and
+    # no join at all on the fact rows
+    plan = plan_of(spark, sf_dir, "join_asof_nearest", mode="simple")
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_monitoring_thresholds_broadcast_not_window(spark, sf_dir):
+    # anomaly mean/std must come from a one-row aggregate broadcast over
+    # the daily rollup, never a whole-partition window over it
+    plan = plan_of(spark, sf_dir, "events_anomaly_days")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_blocked_joins_no_cross_product(spark, sf_dir):
+    # fuzzy and geo joins must plan keyed candidate joins (the whole
+    # point of blocking) with the small exploded side broadcast
+    for name in ("join_fuzzy_block", "join_geo_radius"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name

@@ -1,0 +1,223 @@
+"""Corpus-curation transforms (X tier): boilerplate-chunk removal and
+URL canonicalization dedup — the cleaning stages a web-scale training
+pipeline runs between crawl and tokenization (the C4 / RefinedWeb
+"remove repeated lines" and "dedupe by canonical URL" steps), as exact
+aggregate compositions with DuckDB twins.
+
+text_boilerplate_shingles (textstats.py) *mines* the boilerplate report;
+text_remove_boilerplate here actually *removes* it and rebuilds the
+document — the transform counterpart to that diagnostic.
+
+Scale notes (100 TB):
+- Boilerplate detection is the capped_shingles pattern (dedup.py): chunk
+  document frequency via partial+final groupBy aggregate — never a
+  window on the chunk key — then the tiny top-K boilerplate list joins
+  back as a broadcast. A chunk shared by 10^8 docs costs one combiner
+  row per task, not a hot partition.
+- Document rebuild sorts each doc's kept chunks AFTER the per-doc
+  collect (array_sort on (idx, chunk) structs), so shuffle arrival
+  order cannot change the digest — the same determinism contract as
+  pipeline_shard_manifest.
+- URL canonicalization is pure map-side string work; the keep-first
+  dedup is one map-side-combined groupBy on the canonical key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+# Boilerplate = the TOP_BOILERPLATE most document-frequent chunks
+# (df desc, chunk asc tie-break — deterministic across engines). A
+# relative top-K, unlike the absolute df cap in dedup.py, so the op is
+# meaningful at every scale factor.
+TOP_BOILERPLATE = 20
+CHUNK_TOKENS = 2  # documented: chunks are non-overlapping 2-token spans
+
+_REMOVE_BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+ch AS (
+  SELECT doc_id, u.idx, u.chunk
+  FROM toks,
+       LATERAL (SELECT unnest(range(len(t) // 2)) AS idx,
+                       unnest([t[2*i+1] || ' ' || t[2*i+2]
+                               FOR i IN range(len(t) // 2)]) AS chunk) u
+),
+df AS (
+  SELECT chunk, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, chunk FROM ch)
+  GROUP BY chunk
+),
+hot AS (SELECT chunk FROM df ORDER BY df DESC, chunk LIMIT {TOP_BOILERPLATE}),
+flagged AS (
+  SELECT c.doc_id, c.idx, c.chunk, h.chunk IS NOT NULL AS bp
+  FROM ch c LEFT JOIN hot h ON c.chunk = h.chunk
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+                      FILTER (WHERE NOT bp), '')) AS clean_digest
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register("text_remove_boilerplate", "X", oracle=_REMOVE_BOILERPLATE_ORACLE,
+          doc=f"Boilerplate removal: drop each document's chunks that are "
+              f"among the corpus-wide top-{TOP_BOILERPLATE} most "
+              "document-frequent 2-token chunks, rebuild the cleaned text "
+              "in position order and report its digest — the C4-style "
+              "repeated-line filter as aggregate + broadcast anti-tag")
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk df is a partial+final aggregate on (doc_id, chunk) distinct
+    then chunk — the aggregate-not-window shape the capped_shingles fix
+    established; the top-K list is TakeOrderedAndProject-sized and joins
+    back as a broadcast, so the corpus never shuffles on the chunk key.
+    The rebuilt-text digest sorts collected (idx, chunk) structs per doc
+    before hashing, making it shuffle-order-independent."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    chunks_arr = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "  transform(sequence(0, int(size(toks)/2) - 1), "
+        "            i -> concat(toks[2*i], ' ', toks[2*i+1])) "
+        "ELSE array() END"
+    )
+    ch = docs.select("doc_id", F.posexplode(chunks_arr).alias("idx", "chunk"))
+    df_tbl = (
+        ch.select("doc_id", "chunk").distinct().groupBy("chunk").count()
+    )
+    hot = (
+        df_tbl.orderBy(F.col("count").desc(), F.col("chunk").asc())
+        .limit(TOP_BOILERPLATE)
+        .select("chunk", F.lit(True).alias("bp"))
+    )
+    flagged = ch.join(F.broadcast(hot), "chunk", "left").select(
+        "doc_id", "idx", "chunk", F.coalesce("bp", F.lit(False)).alias("bp")
+    )
+    kept_digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(~F.col("bp"), F.struct("idx", "chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("bp"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        kept_digest.alias("clean_digest"),
+    )
+
+
+# Inline URL corpus (no URL column in the fixtures): crafted variants
+# that collapse under canonicalization — case in scheme/host, default
+# ports, utm_* tracking params, empty params, param order, fragments,
+# trailing slashes. Kept byte-identical between builder and oracle.
+_URL_ROWS = [
+    (1, "https://Example.COM/path/page?utm_source=x&id=5#frag"),
+    (2, "https://example.com/path/page?id=5"),
+    (3, "http://example.com:80/index/"),
+    (4, "http://example.com/index"),
+    (5, "HTTPS://example.com:443/path/page?id=5&utm_campaign=spring"),
+    (6, "https://other.org/a?c=2&b=1&utm_medium=email"),
+    (7, "https://other.org/a?b=1&c=2"),
+    (8, "https://other.org/a/?b=1&c=2"),
+    (9, "https://example.com/path/page?id=5&"),
+    (10, "https://sub.other.org/a?b=1&c=2"),
+]
+
+_URL_VALUES = ", ".join(f"({i}, '{u}')" for i, u in _URL_ROWS)
+
+_URL_CANONICAL_ORACLE = f"""
+WITH raw(page_id, url) AS (VALUES {_URL_VALUES}),
+parts AS (
+  SELECT page_id,
+         regexp_replace(url, '#.*$', '') AS nofrag
+  FROM raw
+),
+split AS (
+  SELECT page_id,
+         split_part(nofrag, '?', 1) AS base,
+         split_part(nofrag, '?', 2) AS query
+  FROM parts
+),
+norm AS (
+  SELECT page_id,
+         regexp_replace(lower(regexp_extract(base, '^([a-zA-Z]+://[^/]*)', 1)),
+                        ':(80|443)$', '') AS prefix,
+         regexp_replace(substr(base, length(regexp_extract(base, '^([a-zA-Z]+://[^/]*)', 1)) + 1),
+                        '/$', '') AS path,
+         COALESCE(array_to_string(
+           list_sort(list_filter(string_split(query, '&'),
+                                 p -> p <> '' AND substr(p, 1, 4) <> 'utm_')),
+           '&'), '') AS qcanon
+  FROM split
+),
+canon AS (
+  SELECT page_id,
+         prefix || path ||
+           CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END AS canonical
+  FROM norm
+)
+SELECT canonical,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       MIN(page_id) AS kept_id
+FROM canon GROUP BY canonical
+"""
+
+
+@register("dedup_url_canonical", "X", oracle=_URL_CANONICAL_ORACLE,
+          doc="URL canonicalization dedup (inline corpus): lowercase "
+              "scheme+host, strip default ports / fragments / utm_* "
+              "params / trailing slash, sort query params, then "
+              "keep-first by canonical form — the CommonCrawl pre-dedup "
+              "that removes the cheapest 30% of duplicates before any "
+              "content hashing")
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization is pure map-side column work (regexp + array
+    ops, no UDF); the keep-first collapse is one map-side-combined
+    groupBy on the canonical string. At crawl scale this runs BEFORE
+    fetching content — the reason it is its own operator and not a
+    special case of dedup_exact."""
+    raw = spark.createDataFrame(_URL_ROWS, ["page_id", "url"])
+    nofrag = F.regexp_replace("url", "#.*$", "")
+    base = F.expr("split_part(regexp_replace(url, '#.*$', ''), '?', 1)")
+    query = F.expr("split_part(regexp_replace(url, '#.*$', ''), '?', 2)")
+    s = raw.select("page_id", base.alias("base"), query.alias("query"))
+    prefix_raw = F.regexp_extract("base", "^([a-zA-Z]+://[^/]*)", 1)
+    prefix = F.regexp_replace(F.lower(prefix_raw), ":(80|443)$", "")
+    path = F.regexp_replace(
+        F.expr("substring(base, length(regexp_extract(base, '^([a-zA-Z]+://[^/]*)', 1)) + 1)"),
+        "/$", "",
+    )
+    qcanon = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("query", "&"),
+                lambda p: (p != "") & (p.substr(1, 4) != F.lit("utm_")),
+            )
+        ),
+        "&",
+    )
+    canon = s.select(
+        "page_id",
+        F.concat(
+            prefix,
+            path,
+            F.when(qcanon == "", "").otherwise(F.concat(F.lit("?"), qcanon)),
+        ).alias("canonical"),
+    )
+    return canon.groupBy("canonical").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min("page_id").alias("kept_id"),
+    )

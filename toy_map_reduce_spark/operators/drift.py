@@ -1,0 +1,350 @@
+"""Distribution-drift and fit-artifact operators (G/X tier): PSI,
+two-sample Kolmogorov-Smirnov, smoothed target encoding, and weighted
+mean/median — the train/serve monitoring and feature-fit stages of an ML
+data platform, each as exact aggregate compositions with DuckDB twins.
+
+Generalizes the reference's single keyed fold
+(``WorkerServiceImpl.scala:123-154``) to two-population comparisons: the
+split membership is a deterministic hash of the row key (never rand()),
+so both engines and every re-run see the same populations.
+
+Scale notes (100 TB):
+- PSI reduces each population to 10 bucket counts before any join; the
+  totals row is a one-row broadcast cross join (the textstats.py:306
+  pattern) — the fact scan is one map-side-combined pass.
+- KS needs a cumulative ECDF, which is ordered by definition — but the
+  window runs over the *distinct-value aggregate* (groupBy value first),
+  not the raw events, so the ordered partition holds one row per distinct
+  value, not per event. At 100 TB the swap-in is a binned ECDF (the PSI
+  buckets) with a documented resolution bound.
+- Target encoding is fit = one groupBy over the train split (segment
+  cardinality rows) + broadcast apply — the classic fit/transform split
+  where the fact side never shuffles.
+- Weighted median is an exact per-key sorted prefix-sum; keys are
+  low-cardinality by construction (same honesty note as stat_mad_outliers:
+  the 100 TB path is a weighted approx_percentile sketch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from toy_map_reduce_spark.registry import register
+from toy_map_reduce_spark.tables import load
+
+# PSI bucket geometry: fixed-width price bins, capped into the top bucket.
+PSI_BUCKETS = 10
+PSI_BUCKET_WIDTH = 50_000
+# Laplace-style floor so an empty cell cannot produce ln(0); both engines
+# apply the identical greatest(p, eps).
+PSI_EPS = 1e-6
+
+# Deterministic population split: md5(o_orderkey # salt) — the same
+# portable hex-prefix-to-int idiom as pipeline_shard_manifest.
+_SPLIT_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || '#{salt}'), 1, 8)) "
+    "AS BIGINT)"
+)
+
+
+def _split_col(salt: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(f"#{salt}"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+
+
+_PSI_ORACLE = f"""
+WITH tagged AS (
+  SELECT LEAST(CAST(floor(o_totalprice / {PSI_BUCKET_WIDTH}) AS BIGINT),
+               {PSI_BUCKETS - 1}) AS bucket,
+         {_SPLIT_SQL.format(salt='psi')} % 2 AS side
+  FROM orders
+),
+cells AS (
+  SELECT bucket,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM tagged GROUP BY bucket
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cells)
+SELECT bucket,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       round((GREATEST(n_ref / CAST(t_ref AS DOUBLE), {PSI_EPS})
+              - GREATEST(n_cur / CAST(t_cur AS DOUBLE), {PSI_EPS}))
+             * ln(GREATEST(n_ref / CAST(t_ref AS DOUBLE), {PSI_EPS})
+                  / GREATEST(n_cur / CAST(t_cur AS DOUBLE), {PSI_EPS})), 6)
+         AS psi_term
+FROM cells CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
+@register("stat_psi", "X", oracle=_PSI_ORACLE,
+          doc=f"Population stability index over {PSI_BUCKETS} fixed-width "
+              "price buckets between two deterministic hash-split halves "
+              "of orders — the train/serve drift monitor, per-bucket "
+              "contribution rows out")
+def stat_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each population collapses to ≤10 bucket counts in one map-side
+    partial aggregate; the grand totals are a one-row broadcast cross
+    join. At 100 TB this is a single scan with a 10-row shuffle — the
+    cheapest possible drift check, which is why PSI (not KS) is the
+    fleet-wide default monitor."""
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / PSI_BUCKET_WIDTH).cast("long"),
+        F.lit(PSI_BUCKETS - 1),
+    )
+    tagged = load(spark, sf_dir, "orders").select(
+        bucket.alias("bucket"), (_split_col("psi") % 2).alias("side")
+    )
+    cells = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.greatest(F.col("n_ref") / F.col("t_ref").cast("double"), F.lit(PSI_EPS))
+    q = F.greatest(F.col("n_cur") / F.col("t_cur").cast("double"), F.lit(PSI_EPS))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_KS_ORACLE = """
+WITH tagged AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS da,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS db
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY value
+),
+cum AS (
+  SELECT SUM(da) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(db) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(da) OVER () AS na,
+         SUM(db) OVER () AS nb
+  FROM tagged
+)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       round(MAX(abs(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))), 6)
+         AS ks_d
+FROM cum
+"""
+
+
+@register("stat_ks_test", "X", oracle=_KS_ORACLE,
+          doc="Two-sample Kolmogorov-Smirnov D between purchase and click "
+              "value distributions: exact sup-distance of the two ECDFs, "
+              "computed over the distinct-value aggregate, one statistic "
+              "row out")
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw events reduce to one row per distinct value (map-side
+    combined groupBy) BEFORE the cumulative window — the ordered scan
+    runs over |distinct values| rows, not |events|. Because every value
+    in the frame is distinct, ROWS and RANGE cumulative frames agree, so
+    the tie semantics of F(x) = P(X <= x) are exact on both engines."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tagged = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("da"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("db"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = tagged.select(
+        F.sum("da").over(w).alias("ca"),
+        F.sum("db").over(w).alias("cb"),
+        F.sum("da").over(wall).alias("na"),
+        F.sum("db").over(wall).alias("nb"),
+    )
+    return cum.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca") / F.col("na").cast("double")
+                    - F.col("cb") / F.col("nb").cast("double")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+    )
+
+
+# Target-encoding smoothing mass: the pseudo-count of global-mean
+# observations blended into each category mean (m in the classic
+# (n·mean + m·global)/(n+m) formula).
+TE_SMOOTHING = 10
+
+_TARGET_ENCODE_ORACLE = f"""
+WITH j AS (
+  SELECT o.o_orderkey, c.c_mktsegment AS segment, o.o_totalprice,
+         {_SPLIT_SQL.format(salt='te')} % 10 AS fold
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (SELECT AVG(o_totalprice) AS gmean FROM j WHERE fold < 8),
+fit AS (
+  SELECT segment, COUNT(*) AS n_train, AVG(o_totalprice) AS seg_mean
+  FROM j WHERE fold < 8 GROUP BY segment
+),
+enc AS (
+  SELECT f.segment, f.n_train,
+         (f.n_train * f.seg_mean + {TE_SMOOTHING} * g.gmean)
+           / (f.n_train + {TE_SMOOTHING}) AS enc
+  FROM fit f CROSS JOIN g
+)
+SELECT e.segment,
+       CAST(e.n_train AS BIGINT) AS n_train,
+       round(e.enc, 4) AS enc,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       round(AVG(abs(j.o_totalprice - e.enc)), 4) AS test_mae
+FROM enc e JOIN j ON j.segment = e.segment AND j.fold >= 8
+GROUP BY e.segment, e.n_train, e.enc
+ORDER BY e.segment
+"""
+
+
+@register("feature_target_encode", "X", oracle=_TARGET_ENCODE_ORACLE,
+          doc=f"Smoothed mean target encoding of market segment against "
+              f"order total (pseudo-count m={TE_SMOOTHING}): fit on the "
+              "80% hash fold, applied to the 20% holdout with per-segment "
+              "MAE — the category-encoder fit/transform as one aggregate "
+              "plus broadcast joins")
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit is a |segments|-row aggregate over the train fold; the global
+    mean is a one-row broadcast; apply is a broadcast join onto the
+    holdout scan. The fact table never shuffles — the exact shape a
+    feature store materializes the encoder artifact with. The fold is a
+    key hash, so train/test membership is reproducible across engines
+    and runs (rand() splits are not auditable)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("segment"),
+            "o_totalprice",
+            (_split_col("te") % 10).alias("fold"),
+        )
+    )
+    train = j.where(F.col("fold") < 8)
+    g = train.agg(F.avg("o_totalprice").alias("gmean"))
+    fit = train.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_train"), F.avg("o_totalprice").alias("seg_mean")
+    )
+    enc = fit.crossJoin(F.broadcast(g)).select(
+        "segment",
+        "n_train",
+        (
+            (F.col("n_train") * F.col("seg_mean") + TE_SMOOTHING * F.col("gmean"))
+            / (F.col("n_train") + TE_SMOOTHING)
+        ).alias("enc"),
+    )
+    test = j.where(F.col("fold") >= 8)
+    return (
+        test.join(F.broadcast(enc), "segment")
+        .groupBy("segment", "n_train", "enc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(F.avg(F.abs(F.col("o_totalprice") - F.col("enc"))), 4).alias(
+                "test_mae"
+            ),
+        )
+        .select(
+            "segment",
+            F.col("n_train").cast("long").alias("n_train"),
+            F.round("enc", 4).alias("enc"),
+            "n_test",
+            "test_mae",
+        )
+        .orderBy("segment")
+    )
+
+
+_WEIGHTED_ORACLE = """
+WITH tot AS (
+  SELECT l_returnflag, SUM(l_quantity) AS w_total,
+         SUM(l_extendedprice * l_quantity) AS pw_sum
+  FROM lineitem GROUP BY l_returnflag
+),
+cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(l_quantity) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM lineitem
+),
+med AS (
+  SELECT c.l_returnflag, MIN(c.l_extendedprice) AS wmedian
+  FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
+  WHERE 2 * c.cw >= t.w_total
+  GROUP BY c.l_returnflag
+)
+SELECT t.l_returnflag,
+       round(t.pw_sum / t.w_total, 4) AS wmean,
+       round(m.wmedian, 2) AS wmedian
+FROM tot t JOIN med m ON t.l_returnflag = m.l_returnflag
+ORDER BY t.l_returnflag
+"""
+
+
+@register("agg_weighted", "G", oracle=_WEIGHTED_ORACLE,
+          doc="Quantity-weighted mean and exact weighted median of "
+              "extended price per return flag — the weighted median as "
+              "the first price whose cumulative weight crosses half the "
+              "total, deterministically tie-broken")
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean is a plain partial-aggregated groupBy. The weighted
+    median needs a per-key sorted prefix sum — exact by definition
+    (same honesty note as stat_mad_outliers); the per-key totals come
+    from the aggregate side and broadcast back, never from a second
+    whole-partition window. Keys are low-cardinality, so at 100 TB the
+    swap-in is a weighted percentile sketch."""
+    li = load(spark, sf_dir, "lineitem")
+    tot = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("w_total"),
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pw_sum"),
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = li.select(
+        "l_returnflag", "l_extendedprice", F.sum("l_quantity").over(w).alias("cw")
+    )
+    med = (
+        cum.join(F.broadcast(tot.select("l_returnflag", "w_total")), "l_returnflag")
+        .where(2 * F.col("cw") >= F.col("w_total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("wmedian"))
+    )
+    return (
+        tot.join(med, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round(F.col("pw_sum") / F.col("w_total"), 4).alias("wmean"),
+            F.round("wmedian", 2).alias("wmedian"),
+        )
+        .orderBy("l_returnflag")
+    )

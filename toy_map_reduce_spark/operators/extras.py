@@ -472,3 +472,89 @@ def agg_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.kurtosis("l_quantity"), 6).alias("qty_kurtosis"),
         F.round(F.kurtosis("l_extendedprice"), 6).alias("price_kurtosis"),
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       date_trunc('second', c.ts) AS click_sec,
+       CASE
+         WHEN p.view_id IS NULL AND n.view_id IS NULL THEN NULL
+         WHEN p.view_id IS NULL THEN n.view_id
+         WHEN n.view_id IS NULL THEN p.view_id
+         WHEN date_diff('microsecond', c.ts, n.ts)
+              < date_diff('microsecond', p.ts, c.ts) THEN n.view_id
+         ELSE p.view_id
+       END AS view_id,
+       CASE
+         WHEN p.view_id IS NULL AND n.view_id IS NULL THEN NULL
+         WHEN p.view_id IS NULL THEN 'next'
+         WHEN n.view_id IS NULL THEN 'prev'
+         WHEN date_diff('microsecond', c.ts, n.ts)
+              < date_diff('microsecond', p.ts, c.ts) THEN 'next'
+         ELSE 'prev'
+       END AS direction
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+  SELECT ts, event_id AS view_id FROM events
+  WHERE event_type = 'view' AND user_id = c.user_id AND ts < c.ts
+  ORDER BY ts DESC, event_id DESC LIMIT 1
+) p ON TRUE
+LEFT JOIN LATERAL (
+  SELECT ts, event_id AS view_id FROM events
+  WHERE event_type = 'view' AND user_id = c.user_id AND ts >= c.ts
+  ORDER BY ts ASC, event_id ASC LIMIT 1
+) n ON TRUE
+"""
+
+
+@register("join_asof_nearest", "G", oracle=_ASOF_NEAREST_ORACLE,
+          doc="Nearest as-of join: each click matched to the closest view "
+              "in EITHER time direction (ties prefer the earlier view), "
+              "with the winning direction reported — the pandas "
+              "merge_asof(direction='nearest') semantics as one union-tag "
+              "pass with both frames")
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same single shuffle on user_id as join_asof/join_asof_forward:
+    both carries (last view before, first view at-or-after) share one
+    partition+ordering, so Spark computes them in one Window pass over
+    one sort. Tie semantics pinned: a view at exactly the click ts is
+    'next' with distance 0; equal nonzero distances prefer 'prev'
+    (matching merge_asof); same-ts view ties resolve to max event_id on
+    the prev side and min on the next side, exactly as the oracle's
+    per-direction ORDER BY."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_click")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_click")
+    )
+    tagged = clicks.unionByName(views)
+    order = [F.col("ts").asc(), F.col("is_click").desc(), F.col("event_id").asc()]
+    base = Window.partitionBy("user_id").orderBy(*order)
+    w_prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = base.rowsBetween(0, Window.unboundedFollowing)
+    view_struct = F.when(
+        F.col("is_click") == 0, F.struct(F.col("ts"), F.col("event_id").alias("vid"))
+    )
+    carried = tagged.select(
+        "*",
+        F.last(view_struct, ignorenulls=True).over(w_prev).alias("prev"),
+        F.first(view_struct, ignorenulls=True).over(w_next).alias("next"),
+    ).where(F.col("is_click") == 1)
+    d_prev = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev.ts"))
+    d_next = F.unix_micros(F.col("next.ts")) - F.unix_micros(F.col("ts"))
+    pick_next = (
+        F.col("prev").isNull() | (F.col("next").isNotNull() & (d_next < d_prev))
+    )
+    return carried.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_trunc("second", "ts").alias("click_sec"),
+        F.when(pick_next, F.col("next.vid")).otherwise(F.col("prev.vid")).alias("view_id"),
+        F.when(F.col("prev").isNull() & F.col("next").isNull(), F.lit(None).cast("string"))
+        .when(pick_next, "next")
+        .otherwise("prev")
+        .alias("direction"),
+    )

@@ -16,7 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from toy_map_reduce_spark.registry import register
@@ -634,4 +634,213 @@ def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("version").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("bal_cents").cast("long").alias("bal_sum_cents"),
+    )
+
+
+# --- Fuzzy entity-resolution join (inline corpora) ---------------------
+# Canonical entity names vs dirty mentions; matching threshold is
+# levenshtein <= FUZZY_MAX_DIST. Blocking = (first char, length//4) with
+# the canonical side exploded into every bucket its +/-FUZZY_MAX_DIST
+# length neighborhood covers, so length-based blocking is provably
+# lossless at the threshold (|len(a)-len(b)| <= lev(a,b)); the residual
+# recall loss is the first-character block — the classic, documented
+# cost/recall tradeoff of blocked entity resolution.
+FUZZY_MAX_DIST = 2
+FUZZY_LEN_BUCKET = 4
+
+_CANON_ROWS = [
+    (1, "apache spark"), (2, "duckdb"), (3, "postgresql"),
+    (4, "clickhouse"), (5, "snowflake"),
+]
+_MENTION_ROWS = [
+    (101, "apache spork"), (102, "duck db"), (103, "postgres"),
+    (104, "click house"), (105, "snowflak"), (106, "sparky"),
+    (107, "postgresql"), (108, "mysql"),
+]
+
+_CANON_VALUES = ", ".join(f"({i}, '{n}')" for i, n in _CANON_ROWS)
+_MENTION_VALUES = ", ".join(f"({i}, '{n}')" for i, n in _MENTION_ROWS)
+
+_FUZZY_ORACLE = f"""
+WITH canon(canon_id, name) AS (VALUES {_CANON_VALUES}),
+mention(mention_id, mention) AS (VALUES {_MENTION_VALUES}),
+cblocks AS (
+  SELECT canon_id, name, substr(name, 1, 1) AS c1, u.b
+  FROM canon,
+       LATERAL (SELECT DISTINCT unnest([
+         GREATEST(length(name) - {FUZZY_MAX_DIST}, 0) // {FUZZY_LEN_BUCKET},
+         length(name) // {FUZZY_LEN_BUCKET},
+         (length(name) + {FUZZY_MAX_DIST}) // {FUZZY_LEN_BUCKET}]) AS b) u
+),
+cand AS (
+  SELECT m.mention_id, m.mention, c.canon_id, c.name,
+         levenshtein(m.mention, c.name) AS dist
+  FROM mention m
+  JOIN cblocks c
+    ON substr(m.mention, 1, 1) = c.c1
+   AND length(m.mention) // {FUZZY_LEN_BUCKET} = c.b
+  WHERE levenshtein(m.mention, c.name) <= {FUZZY_MAX_DIST}
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY mention_id
+                               ORDER BY dist, name) AS rn
+  FROM cand
+)
+SELECT m.mention_id, m.mention, b.name AS matched,
+       CAST(b.dist AS BIGINT) AS distance
+FROM mention m LEFT JOIN best b ON m.mention_id = b.mention_id AND b.rn = 1
+"""
+
+
+@register("join_fuzzy_block", "X", oracle=_FUZZY_ORACLE,
+          doc=f"Blocked fuzzy entity-resolution join (inline corpora): "
+              f"levenshtein ≤ {FUZZY_MAX_DIST} matching under "
+              "(first-char, length-bucket) blocking with the canonical "
+              "side exploded across its length neighborhood — lossless "
+              "in length at the threshold, best match per mention")
+def join_fuzzy_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edit-distance filter only runs inside blocks — the all-pairs
+    levenshtein a naive fuzzy join would do is the quadratic blow-up
+    this operator exists to avoid at 100 TB. Length blocking is exact
+    (|len diff| bounds edit distance); first-char blocking is the
+    documented recall tradeoff. Best-match selection is an explicit
+    row_number over (distance, name), deterministic on both engines."""
+    canon = spark.createDataFrame(_CANON_ROWS, ["canon_id", "name"])
+    mention = spark.createDataFrame(_MENTION_ROWS, ["mention_id", "mention"])
+    b = FUZZY_LEN_BUCKET
+    d = FUZZY_MAX_DIST
+    cblocks = canon.select(
+        "canon_id", "name",
+        F.substring("name", 1, 1).alias("c1"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (F.greatest(F.length("name") - d, F.lit(0)) / b).cast("long"),
+                    (F.length("name") / b).cast("long"),
+                    ((F.length("name") + d) / b).cast("long"),
+                )
+            )
+        ).alias("blk"),
+    )
+    cand = (
+        mention.join(
+            F.broadcast(cblocks),
+            (F.substring("mention", 1, 1) == F.col("c1"))
+            & ((F.length("mention") / b).cast("long") == F.col("blk")),
+        )
+        .select(
+            "mention_id", "mention", "name",
+            F.levenshtein("mention", "name").alias("dist"),
+        )
+        .where(F.col("dist") <= d)
+    )
+    w = Window.partitionBy("mention_id").orderBy("dist", "name")
+    best = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return mention.join(
+        F.broadcast(best.select("mention_id", "name", "dist")), "mention_id", "left"
+    ).select(
+        "mention_id", "mention",
+        F.col("name").alias("matched"),
+        F.col("dist").cast("long").alias("distance"),
+    )
+
+
+# --- Geo radius join (inline corpora) ----------------------------------
+# 1-degree grid blocking: one degree of latitude is ~111 km >= the
+# search radius, so a store exploded into its 3x3 neighbor cells meets
+# every point within GEO_RADIUS_KM at an equi join — never a cross join.
+# Corpus distances keep a >3 km margin from the radius so cross-engine
+# trig ULP differences cannot flip a boundary row.
+GEO_RADIUS_KM = 50.0
+EARTH_R_KM = 6371.0
+
+_STORE_ROWS = [
+    (1, 52.52, 13.405),   # Berlin
+    (2, 48.8566, 2.3522), # Paris
+    (3, 51.5074, -0.1278),# London
+]
+_POINT_ROWS = [
+    (101, 52.45, 13.30),  # ~9 km from Berlin
+    (102, 52.90, 13.40),  # ~42 km from Berlin
+    (103, 48.85, 2.40),   # ~3.6 km from Paris
+    (104, 50.11, 8.68),   # Frankfurt — no store in range
+    (105, 51.47, -0.45),  # ~22 km from London
+    (106, 53.00, 13.00),  # ~60 km from Berlin — outside radius
+    (107, 48.86, 2.35),   # ~0.4 km from Paris
+]
+
+_STORE_VALUES = ", ".join(f"({i}, {la}, {lo})" for i, la, lo in _STORE_ROWS)
+_POINT_VALUES = ", ".join(f"({i}, {la}, {lo})" for i, la, lo in _POINT_ROWS)
+
+_GEO_ORACLE = f"""
+WITH store(store_id, s_lat, s_lon) AS (VALUES {_STORE_VALUES}),
+pt(point_id, p_lat, p_lon) AS (VALUES {_POINT_VALUES}),
+scell AS (
+  SELECT store_id, s_lat, s_lon,
+         CAST(floor(s_lat) AS BIGINT) + di.d AS cla,
+         CAST(floor(s_lon) AS BIGINT) + dj.d AS clo
+  FROM store,
+       LATERAL (SELECT unnest([-1, 0, 1]) AS d) di,
+       LATERAL (SELECT unnest([-1, 0, 1]) AS d) dj
+),
+cand AS (
+  SELECT p.point_id, s.store_id,
+         2 * {EARTH_R_KM} * asin(sqrt(
+           pow(sin(radians(s.s_lat - p.p_lat) / 2), 2)
+           + cos(radians(p.p_lat)) * cos(radians(s.s_lat))
+             * pow(sin(radians(s.s_lon - p.p_lon) / 2), 2))) AS dist_km
+  FROM pt p
+  JOIN scell s
+    ON CAST(floor(p.p_lat) AS BIGINT) = s.cla
+   AND CAST(floor(p.p_lon) AS BIGINT) = s.clo
+)
+SELECT point_id, store_id, round(dist_km, 3) AS dist_km
+FROM cand WHERE dist_km <= {GEO_RADIUS_KM}
+"""
+
+
+@register("join_geo_radius", "X", oracle=_GEO_ORACLE,
+          doc=f"Geo radius join (inline corpora): points matched to "
+              f"stores within {GEO_RADIUS_KM:.0f} km by exact haversine, "
+              "candidates found via 1-degree grid-cell equi join (store "
+              "exploded to 3×3 neighbor cells) — spatial join without a "
+              "cross product")
+def join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grid join bounds candidates to nearby cells, so the haversine
+    runs on a sliver of the cross product — the standard scale shape for
+    radius joins (same blocking philosophy as LSH bucketing, in
+    coordinate space). The exploded store side is 9 rows/store and
+    broadcasts."""
+    store = spark.createDataFrame(_STORE_ROWS, ["store_id", "s_lat", "s_lon"])
+    pt = spark.createDataFrame(_POINT_ROWS, ["point_id", "p_lat", "p_lon"])
+    scell = (
+        store.select(
+            "*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("di")
+        )
+        .select("*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dj"))
+        .select(
+            "store_id", "s_lat", "s_lon",
+            (F.floor("s_lat").cast("long") + F.col("di")).alias("cla"),
+            (F.floor("s_lon").cast("long") + F.col("dj")).alias("clo"),
+        )
+    )
+    cand = pt.join(
+        F.broadcast(scell),
+        (F.floor("p_lat").cast("long") == F.col("cla"))
+        & (F.floor("p_lon").cast("long") == F.col("clo")),
+    )
+    hav = (
+        2 * EARTH_R_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("s_lat") - F.col("p_lat")) / 2), 2)
+                + F.cos(F.radians("p_lat")) * F.cos(F.radians("s_lat"))
+                * F.pow(F.sin(F.radians(F.col("s_lon") - F.col("p_lon")) / 2), 2)
+            )
+        )
+    )
+    return (
+        cand.select("point_id", "store_id", hav.alias("dist_km"))
+        .where(F.col("dist_km") <= GEO_RADIUS_KM)
+        .select("point_id", "store_id", F.round("dist_km", 3).alias("dist_km"))
     )

@@ -433,3 +433,80 @@ def scalar_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(d, F.lit("1992-01-01").cast("date")).alias("days_since_epoch"),
         F.dayofyear("o_orderdate").alias("doy"),
     )
+
+
+# Inline IPv4 corpus for the inet battery: addresses + CIDR blocks that
+# exercise octet math, /0 and /17 edge prefixes, and broadcast addresses.
+# Kept byte-identical between builder and oracle.
+_INET_ROWS = [
+    (1, "192.168.1.17", "192.168.0.0/16"),
+    (2, "10.0.5.200", "10.0.0.0/8"),
+    (3, "172.16.4.1", "192.168.0.0/16"),
+    (4, "8.8.8.8", "8.8.8.0/24"),
+    (5, "255.255.255.255", "0.0.0.0/0"),
+    (6, "192.168.255.255", "192.168.128.0/17"),
+]
+
+_INET_VALUES = ", ".join(f"({i}, '{ip}', '{c}')" for i, ip, c in _INET_ROWS)
+
+_SCALAR_INET_ORACLE = f"""
+WITH raw(row_id, ip, cidr) AS (VALUES {_INET_VALUES}),
+parsed AS (
+  SELECT row_id, ip, cidr,
+         CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+           + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+           + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+           + CAST(split_part(ip, '.', 4) AS BIGINT) AS ip_int,
+         CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216
+           + CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536
+           + CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256
+           + CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT) AS net_int,
+         CAST(split_part(cidr, '/', 2) AS BIGINT) AS prefix
+  FROM raw
+)
+SELECT row_id, ip_int, prefix,
+       CAST(floor(ip_int / power(2, 32 - prefix)) AS BIGINT)
+         = CAST(floor(net_int / power(2, 32 - prefix)) AS BIGINT) AS in_subnet,
+       split_part(ip, '.', 4) || '.' || split_part(ip, '.', 3) || '.'
+         || split_part(ip, '.', 2) || '.' || split_part(ip, '.', 1)
+         || '.in-addr.arpa' AS ptr
+FROM parsed
+"""
+
+
+@register("scalar_inet", "G", oracle=_SCALAR_INET_ORACLE,
+          doc="IPv4 battery (inline corpus): dotted-quad to integer, CIDR "
+              "containment via power-of-two prefix shift (incl. /0 and "
+              "non-octet /17), reverse-DNS PTR name — the log-enrichment "
+              "scalars of network analytics")
+def scalar_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure per-row projection — octet math via split_part + integer
+    arithmetic, containment as floor(ip / 2^(32-p)) equality (exact in
+    doubles for all 32-bit values). No UDF; scan speed at any scale."""
+    raw = spark.createDataFrame(_INET_ROWS, ["row_id", "ip", "cidr"])
+
+    def _octets(col: str):
+        return sum(
+            F.expr(f"CAST(split_part({col}, '.', {i + 1}) AS BIGINT)")
+            * (256 ** (3 - i))
+            for i in range(4)
+        )
+
+    parsed = raw.select(
+        "row_id", "ip",
+        _octets("ip").alias("ip_int"),
+        _octets("split_part(cidr, '/', 1)").alias("net_int"),
+        F.expr("CAST(split_part(cidr, '/', 2) AS BIGINT)").alias("prefix"),
+    )
+    shift = F.pow(F.lit(2.0), 32 - F.col("prefix"))
+    return parsed.select(
+        "row_id", "ip_int", "prefix",
+        (
+            F.floor(F.col("ip_int") / shift).cast("long")
+            == F.floor(F.col("net_int") / shift).cast("long")
+        ).alias("in_subnet"),
+        F.expr(
+            "concat(split_part(ip, '.', 4), '.', split_part(ip, '.', 3), '.', "
+            "split_part(ip, '.', 2), '.', split_part(ip, '.', 1), '.in-addr.arpa')"
+        ).alias("ptr"),
+    )

@@ -65,6 +65,9 @@ _OPERATOR_MODULES = (
     "toy_map_reduce_spark.operators.textprep",
     "toy_map_reduce_spark.operators.sketches",
     "toy_map_reduce_spark.operators.features",
+    "toy_map_reduce_spark.operators.drift",
+    "toy_map_reduce_spark.operators.curation",
+    "toy_map_reduce_spark.operators.monitoring",
     "toy_map_reduce_spark.streaming.windows",
     "toy_map_reduce_spark.sources.io_ops",
     "toy_map_reduce_spark.sources.bucketing",
