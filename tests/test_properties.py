@@ -223,3 +223,78 @@ def test_bpe_pairs_match_bruteforce(spark, words):
             for i in range(len(word) - 1):
                 expected[word[i : i + 2]] += 1
     assert got == dict(expected), (got, dict(expected))
+
+
+# --- blocking-scheme invariants (pure Python: the math the blocked joins
+# rely on, pinned independently of Spark) ------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=12),
+    st.text(alphabet="abcd", min_size=1, max_size=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_fuzzy_length_blocking_is_lossless(a, b):
+    # join_fuzzy_block invariant: if lev(a,b) <= FUZZY_MAX_DIST and the
+    # first chars agree, the canonical side's exploded length buckets
+    # must contain the mention's bucket — no true match is ever blocked
+    # away by the length dimension.
+    from toy_map_reduce_spark.operators.joins import FUZZY_LEN_BUCKET, FUZZY_MAX_DIST
+
+    if a[0] != b[0] or _lev(a, b) > FUZZY_MAX_DIST:
+        return
+    canon_buckets = {
+        max(len(b) - FUZZY_MAX_DIST, 0) // FUZZY_LEN_BUCKET,
+        len(b) // FUZZY_LEN_BUCKET,
+        (len(b) + FUZZY_MAX_DIST) // FUZZY_LEN_BUCKET,
+    }
+    assert len(a) // FUZZY_LEN_BUCKET in canon_buckets, (a, b, canon_buckets)
+
+
+@given(
+    st.floats(min_value=40.0, max_value=60.0),
+    st.floats(min_value=-10.0, max_value=20.0),
+    st.floats(min_value=-0.6, max_value=0.6),
+    st.floats(min_value=-0.9, max_value=0.9),
+)
+@settings(max_examples=300, deadline=None)
+def test_geo_grid_neighborhood_covers_radius(s_lat, s_lon, dlat, dlon):
+    # join_geo_radius invariant: any point within GEO_RADIUS_KM of a
+    # store falls in one of the store's 3x3 neighbor cells (1 degree of
+    # latitude ~111 km >= radius; longitude degrees only shrink with
+    # latitude, so +/-1 cell always suffices at these latitudes).
+    import math
+
+    from toy_map_reduce_spark.operators.joins import EARTH_R_KM, GEO_RADIUS_KM
+
+    p_lat, p_lon = s_lat + dlat, s_lon + dlon
+    d = (
+        2
+        * EARTH_R_KM
+        * math.asin(
+            math.sqrt(
+                math.sin(math.radians(s_lat - p_lat) / 2) ** 2
+                + math.cos(math.radians(p_lat))
+                * math.cos(math.radians(s_lat))
+                * math.sin(math.radians(s_lon - p_lon) / 2) ** 2
+            )
+        )
+    )
+    if d > GEO_RADIUS_KM:
+        return
+    cells = {
+        (math.floor(s_lat) + di, math.floor(s_lon) + dj)
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+    }
+    assert (math.floor(p_lat), math.floor(p_lon)) in cells

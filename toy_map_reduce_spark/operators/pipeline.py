@@ -770,3 +770,41 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         digest.alias("shard_digest"),
     )
+
+
+# Per-key sample size for the balanced subset.
+RSV_PER_KEY = 5
+
+_RESERVOIR_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#rsv'), doc_id) AS rn
+  FROM documents
+)
+SELECT lang, doc_id FROM ranked WHERE rn <= {RSV_PER_KEY}
+"""
+
+
+@register("sample_reservoir_per_key", "X", oracle=_RESERVOIR_ORACLE,
+          doc=f"Balanced per-key sample: exactly {RSV_PER_KEY} documents "
+              "per language, selected by md5 hash order — the "
+              "deterministic substitute for per-class reservoir sampling "
+              "(same rows every run, no sequential state)")
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-order row_number per key gives a uniform-looking, fully
+    reproducible k-per-class subset (true reservoir sampling is
+    sequential and order-dependent — unusable under re-ingestion). The
+    per-key sort is the honest exact cost; at 100 TB with huge keys the
+    swap-in keeps a k-sized min-heap per key via aggregation (min_by
+    over the hash), trading determinism for no sort — documented, not
+    silently chosen."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#rsv")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= RSV_PER_KEY)
+        .select("lang", "doc_id")
+    )

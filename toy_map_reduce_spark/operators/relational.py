@@ -484,3 +484,42 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _view(load(spark, sf_dir, "lineitem"), sf_dir, "gba_lineitem")
     return spark.sql(_GROUP_BY_ALL_SQL.format(t=v))
+
+
+_PIPE_SQL = """
+FROM {t}
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE round(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+   GROUP BY o_orderpriority
+|> WHERE n > 10
+|> ORDER BY o_orderpriority
+"""
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority, round(SUM(o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 10
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_pipe_syntax", "G", oracle=_PIPE_ORACLE,
+          doc="SQL pipe syntax (|> WHERE / AGGREGATE / ORDER BY): the "
+              "Spark 4 linear query form — filter, grouped aggregate, "
+              "post-aggregation filter, order — checked against the "
+              "classic SELECT/HAVING equivalent")
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe operators are pure analysis-time sugar: Catalyst lowers the
+    chain to the same Aggregate/Filter plan as the HAVING form, so the
+    physical shape (partial+final aggregate) is unchanged — the surface
+    exists so maintained pipelines read top-to-bottom."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    v = _view(load(spark, sf_dir, "orders"), sf_dir, "pipe_orders")
+    df = spark.sql(_PIPE_SQL.format(t=v))
+    from pyspark.sql import functions as _F
+
+    return df.select("o_orderpriority", "revenue", _F.col("n").cast("long").alias("n"))

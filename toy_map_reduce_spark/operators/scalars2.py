@@ -510,3 +510,45 @@ def scalar_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split_part(ip, '.', 2), '.', split_part(ip, '.', 1), '.in-addr.arpa')"
         ).alias("ptr"),
     )
+
+
+# Inline mixed-case corpus for the collation demo: the same entity name
+# under different casings, plus distinct entities.
+_COLLATION_ROWS = [
+    (1, "Spark"), (2, "spark"), (3, "SPARK"),
+    (4, "DuckDB"), (5, "duckdb"), (6, "Flink"),
+]
+
+_COLLATION_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _COLLATION_ROWS)
+
+_COLLATION_ORACLE = f"""
+WITH raw(row_id, s) AS (VALUES {_COLLATION_VALUES})
+SELECT lower(MIN(s)) AS canon,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_casings
+FROM raw GROUP BY lower(s)
+"""
+
+
+@register("scalar_collation", "G", oracle=_COLLATION_ORACLE,
+          doc="Case-insensitive grouping via Spark 4 collations "
+              "(UTF8_LCASE): rows grouped under a collated key, exposed "
+              "through a deterministic lower(min) canon — checked against "
+              "the classic lower() rewrite")
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The collated comparison happens in the grouping key itself
+    (collate(s, 'UTF8_LCASE')), exercising Spark 4's collation-aware
+    hash/equality path rather than a lower() projection; the output key
+    is lower(min(s)) because a collated group's representative value is
+    otherwise partition-order-dependent. At scale, collation-aware
+    grouping avoids materializing a second normalized column."""
+    raw = spark.createDataFrame(_COLLATION_ROWS, ["row_id", "s"])
+    return (
+        raw.groupBy(F.collate(F.col("s"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.lower(F.min("s")).alias("canon"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("s").alias("n_casings"),
+        )
+        .select("canon", "n", F.col("n_casings").cast("long").alias("n_casings"))
+    )

@@ -485,3 +485,55 @@ def timeseries_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("rev").over(w), 6).alias("mov_std7"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
+
+
+# Synthetic fulfillment window for the sweep line: an order stays open
+# (o_orderkey % 28 + 1) days from its order date — deterministic, so both
+# engines derive identical intervals from the fixture.
+_OPEN_INTERVALS_ORACLE = """
+WITH iv AS (
+  SELECT CAST(o_orderdate AS DATE) AS start_day,
+         CAST(CAST(o_orderdate AS DATE) + INTERVAL ((o_orderkey % 28) + 1) DAY
+              AS DATE) AS end_day
+  FROM orders
+),
+deltas AS (
+  SELECT start_day AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT end_day AS day, -1 AS delta FROM iv
+),
+daily AS (SELECT day, SUM(delta) AS d FROM deltas GROUP BY day)
+SELECT day,
+       CAST(SUM(d) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS open_orders
+FROM daily
+ORDER BY day
+"""
+
+
+@register("timeseries_open_intervals", "G", oracle=_OPEN_INTERVALS_ORACLE,
+          doc="Sweep-line concurrency: number of simultaneously open "
+              "orders per day via +1/-1 boundary deltas and a running "
+              "sum over the daily rollup — the interval-stabbing count "
+              "without an interval join")
+def timeseries_open_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval table never joins anything: each interval becomes two
+    delta rows, the deltas partial-aggregate to one row per calendar day,
+    and only that calendar-sized series flows into the cumulative window
+    (same post-reduction discipline as timeseries_forecast_naive). The
+    naive alternative — day × interval containment join — is quadratic;
+    this is the shape that survives 10^9 intervals."""
+    o = load(spark, sf_dir, "orders")
+    start = F.to_date("o_orderdate")
+    dur = (F.col("o_orderkey") % 28 + 1).cast("int")
+    iv = o.select(start.alias("start_day"), F.date_add(start, dur).alias("end_day"))
+    deltas = iv.select(F.col("start_day").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("end_day").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.select("day", F.sum("d").over(w).cast("long").alias("open_orders"))
+        .orderBy("day")
+    )
