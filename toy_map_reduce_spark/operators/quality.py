@@ -549,3 +549,81 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hits").cast("bigint").alias("total_hits"),
         F.sum("n_terms_hit").cast("bigint").alias("total_distinct_terms_hit"),
     )
+
+
+# Inline SFT-conversation corpus with planted format violations: conv 1
+# is clean; conv 2 starts with assistant; conv 3 repeats a role; conv 4
+# has an empty turn; conv 5 has an unknown role. Kept byte-identical
+# between builder and oracle.
+_CHAT_ROWS = [
+    (1, 0, "user", "hi"), (1, 1, "assistant", "hello"),
+    (1, 2, "user", "thanks"), (1, 3, "assistant", "welcome"),
+    (2, 0, "assistant", "unprompted"), (2, 1, "user", "ok"),
+    (3, 0, "user", "a"), (3, 1, "user", "b"), (3, 2, "assistant", "c"),
+    (4, 0, "user", "q"), (4, 1, "assistant", ""),
+    (5, 0, "user", "x"), (5, 1, "bot", "y"),
+]
+
+_CHAT_VALUES = ", ".join(
+    f"({c}, {t}, '{r}', '{m}')" for c, t, r, m in _CHAT_ROWS
+)
+
+_CHAT_FORMAT_ORACLE = f"""
+WITH turns(conv_id, turn_idx, role, content) AS (VALUES {_CHAT_VALUES}),
+lagged AS (
+  SELECT conv_id, turn_idx, role, content,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM turns
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       MIN(CASE WHEN turn_idx = 0 THEN role END) = 'user' AS starts_with_user,
+       CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_role_repeats,
+       CAST(SUM(CASE WHEN content = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(SUM(CASE WHEN role NOT IN ('user', 'assistant') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_role,
+       MIN(CASE WHEN turn_idx = 0 THEN role END) = 'user'
+         AND SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+         AND SUM(CASE WHEN content = '' THEN 1 ELSE 0 END) = 0
+         AND SUM(CASE WHEN role NOT IN ('user', 'assistant') THEN 1 ELSE 0 END) = 0
+         AS is_valid
+FROM lagged GROUP BY conv_id
+"""
+
+
+@register("quality_chat_format", "X", oracle=_CHAT_FORMAT_ORACLE,
+          doc="SFT chat-format validation (inline corpus): per "
+              "conversation — starts with user, strict role alternation, "
+              "no empty turns, only known roles — each violation counted "
+              "separately so the gate is auditable, one verdict row per "
+              "conversation")
+def quality_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion gate to tokenize_chat_template: validate BEFORE
+    flattening (a malformed conversation silently trains the model on
+    role soup). One lag window per conversation (turns are short by
+    construction) then a single per-conv aggregate; same auditable
+    per-signal shape as quality_filter."""
+    from pyspark.sql import Window
+
+    turns = spark.createDataFrame(
+        _CHAT_ROWS, ["conv_id", "turn_idx", "role", "content"]
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = turns.withColumn("prev_role", F.lag("role").over(w))
+    first_user = F.min(F.when(F.col("turn_idx") == 0, F.col("role"))) == "user"
+    repeats = F.sum(F.when(F.col("role") == F.col("prev_role"), 1).otherwise(0))
+    empties = F.sum(F.when(F.col("content") == "", 1).otherwise(0))
+    bad_roles = F.sum(
+        F.when(~F.col("role").isin("user", "assistant"), 1).otherwise(0)
+    )
+    return lagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        first_user.alias("starts_with_user"),
+        repeats.cast("long").alias("n_role_repeats"),
+        empties.cast("long").alias("n_empty"),
+        bad_roles.cast("long").alias("n_bad_role"),
+        (
+            first_user & (repeats == 0) & (empties == 0) & (bad_roles == 0)
+        ).alias("is_valid"),
+    )

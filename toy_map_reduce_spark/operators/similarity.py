@@ -706,3 +706,48 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("sim"), 6).alias("avg_sim"),
         )
     )
+
+
+_DIM_STATS_ORACLE = """
+WITH flat AS (
+  SELECT u.i - 1 AS dim, CAST(u.v AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS v,
+                       unnest(range(1, len(embedding) + 1)) AS i) u
+)
+SELECT dim,
+       round(AVG(v), 4) AS mean,
+       round(stddev_samp(v), 4) AS std,
+       round(MIN(v), 6) AS min_v,
+       round(MAX(v), 6) AS max_v,
+       CAST(SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM flat GROUP BY dim
+ORDER BY dim
+"""
+
+
+@register("embedding_dim_stats", "X", oracle=_DIM_STATS_ORACLE,
+          doc="Per-dimension embedding health stats: mean/std/min/max and "
+              "zero counts for each of the 64 dimensions — the dead-dim "
+              "and scale-drift screen run before any index build")
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode fans each vector into (dim, value) rows — 64 rows per
+    vector — then one map-side-combined groupBy on dim reduces to 64
+    output rows however large the corpus; no window, no collect. The
+    float32 values are exact as doubles, so only the summed stats need
+    the cross-engine round."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    return (
+        flat.groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 4).alias("mean"),
+            F.round(F.stddev_samp("v"), 4).alias("std"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+            F.sum(F.when(F.col("v") == 0.0, 1).otherwise(0)).cast("long").alias("n_zero"),
+        )
+        .orderBy("dim")
+    )

@@ -596,3 +596,67 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return run_to_table(agg, "stream_static_sink", "complete", sf_dir)
+
+
+# Chained-window oracle: 5-min counts rolled up to hours, emitted only
+# for hours finalized by the final watermark (max event time floored to
+# Spark's millisecond watermark granularity, minus the 10-min delay) —
+# append-mode multi-stateful semantics replicated exactly in batch SQL.
+_STREAM_CHAINED_ORACLE = """
+WITH wm AS (
+  SELECT date_trunc('millisecond', MAX(ts)) - INTERVAL 10 MINUTE AS w
+  FROM events
+),
+five AS (
+  SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS w5, event_type,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+hourly AS (
+  SELECT to_timestamp(floor(epoch(w5) / 3600) * 3600) AS window_start,
+         event_type,
+         MAX(c) AS max_5min_cnt,
+         SUM(c) AS total_cnt
+  FROM five GROUP BY 1, 2
+)
+SELECT h.window_start, h.event_type,
+       CAST(h.max_5min_cnt AS BIGINT) AS max_5min_cnt,
+       CAST(h.total_cnt AS BIGINT) AS total_cnt
+FROM hourly h, wm
+WHERE h.window_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+
+@register("stream_chained_windows", "S", oracle=_STREAM_CHAINED_ORACLE,
+          doc="Chained streaming aggregations (Spark multi-stateful-"
+              "operator support): 5-min windowed counts re-aggregated "
+              "into hourly max/total via window_time, append mode — "
+              "oracle replicates the final-watermark emission rule")
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two stateful operators in one streaming query — the inner 5-min
+    count emits finalized windows downstream (append), the outer buckets
+    them by window_time into hours. State is one row per (window, key)
+    at each level, watermark-evicted; only hours fully below the final
+    watermark emit, which the oracle mirrors with the ms-floored
+    watermark rule (the same boundary discipline as stream_late_drop).
+    This is the streaming rollup shape of a metrics pipeline: raw →
+    minutely → hourly without a batch re-read."""
+    ev = read_events_stream(spark, sf_dir)
+    five = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hourly = (
+        five.groupBy(
+            F.window(F.window_time("window"), "1 hour").alias("hwin"), "event_type"
+        )
+        .agg(F.max("c").alias("max_5min_cnt"), F.sum("c").alias("total_cnt"))
+    )
+    out = run_to_table(hourly, "stream_chained_sink", "append", sf_dir)
+    return out.select(
+        F.col("hwin.start").alias("window_start"),
+        "event_type",
+        F.col("max_5min_cnt").cast("long").alias("max_5min_cnt"),
+        F.col("total_cnt").cast("long").alias("total_cnt"),
+    )
