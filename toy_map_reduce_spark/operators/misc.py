@@ -336,3 +336,36 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("max_str"),
         F.round(F.avg(F.length("v")), 4).alias("avg_len"),
     )
+
+
+_LISTAGG_SQL = """
+SELECT n_regionkey,
+       listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS names,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM {t}
+GROUP BY n_regionkey
+"""
+
+_LISTAGG_ORACLE = """
+SELECT n_regionkey,
+       string_agg(n_name, '|' ORDER BY n_name) AS names,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("agg_listagg", "G", oracle=_LISTAGG_ORACLE,
+          doc="SQL:2016 LISTAGG ... WITHIN GROUP (Spark 4 native): ordered "
+              "string aggregation per region, checked against DuckDB's "
+              "ordered string_agg — the standard form of what "
+              "agg_string_concat builds manually from collect_list")
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WITHIN GROUP ordering makes the concatenation deterministic
+    under shuffle (the same reason agg_string_concat sort_arrays its
+    collect_list); state per group is the value list — bounded here by
+    group size, the honest cost of any ordered string aggregate."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    v = _view(load(spark, sf_dir, "nation"), sf_dir, "listagg_nation")
+    return spark.sql(_LISTAGG_SQL.format(t=v))

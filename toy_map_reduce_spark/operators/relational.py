@@ -523,3 +523,42 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as _F
 
     return df.select("o_orderpriority", "revenue", _F.col("n").cast("long").alias("n"))
+
+
+_PARAM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(AVG(o_totalprice), 4) AS avg_price
+FROM orders
+WHERE o_totalprice > 200000 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_parameterized", "G", oracle=_PARAM_ORACLE,
+          doc="Parameterized SQL (Spark 4 named parameter markers + "
+              "DataFrame template args): threshold and status bound via "
+              ":params, the table via {df} interpolation — the "
+              "injection-safe query surface for applications")
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter markers bind as literals during analysis (Catalyst
+    constant-folds them like inline constants — same plan as the literal
+    query), so the surface costs nothing at runtime; what it buys is
+    plan-cache reuse and no string-splicing injection risk."""
+    orders = load(spark, sf_dir, "orders")
+    df = spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               round(AVG(o_totalprice), 4) AS avg_price
+        FROM {orders}
+        WHERE o_totalprice > :minp AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"minp": 200000, "status": "O"},
+        orders=orders,
+    )
+    return df.select(
+        "o_orderpriority", F.col("n").cast("long").alias("n"), "avg_price"
+    )

@@ -251,3 +251,51 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT * FROM tmr_group_summary(TABLE({v}) PARTITION BY lang)"
     )
+
+
+# Arrow-optimized Python UDF (Spark 4 useArrow=True): same tolerant
+# int-parse rule as the reference trio (``UserDefinedFunctions.scala:23``
+# Try(toInt).getOrElse(0)), but executed over Arrow batches instead of
+# pickled rows — the migration path for row UDFs that must stay Python.
+@F.udf(T.LongType(), useArrow=True)
+def arrow_tolerant_int(s: str) -> int:
+    try:
+        return int(s)
+    except (TypeError, ValueError):
+        return 0
+
+
+_UDF_ARROW_ORACLE = """
+WITH tagged AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 3 THEN 'garbage'
+              ELSE CAST(o_orderkey % 100 AS VARCHAR) END AS raw
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(SUM(COALESCE(TRY_CAST(raw AS BIGINT), 0)) AS BIGINT) AS tolerant_sum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tagged GROUP BY o_orderpriority
+"""
+
+
+@register("udf_arrow", "X", oracle=_UDF_ARROW_ORACLE,
+          doc="Arrow-optimized Python UDF (useArrow=True): the reference's "
+              "tolerant int parse over Arrow batches with a planted-garbage "
+              "column — the ~10× faster serialization path for UDFs that "
+              "cannot leave Python")
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical semantics to the pickled-row form in udf_surface, but
+    the executor exchanges Arrow record batches with the Python worker —
+    no per-row pickling. Benched (unlike udf_surface) precisely because
+    the Arrow path is the one you would actually ship in a hot path when
+    a Python dependency is unavoidable."""
+    o = load(spark, sf_dir, "orders")
+    raw = F.when(F.col("o_orderkey") % 7 == 3, F.lit("garbage")).otherwise(
+        (F.col("o_orderkey") % 100).cast("string")
+    )
+    tagged = o.select("o_orderpriority", raw.alias("raw"))
+    return tagged.groupBy("o_orderpriority").agg(
+        F.sum(arrow_tolerant_int(F.col("raw"))).cast("long").alias("tolerant_sum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
