@@ -369,3 +369,44 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _view(load(spark, sf_dir, "nation"), sf_dir, "listagg_nation")
     return spark.sql(_LISTAGG_SQL.format(t=v))
+
+
+_FILTER_CLAUSE_SQL = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulky,
+       round(SUM(l_extendedprice) FILTER (WHERE l_discount = 0), 2)
+         AS rev_no_discount,
+       round(AVG(l_extendedprice) FILTER (WHERE l_tax > 0.05), 4)
+         AS avg_price_taxed,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM {t}
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_filter_clause", "G",
+          oracle=_FILTER_CLAUSE_SQL.format(t="lineitem").replace(
+              "COUNT(*) FILTER (WHERE l_quantity > 25)",
+              "CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT)"),
+          doc="SQL:2003 FILTER (WHERE ...) aggregate modifier: per-group "
+              "conditional count/sum/avg in one pass, identical clause "
+              "text on both engines — the standard form of what "
+              "agg_conditional builds from CASE")
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER compiles to the same partial+final aggregate as the CASE
+    encoding (Catalyst rewrites it during analysis) — registered
+    separately because it is the surface optimizing SQL generators emit,
+    and the NULL-handling difference vs CASE (COUNT skips, SUM of empty
+    set is NULL not 0) is worth pinning cross-engine."""
+    from pyspark.sql import functions as _F
+
+    from toy_map_reduce_spark.operators.extras import _view
+
+    v = _view(load(spark, sf_dir, "lineitem"), sf_dir, "filter_lineitem")
+    df = spark.sql(_FILTER_CLAUSE_SQL.format(t=v))
+    return df.select(
+        "l_returnflag",
+        _F.col("n_bulky").cast("long").alias("n_bulky"),
+        "rev_no_discount", "avg_price_taxed",
+        _F.col("n").cast("long").alias("n"),
+    )

@@ -347,3 +347,60 @@ def stat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("raw") < F.col("p05"), 1)).alias("n_clipped_low"),
         F.count(F.when(F.col("raw") > F.col("p95"), 1)).alias("n_clipped_high"),
     )
+
+
+_T_TEST_ORACLE = """
+WITH s AS (
+  SELECT AVG(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+         var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+         COUNT(CASE WHEN event_type = 'purchase' THEN value END) AS n1,
+         AVG(CASE WHEN event_type = 'click' THEN value END) AS m2,
+         var_samp(CASE WHEN event_type = 'click' THEN value END) AS v2,
+         COUNT(CASE WHEN event_type = 'click' THEN value END) AS n2
+  FROM events WHERE event_type IN ('purchase', 'click')
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(m1 - m2, 6) AS mean_diff,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 4)
+         AS welch_df
+FROM s
+"""
+
+
+@register("stat_t_test", "X", oracle=_T_TEST_ORACLE,
+          doc="Welch two-sample t-test between purchase and click values: "
+              "t statistic and Welch-Satterthwaite degrees of freedom "
+              "from one conditional aggregate pass — the A/B significance "
+              "readout next to events_ab_test's effect sizes")
+def stat_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both samples reduce in a single conditional-aggregate scan (CASE
+    inside avg/var_samp/count — NULLs fall out of all three identically
+    on both engines); the statistic is arithmetic on one row. The
+    cheapest possible significance test at any scale — one map-side-
+    combined pass, six numbers of state."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    cv = F.when(F.col("event_type") == "click", F.col("value"))
+    s = ev.agg(
+        F.avg(pv).alias("m1"), F.var_samp(pv).alias("v1"), F.count(pv).alias("n1"),
+        F.avg(cv).alias("m2"), F.var_samp(cv).alias("v2"), F.count(cv).alias("n2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )
