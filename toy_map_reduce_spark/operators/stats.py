@@ -404,3 +404,201 @@ def stat_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_df"),
     )
+
+
+_AUC_ORACLE = """
+WITH lab AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+byv AS (
+  SELECT score, SUM(label) AS np, SUM(1 - label) AS nn
+  FROM lab GROUP BY score
+),
+cum AS (
+  SELECT np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY score
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS nn_before,
+         SUM(np) OVER () AS tot_p,
+         SUM(nn) OVER () AS tot_n
+  FROM byv
+)
+SELECT CAST(MAX(tot_p) AS BIGINT) AS n_pos,
+       CAST(MAX(tot_n) AS BIGINT) AS n_neg,
+       round(SUM(np * (nn_before + nn / 2.0)) / (MAX(tot_p) * MAX(tot_n)), 6)
+         AS auc
+FROM cum
+"""
+
+
+@register("stat_auc", "X", oracle=_AUC_ORACLE,
+          doc="Exact ROC AUC of event value as a purchase-vs-click "
+              "classifier score: Mann-Whitney U with midrank tie "
+              "handling, computed over the distinct-score aggregate — "
+              "the ranking-metric readout of an eval pipeline")
+def stat_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC = P(score_pos > score_neg) + P(equal)/2 — the U statistic,
+    accumulated per distinct score: positives at a score see every
+    strictly-lower negative fully and tied negatives at half weight.
+    Same scale shape as stat_ks_test: raw rows reduce to one row per
+    distinct score (map-side combined) BEFORE the single ordered
+    cumulative pass, so the sort touches |distinct scores| rows. The
+    arithmetic stays integer-exact until the final division."""
+    lab = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.col("value").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        )
+    )
+    byv = lab.groupBy("score").agg(
+        F.sum("label").alias("np"), F.sum(1 - F.col("label")).alias("nn")
+    )
+    w_before = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    cum = byv.select(
+        "np", "nn",
+        F.coalesce(F.sum("nn").over(w_before), F.lit(0)).alias("nn_before"),
+        F.sum("np").over(wall).alias("tot_p"),
+        F.sum("nn").over(wall).alias("tot_n"),
+    )
+    return cum.agg(
+        F.max("tot_p").cast("long").alias("n_pos"),
+        F.max("tot_n").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("np") * (F.col("nn_before") + F.col("nn") / 2.0))
+            / (F.max("tot_p") * F.max("tot_n")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_CALIBRATION_ORACLE = """
+WITH lab AS (
+  SELECT event_id, value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+binned AS (
+  SELECT label, score,
+         ntile(10) OVER (ORDER BY score, event_id) AS bin
+  FROM lab
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(AVG(CAST(label AS DOUBLE)), 6) AS frac_positive,
+       round(AVG(score), 4) AS mean_score,
+       round(MIN(score), 2) AS lo,
+       round(MAX(score), 2) AS hi
+FROM binned GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("stat_calibration_bins", "X", oracle=_CALIBRATION_ORACLE,
+          doc="Calibration curve: equal-frequency score deciles with the "
+              "observed positive rate and mean score per bin — the "
+              "reliability diagram behind every 'is this score a "
+              "probability' review")
+def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile is a global sort, tie-broken deterministically on event_id
+    (same honesty note as feature_quantile_bucket — the 100 TB swap-in
+    is approx_percentile bin edges broadcast over the scan); everything
+    after the binning is a 10-row aggregate."""
+    lab = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_id",
+            F.col("value").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        )
+    )
+    w = Window.orderBy("score", "event_id")
+    binned = lab.select("label", "score", F.ntile(10).over(w).alias("bin"))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias("frac_positive"),
+            F.round(F.avg("score"), 4).alias("mean_score"),
+            F.round(F.min("score"), 2).alias("lo"),
+            F.round(F.max("score"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+# CUPED cutoff: events strictly before this day are the pre-period
+# covariate; at or after are the experiment metric.
+CUPED_CUTOFF = "2024-01-15"
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         user_id % 2 AS variant,
+         COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{CUPED_CUTOFF}' THEN value END), 0)
+           AS pre,
+         COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}' THEN value END), 0)
+           AS post
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT covar_samp(pre, post) / var_samp(pre) AS theta,
+         AVG(pre) AS pre_mean,
+         var_samp(post) AS var_post
+  FROM per_user
+),
+adj AS (
+  SELECT p.variant, p.post - g.theta * (p.pre - g.pre_mean) AS y,
+         g.var_post
+  FROM per_user p CROSS JOIN g
+)
+SELECT variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(AVG(y), 4) AS adj_mean,
+       round(var_samp(y) / MAX(var_post), 6) AS var_ratio
+FROM adj GROUP BY variant
+ORDER BY variant
+"""
+
+
+@register("events_ab_cuped", "X", oracle=_CUPED_ORACLE,
+          doc="CUPED variance reduction for the A/B readout: per-user "
+              "pre-period covariate, theta = cov(pre,post)/var(pre), "
+              "adjusted metric mean and residual-variance ratio per "
+              "variant — the standard experimentation power lever")
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three aggregate passes, no window: users reduce in one
+    conditional-aggregate groupBy; theta/means are a one-row broadcast
+    cross join; the adjusted metric re-aggregates per variant. At 100 TB
+    the per-user rollup is the only real shuffle — exactly how CUPED
+    runs in production experiment platforms."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(CUPED_CUTOFF).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cutoff, F.col("value"))), F.lit(0.0)).alias("pre"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cutoff, F.col("value"))), F.lit(0.0)).alias("post"),
+    ).select("*", (F.col("user_id") % 2).alias("variant"))
+    g = per_user.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("theta"),
+        F.avg("pre").alias("pre_mean"),
+        F.var_samp("post").alias("var_post"),
+    )
+    adj = per_user.crossJoin(F.broadcast(g)).select(
+        "variant",
+        (F.col("post") - F.col("theta") * (F.col("pre") - F.col("pre_mean"))).alias("y"),
+        "var_post",
+    )
+    return (
+        adj.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("y"), 4).alias("adj_mean"),
+            F.round(F.var_samp("y") / F.max("var_post"), 6).alias("var_ratio"),
+        )
+        .orderBy("variant")
+    )
