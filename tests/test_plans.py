@@ -338,3 +338,29 @@ def test_blocked_joins_no_cross_product(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_runtime_bloom_filter_is_injected(spark, sf_dir):
+    # under production-scale thresholds (the app-side size floor lowered,
+    # since fixture scans are tiny) the optimized plan must carry the
+    # might_contain runtime filter on the lineitem side — the injected
+    # Bloom semi-join filter that makes shuffle volume track selectivity
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = get_spec("join_runtime_bloom").builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime Bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -844,3 +844,45 @@ def join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist_km") <= GEO_RADIUS_KM)
         .select("point_id", "store_id", F.round("dist_km", 3).alias("dist_km"))
     )
+
+
+_RUNTIME_BLOOM_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       round(SUM(l.l_extendedprice), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_runtime_bloom", "G", oracle=_RUNTIME_BLOOM_ORACLE,
+          doc="Runtime Bloom-filter join surface: the selective-filter "
+              "fact-fact join shape whose lineitem side Catalyst prunes "
+              "before the shuffle via an injected might_contain filter "
+              "at production sizes — injection plan-asserted under "
+              "scale-emulating confs in tests")
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The biggest shuffle lever on selective fact-fact joins at 100 TB:
+    without it every lineitem row shuffles and only then meets the
+    filtered orders; with it the scan side hits a Bloom of the surviving
+    join keys first, so shuffle volume tracks SELECTIVITY, not table
+    size. Injection requires that NEITHER side fits broadcast (a
+    broadcast join already avoids shuffling the fact rows), so at
+    fixture scale the query correctly planned as a broadcast join and
+    no filter appears; tests/test_plans.py emulates production sizes
+    (broadcast off, application-side floor lowered) and asserts
+    might_contain is injected — the conf set a 100 TB deployment runs
+    with out of the box."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
