@@ -124,3 +124,162 @@ def timeseries_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# Bot heuristics: flag users whose event stream is implausibly regular
+# (coefficient of variation of inter-arrival gaps below CV_BOT) or
+# implausibly fast (rate above RATE_BOT events/hour), with MIN_EVENTS
+# events minimum so singletons can't trip either flag.
+CV_BOT = 0.3
+RATE_BOT = 2.0
+MIN_EVENTS = 10
+
+_BOT_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         date_diff('microsecond', MIN(ts), MAX(ts)) / 3600e6 AS span_hours,
+         AVG(gap_us) AS gap_mean,
+         stddev_samp(gap_us) AS gap_std
+  FROM gaps GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(n_events / span_hours, 4) AS rate_per_hour,
+       round(gap_std / gap_mean, 6) AS gap_cv,
+       n_events >= {MIN_EVENTS} AND gap_std / gap_mean < {CV_BOT} AS flag_regular,
+       n_events >= {MIN_EVENTS} AND n_events / span_hours > {RATE_BOT} AS flag_rate
+FROM per_user
+WHERE n_events >= 2
+"""
+
+
+@register("events_bot_detection", "X", oracle=_BOT_ORACLE,
+          doc="Bot/abuse screen for training-data curation: per-user "
+              "event-rate and inter-arrival regularity (gap coefficient "
+              "of variation), with metronome-regular or high-rate "
+              "accounts flagged — machine traffic poisons both analytics "
+              "and training corpora")
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lag window per user for the gaps, then a single per-user
+    aggregate — the same two-step shape as orders_interpurchase. Human
+    traffic has bursty gaps (CV near or above 1); scripted traffic is
+    metronomic (CV near 0) or flood-fast, which is exactly what the two
+    flags separate. All thresholds are integer/ratio comparisons on
+    rounded columns, so the verdicts are cross-engine stable."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "ts",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 3.6e9).alias(
+            "span_hours"
+        ),
+        F.avg("gap_us").alias("gap_mean"),
+        F.stddev_samp("gap_us").alias("gap_std"),
+    )
+    cv = F.col("gap_std") / F.col("gap_mean")
+    rate = F.col("n_events") / F.col("span_hours")
+    return per_user.where(F.col("n_events") >= 2).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(rate, 4).alias("rate_per_hour"),
+        F.round(cv, 6).alias("gap_cv"),
+        ((F.col("n_events") >= MIN_EVENTS) & (cv < CV_BOT)).alias("flag_regular"),
+        ((F.col("n_events") >= MIN_EVENTS) & (rate > RATE_BOT)).alias("flag_rate"),
+    )
+
+
+_CUSUM_ORACLE = """
+WITH RECURSIVE d0 AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM d0
+),
+mu AS (SELECT AVG(n) AS mu, COUNT(*) AS n_days FROM daily),
+c AS (
+  SELECT d.rn, d.day, GREATEST(0, d.n - m.mu) AS s
+  FROM daily d, mu m WHERE d.rn = 1
+  UNION ALL
+  SELECT d.rn, d.day, GREATEST(0, c.s + d.n - m.mu) AS s
+  FROM c JOIN daily d ON d.rn = c.rn + 1, mu m
+),
+peak AS (SELECT day, s FROM c ORDER BY s DESC, day ASC LIMIT 1)
+SELECT CAST(m.n_days AS BIGINT) AS n_days,
+       round(m.mu, 4) AS mu,
+       round(p.s, 4) AS max_cusum,
+       p.day AS peak_day
+FROM mu m CROSS JOIN peak p
+"""
+
+
+@register("timeseries_cusum_drift", "X", oracle=_CUSUM_ORACLE,
+          doc="One-sided CUSUM change detection on daily event volume: "
+              "clamped cumulative deviation from the mean (a true "
+              "recursive fold, like timeseries_ewma), reporting the peak "
+              "statistic and the day it peaks — the classic drift alarm "
+              "a rate threshold misses")
+def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM's clamp (max(0, prev + x - mu)) makes every value depend on
+    the whole prefix — not frame-expressible, so it is an ordered fold
+    over the daily rollup (calendar-sized: the collect_list holds days,
+    never events — same contract as timeseries_ewma). The oracle runs
+    the identical recurrence as a recursive CTE; the argmax tie rule
+    (earliest day) is pinned on both sides."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = daily.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("day"), F.col("n").cast("double").alias("n")))
+        ).alias("pts")
+    ).select(
+        "pts",
+        F.size("pts").cast("long").alias("n_days"),
+        (
+            F.aggregate(F.col("pts"), F.lit(0.0), lambda acc, p: acc + p["n"])
+            / F.size("pts")
+        ).alias("mu"),
+    )
+    init = F.struct(
+        F.lit(0.0).alias("s"),
+        F.lit(-1.0).alias("best_s"),
+        F.lit(None).cast("date").alias("best_day"),
+    )
+
+    def step(acc, p):
+        s = F.greatest(F.lit(0.0), acc["s"] + p["n"] - F.col("mu"))
+        better = s > acc["best_s"]
+        return F.struct(
+            s.alias("s"),
+            F.when(better, s).otherwise(acc["best_s"]).alias("best_s"),
+            F.when(better, p["day"]).otherwise(acc["best_day"]).alias("best_day"),
+        )
+
+    # the fold must run in a select where "mu" still names the UNROUNDED
+    # column: Spark resolves lateral column aliases within a select list,
+    # so rounding mu under the same name first would feed the rounded
+    # value into the recurrence (0.00003/step of drift vs the oracle)
+    folded = series.select(
+        "n_days",
+        "mu",
+        F.aggregate(F.col("pts"), init, step).alias("acc"),
+    )
+    return folded.select(
+        "n_days", F.round("mu", 4).alias("mu"),
+        F.round(F.col("acc.best_s"), 4).alias("max_cusum"),
+        F.col("acc.best_day").alias("peak_day"),
+    )

@@ -562,3 +562,32 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "o_orderpriority", F.col("n").cast("long").alias("n"), "avg_price"
     )
+
+
+_STAR_EXCEPT_SQL = """
+SELECT * EXCEPT (o_orderstatus, o_orderpriority)
+FROM {t}
+WHERE o_orderkey < 100
+"""
+
+_STAR_EXCEPT_ORACLE = """
+SELECT * EXCLUDE (o_orderstatus, o_orderpriority)
+FROM orders
+WHERE o_orderkey < 100
+"""
+
+
+@register("sql_star_except", "G", oracle=_STAR_EXCEPT_ORACLE,
+          doc="SELECT * EXCEPT(...) projection syntax (DuckDB: EXCLUDE): "
+              "drop-columns-by-name star expansion — the maintainable "
+              "form of wide-table projection, resolved at analysis time "
+              "so pruning still reaches the scan")
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-except expands during analysis to an explicit column list,
+    so Catalyst's column pruning works exactly as if the survivors were
+    typed out — worth pinning because wide fact tables (hundreds of
+    columns at 100 TB) make explicit select lists unmaintainable."""
+    from toy_map_reduce_spark.operators.extras import _view
+
+    v = _view(load(spark, sf_dir, "orders"), sf_dir, "star_except_orders")
+    return spark.sql(_STAR_EXCEPT_SQL.format(t=v))

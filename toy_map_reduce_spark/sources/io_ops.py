@@ -746,3 +746,61 @@ def sink_table_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# binaryFile source: cap the blob corpus at this many documents so the
+# scratch dir holds a bounded file count at any scale factor.
+BINARYFILE_DOCS = 20
+
+_BINARYFILE_ORACLE = f"""
+SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin' AS file_name,
+       CAST(octet_length(encode(text)) AS BIGINT) AS length,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < {BINARYFILE_DOCS}
+"""
+
+
+@register("source_binaryfile", "G", oracle=_BINARYFILE_ORACLE,
+          doc=f"binaryFile source roundtrip: {BINARYFILE_DOCS} document "
+              "payloads written as raw .bin files, read back via "
+              "spark.read.format('binaryFile') with path/length/content, "
+              "digests checked against the originating table — the "
+              "ingest format of every image/audio/video lake")
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile is how multimodal payloads enter Spark: one row per
+    file with (path, modificationTime, length, content-as-bytes); at
+    lake scale you point it at an object-store prefix with
+    pathGlobFilter and recursiveFileLookup and get a binary column to
+    feed the mapInPandas decoders (operators/multimodal.py). Here the
+    files are written from the documents fixture so the oracle can
+    recompute length and md5 from the table side. The corpus-setup
+    collect is bounded at BINARYFILE_DOCS rows by the pushed-down
+    doc_id filter — setup-side only, never the query path."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.tables import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < BINARYFILE_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    outdir = _scratch(sf_dir, "binaryfile_corpus")
+    _os.makedirs(outdir, exist_ok=True)
+    for r in docs:
+        with open(_os.path.join(outdir, f"doc_{r.doc_id:06d}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    read = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(outdir)
+    )
+    return read.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("length"),
+        F.md5("content").alias("content_md5"),
+    )
