@@ -315,3 +315,49 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("simhash"),
     )
     return simhash_pairs(sig, max_hamming=3).withColumnRenamed("hamming", "phash_dist")
+
+
+_ARROW_MAP_ORACLE = """
+WITH b AS (
+  SELECT octet_length(encode(text)) AS n_bytes FROM documents
+)
+SELECT CAST(n_bytes // 100 AS BIGINT) AS size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+FROM b GROUP BY 1
+"""
+
+
+@register("multimodal_arrow_map", "X", oracle=_ARROW_MAP_ORACLE,
+          doc="mapInArrow surface: per-batch pyarrow RecordBatch transform "
+              "computing blob byte sizes without pandas materialization, "
+              "rolled up to a size histogram — the zero-copy path for "
+              "byte-heavy multimodal batches")
+def multimodal_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow hands the Python worker raw Arrow RecordBatches —
+    no pandas conversion, no per-cell boxing — which is the right
+    surface when the payload is large binary (a pandas object column of
+    blobs copies every buffer). The Python stage only computes per-blob
+    byte lengths; the histogram is a JVM-side aggregate after, so the
+    Arrow boundary carries one int per blob back."""
+    import pyarrow as pa
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("text").cast("binary").alias("payload")
+    )
+
+    def blob_sizes(batches):
+        for batch in batches:
+            sizes = pa.array(
+                [len(v.as_py()) for v in batch.column(0)], type=pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays([sizes], names=["n_bytes"])
+
+    sized = docs.mapInArrow(blob_sizes, "n_bytes long")
+    return (
+        sized.groupBy((F.col("n_bytes") / 100).cast("long").alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blobs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+    )

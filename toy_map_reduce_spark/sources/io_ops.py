@@ -804,3 +804,66 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("length"),
         F.md5("content").alias("content_md5"),
     )
+
+
+_ANALYZE_STATS_ORACLE = """
+SELECT 'o_custkey' AS col,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_count,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_v,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderkey',
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+       CAST(MIN(o_orderkey) AS BIGINT),
+       CAST(MAX(o_orderkey) AS BIGINT)
+FROM orders
+"""
+
+
+@register("catalog_analyze_stats", "G", oracle=_ANALYZE_STATS_ORACLE,
+          doc="ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS: CBO "
+              "column stats (null count, min, max) collected into the "
+              "catalog and read back via DESCRIBE EXTENDED — the exact "
+              "stats subset checked against direct aggregation (ndv is "
+              "HLL-approximate by design and excluded)")
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics are what turn Catalyst's cost-based decisions
+    (join reordering, broadcast choice, DPP benefit estimates) from
+    guesses into measurements — at 100 TB an un-analyzed fact table is
+    a wrong-join-order incident waiting to happen. ANALYZE needs a
+    catalog table (not a view), so the fixture is registered once per
+    sf; the DESCRIBE output is parsed back into typed rows."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.tables import load
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"analyze_orders_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        load(spark, sf_dir, "orders").write.mode("overwrite").option(
+            "path", _scratch(sf_dir, "analyze_orders_tbl")
+        ).saveAsTable(tbl)
+    spark.sql(
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_custkey, o_orderkey"
+    )
+    parts = []
+    for col in ("o_custkey", "o_orderkey"):
+        desc = spark.sql(f"DESCRIBE EXTENDED {tbl} {col}")
+        stats = (
+            desc.withColumn("col", F.lit(col))
+            .where(F.col("info_name").isin("num_nulls", "min", "max"))
+            .groupBy("col")
+            .pivot("info_name", ["num_nulls", "min", "max"])
+            .agg(F.first("info_value"))
+        )
+        parts.append(stats)
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "col",
+        F.col("num_nulls").cast("long").alias("null_count"),
+        F.col("min").cast("long").alias("min_v"),
+        F.col("max").cast("long").alias("max_v"),
+    )
