@@ -808,3 +808,90 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= RSV_PER_KEY)
         .select("lang", "doc_id")
     )
+
+
+LEAK_PLANT = 50
+
+_SPLIT_LEAKAGE_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- planted duplicates: the fixture has no byte-identical docs, so the
+  -- audit re-ingests the first {LEAK_PLANT} under fresh ids (the
+  -- mirror-site scenario the audit exists to catch)
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id < {LEAK_PLANT}
+),
+d AS (
+  SELECT doc_id, md5(text) AS h,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10 < 8
+              THEN 'train' ELSE 'test' END AS id_split,
+         CASE WHEN {_FP_SQL} % 100 < 80 THEN 'train' ELSE 'test' END AS content_split
+  FROM corpus
+),
+g AS (
+  SELECT h,
+         COUNT(*) AS n_copies,
+         COUNT(DISTINCT id_split) AS id_sides,
+         COUNT(DISTINCT content_split) AS content_sides
+  FROM d GROUP BY h HAVING COUNT(*) > 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(n_copies) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN id_sides > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS leaked_groups_id_split,
+       CAST(SUM(CASE WHEN content_sides > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS leaked_groups_content_split
+FROM g
+"""
+
+
+@register("pipeline_split_leakage", "X", oracle=_SPLIT_LEAKAGE_ORACLE,
+          doc="Train/test leakage audit: exact-duplicate groups spanning "
+              "both sides of (a) a doc_id-hash split and (b) the "
+              "content-fingerprint split — the content split provably "
+              "leaks zero groups, which is why dataset_split hashes "
+              "content, never ids")
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit behind dataset_split's design choice: a duplicate pair
+    split by doc_id hash lands on both sides ~32% of the time (1 - 0.8²
+    - 0.2²), silently inflating eval scores; a content-hash split sends
+    every byte-identical copy to the same side, so its leakage column is
+    structurally zero. One groupBy on the content hash (map-side
+    combined), two distinct-counts per group, one summary row out."""
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = base.where(F.col("doc_id") < LEAK_PLANT).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(planted)
+    id_split = F.when(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10 < 8,
+        "train",
+    ).otherwise("test")
+    content_split = F.when(_fingerprint() % 100 < 80, "train").otherwise("test")
+    d = docs.select(
+        F.md5("text").alias("h"),
+        id_split.alias("id_split"),
+        content_split.alias("content_split"),
+    )
+    g = (
+        d.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("id_split").alias("id_sides"),
+            F.countDistinct("content_split").alias("content_sides"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_groups"),
+        F.sum("n_copies").cast("long").alias("n_dup_docs"),
+        F.sum(F.when(F.col("id_sides") > 1, 1).otherwise(0)).cast("long").alias(
+            "leaked_groups_id_split"
+        ),
+        F.sum(F.when(F.col("content_sides") > 1, 1).otherwise(0)).cast("long").alias(
+            "leaked_groups_content_split"
+        ),
+    )
