@@ -552,3 +552,90 @@ def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("canon", "n", F.col("n_casings").cast("long").alias("n_casings"))
     )
+
+
+# Inline Unicode corpus: code-point counting pinned on strings where
+# char semantics are unambiguous cross-engine (precomposed accents, BMP
+# CJK — no ZWJ emoji or combining sequences, where engines legitimately
+# disagree about grapheme clustering).
+_UNICODE_ROWS = [
+    (1, "hello"), (2, "héllo"), (3, "日本語"),
+    (4, "naïve café"), (5, ""),
+]
+
+_UNICODE_VALUES = ", ".join(
+    "({}, '{}')".format(i, s.replace("'", "''")) for i, s in _UNICODE_ROWS
+)
+
+_UNICODE_ORACLE = f"""
+WITH raw(row_id, s) AS (VALUES {_UNICODE_VALUES})
+SELECT row_id,
+       CAST(length(s) AS BIGINT) AS n_chars,
+       CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+       octet_length(encode(s)) > length(s) AS is_multibyte,
+       upper(s) AS upper_s,
+       reverse(s) AS reversed_s
+FROM raw
+"""
+
+
+@register("scalar_unicode", "G", oracle=_UNICODE_ORACLE,
+          doc="Unicode semantics battery (inline corpus): code-point "
+              "length vs UTF-8 byte length, multibyte detection, case "
+              "mapping and reversal over accented Latin and CJK — the "
+              "char-vs-byte distinction every tokenizer budget depends on")
+def scalar_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """length() counts code points and octet_length counts UTF-8 bytes
+    on BOTH engines for these inputs; the corpus deliberately excludes
+    grapheme-cluster edge cases (ZWJ emoji, combining marks) where
+    engines differ by design — that boundary is documented here rather
+    than papered over. Reversal is code-point-wise on both sides, safe
+    for precomposed text."""
+    raw = spark.createDataFrame(_UNICODE_ROWS, ["row_id", "s"])
+    return raw.select(
+        "row_id",
+        F.length("s").cast("long").alias("n_chars"),
+        F.octet_length("s").cast("long").alias("n_bytes"),
+        (F.octet_length("s") > F.length("s")).alias("is_multibyte"),
+        F.upper("s").alias("upper_s"),
+        F.reverse("s").alias("reversed_s"),
+    )
+
+
+# Planted flag masks: permission-style bit patterns so the folded
+# AND/OR/XOR results are hand-checkable.
+_BITAGG_ROWS = [
+    (1, "a", 0b1101), (2, "a", 0b0111), (3, "a", 0b1111),
+    (4, "b", 0b1000), (5, "b", 0b1000), (6, "b", 0b0001),
+]
+
+_BITAGG_VALUES = ", ".join(f"({i}, '{g}', {v})" for i, g, v in _BITAGG_ROWS)
+
+_BITAGG_ORACLE = f"""
+WITH raw(row_id, grp, flags) AS (VALUES {_BITAGG_VALUES})
+SELECT grp,
+       CAST(bit_and(flags) AS BIGINT) AS all_set,
+       CAST(bit_or(flags) AS BIGINT) AS any_set,
+       CAST(bit_xor(flags) AS BIGINT) AS parity,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM raw GROUP BY grp
+"""
+
+
+@register("agg_bit_ops", "G", oracle=_BITAGG_ORACLE,
+          doc="Bitwise aggregates (inline corpus): bit_and/bit_or/bit_xor "
+              "folds over permission-style flag masks per group — the "
+              "capability-intersection / union / parity reductions of "
+              "flag columns")
+def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three folds are associative+commutative, so they partial-
+    aggregate map-side like sum (shuffle carries one mask per group per
+    task); bit_and answers 'which flags does EVERY row grant', bit_or
+    'which does ANY grant' — set algebra at integer-op cost."""
+    raw = spark.createDataFrame(_BITAGG_ROWS, ["row_id", "grp", "flags"])
+    return raw.groupBy("grp").agg(
+        F.bit_and("flags").cast("long").alias("all_set"),
+        F.bit_or("flags").cast("long").alias("any_set"),
+        F.bit_xor("flags").cast("long").alias("parity"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
