@@ -283,3 +283,42 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("acc.best_s"), 4).alias("max_cusum"),
         F.col("acc.best_day").alias("peak_day"),
     )
+
+
+_MONOTONIC_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inversions,
+       SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) = 0 AS is_ordered
+FROM seq GROUP BY user_id
+"""
+
+
+@register("events_order_audit", "G", oracle=_MONOTONIC_ORACLE,
+          doc="Ingestion-order audit: per user, count positions where "
+              "event_id order and event-time order disagree (ts < "
+              "previous ts) — the out-of-order/backfill detector run "
+              "before trusting any sequential analysis")
+def events_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization, funnels, as-of joins and EWMA all assume id order
+    ≈ time order; this audit measures where that breaks (late arrivals,
+    clock skew, backfills) so the watermark delay has evidence behind
+    it. One lag window per user then a per-user aggregate — the
+    orders_interpurchase shape."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    inv = F.sum(F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        inv.cast("long").alias("n_inversions"),
+        (inv == 0).alias("is_ordered"),
+    )
