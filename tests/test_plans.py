@@ -364,3 +364,21 @@ def test_runtime_bloom_filter_is_injected(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    # the session enables AQE + partition coalescing; a tiny groupBy must
+    # not execute 32 near-empty reducers — after execution the final plan
+    # carries AQEShuffleRead with fewer partitions than configured
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.tables import load
+
+    df = (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # execute THIS DataFrame's QueryExecution so AQE finalizes it
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final, "AQE partition coalescing not active"

@@ -627,3 +627,84 @@ def quality_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             first_user & (repeats == 0) & (empties == 0) & (bad_roles == 0)
         ).alias("is_valid"),
     )
+
+
+_ABLATION_ORACLE = f"""
+WITH {_SIG_CTES},
+r AS (
+  SELECT doc_id,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         round(ttr, 6) AS ttr,
+         round(stop_frac, 6) AS stop_frac,
+         round(top_bigram_frac, 6) AS top_bigram_frac
+  FROM sig
+),
+flags AS (
+  SELECT doc_id,
+         NOT (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}) AS f_tokens,
+         ttr < {MIN_TTR} AS f_ttr,
+         stop_frac < {MIN_STOPWORD_FRAC} AS f_stop,
+         top_bigram_frac > {MAX_TOP_BIGRAM_FRAC} AS f_bigram
+  FROM r
+),
+counted AS (
+  SELECT doc_id, f_tokens, f_ttr, f_stop, f_bigram,
+         CAST(f_tokens AS INT) + CAST(f_ttr AS INT)
+           + CAST(f_stop AS INT) + CAST(f_bigram AS INT) AS n_failed
+  FROM flags
+)
+SELECT s.signal,
+       CAST(SUM(CASE WHEN s.fail THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       CAST(SUM(CASE WHEN s.fail AND c.n_failed = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_fail
+FROM counted c,
+     LATERAL (SELECT unnest(['tokens', 'ttr', 'stopwords', 'top_bigram']) AS signal,
+                     unnest([c.f_tokens, c.f_ttr, c.f_stop, c.f_bigram]) AS fail) s
+GROUP BY s.signal
+ORDER BY s.signal
+"""
+
+
+@register("quality_filter_ablation", "X", oracle=_ABLATION_ORACLE,
+          doc="Filter ablation report: per quality signal, how many docs "
+              "fail it at all and how many it uniquely removes (no other "
+              "signal fires) — the marginal-contribution view that tells "
+              "a curation team which thresholds actually bite")
+def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built ON TOP of quality_filter's output (same builder, same
+    rounded signal columns, same thresholds — single source of truth),
+    so the ablation can never disagree with the filter it explains.
+    Unique-fail is the number a threshold review needs: a signal with
+    n_fail high but n_unique_fail 0 is redundant with the others."""
+    q = quality_filter(spark, sf_dir)
+    flags = q.select(
+        "doc_id",
+        (~F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)).alias("f_tokens"),
+        (F.col("ttr") < MIN_TTR).alias("f_ttr"),
+        (F.col("stop_frac") < MIN_STOPWORD_FRAC).alias("f_stop"),
+        (F.col("top_bigram_frac") > MAX_TOP_BIGRAM_FRAC).alias("f_bigram"),
+    )
+    counted = flags.select(
+        "*",
+        (
+            F.col("f_tokens").cast("int") + F.col("f_ttr").cast("int")
+            + F.col("f_stop").cast("int") + F.col("f_bigram").cast("int")
+        ).alias("n_failed"),
+    )
+    pairs = F.array(
+        F.struct(F.lit("tokens").alias("signal"), F.col("f_tokens").alias("fail")),
+        F.struct(F.lit("ttr").alias("signal"), F.col("f_ttr").alias("fail")),
+        F.struct(F.lit("stopwords").alias("signal"), F.col("f_stop").alias("fail")),
+        F.struct(F.lit("top_bigram").alias("signal"), F.col("f_bigram").alias("fail")),
+    )
+    exploded = counted.select("n_failed", F.explode(pairs).alias("s"))
+    return (
+        exploded.groupBy(F.col("s.signal").alias("signal"))
+        .agg(
+            F.sum(F.when(F.col("s.fail"), 1).otherwise(0)).cast("long").alias("n_fail"),
+            F.sum(F.when(F.col("s.fail") & (F.col("n_failed") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique_fail"),
+        )
+        .orderBy("signal")
+    )

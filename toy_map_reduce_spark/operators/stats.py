@@ -602,3 +602,54 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# Two-sided alpha = 0.05, power = 0.80: (z_{0.975} + z_{0.80})^2.
+POWER_Z2 = (1.959964 + 0.841621) ** 2
+# Minimum detectable effect as a fraction of the metric mean.
+POWER_MDE_FRAC = 0.05
+
+_POWER_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, AVG(value) AS mu, var_samp(value) AS v,
+         COUNT(*) AS n_obs
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       round(mu, 4) AS mu,
+       round({POWER_MDE_FRAC} * mu, 4) AS mde,
+       CAST(ceil({POWER_Z2} * 2 * v / pow({POWER_MDE_FRAC} * mu, 2)) AS BIGINT)
+         AS n_required_per_variant
+FROM s
+ORDER BY event_type
+"""
+
+
+@register("stat_power_analysis", "X", oracle=_POWER_ORACLE,
+          doc=f"A/B sample-size calculator per metric: n per variant = "
+              f"(z_a/2+z_b)^2 * 2 * var / MDE^2 at alpha=0.05, power=0.8, "
+              f"MDE={POWER_MDE_FRAC:.0%} of the mean — the pre-experiment "
+              "readout that decides whether a test is even runnable")
+def stat_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregate pass per metric then pure arithmetic — the cheapest
+    query in the experimentation family, and the one that should run
+    FIRST (CUPED and the t-test only matter if n_required is
+    achievable). The z constants are fixed literals on both sides, so
+    the ceil() boundary is deterministic."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    mde = POWER_MDE_FRAC * F.col("mu")
+    return s.select(
+        "event_type",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("mu", 4).alias("mu"),
+        F.round(mde, 4).alias("mde"),
+        F.ceil(POWER_Z2 * 2 * F.col("v") / F.pow(mde, 2)).cast("long").alias(
+            "n_required_per_variant"
+        ),
+    )
