@@ -1111,3 +1111,153 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow_iso", "hr", "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("frac"),
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+),
+seg AS (
+  SELECT *,
+         SUM(is_p) OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, is_p ASC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS seg_id
+  FROM tagged
+),
+grouped AS (
+  SELECT user_id, seg_id,
+         SUM(CASE WHEN is_p = 0 THEN 1 ELSE 0 END) AS n_touches,
+         MAX(CASE WHEN is_p = 1 THEN value END) AS purchase_value
+  FROM seg GROUP BY user_id, seg_id
+),
+credit AS (
+  SELECT s.event_type,
+         g.purchase_value / g.n_touches AS credit
+  FROM seg s
+  JOIN grouped g ON s.user_id = g.user_id AND s.seg_id = g.seg_id
+  WHERE s.is_p = 0 AND g.purchase_value IS NOT NULL AND g.n_touches > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+       round(SUM(credit), 4) AS attributed_value
+FROM credit GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_attribution_linear", "G", oracle=_ATTRIBUTION_ORACLE,
+          doc="Linear multi-touch attribution: each purchase's value "
+              "split equally across the click/view touches since the "
+              "user's previous purchase, rolled up per channel — the "
+              "union-tag segment trick (reverse cumulative purchase "
+              "count), no interval join")
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Touches attach to their following purchase via a DESC-ordered
+    running purchase count (purchases sort before their preceding
+    touches at equal ts by the is_p tie-break) — one shuffle on user_id,
+    one ordered pass, same linear shape as join_asof. The naive
+    formulation is a per-purchase interval join (quadratic in bursty
+    users); the segment id makes it a groupBy. Unconverted trailing
+    touches fall in a segment with no purchase and drop out."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    tagged = ev.select(
+        "user_id", "event_id", "ts", "event_type", "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_p").asc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = tagged.withColumn("seg_id", F.sum("is_p").over(w))
+    grouped = seg.groupBy("user_id", "seg_id").agg(
+        F.sum(F.when(F.col("is_p") == 0, 1).otherwise(0)).alias("n_touches"),
+        F.max(F.when(F.col("is_p") == 1, F.col("value"))).alias("purchase_value"),
+    )
+    credit = (
+        seg.where(F.col("is_p") == 0)
+        .join(grouped, ["user_id", "seg_id"])
+        .where(F.col("purchase_value").isNotNull() & (F.col("n_touches") > 0))
+        .select(
+            "event_type",
+            (F.col("purchase_value") / F.col("n_touches")).alias("credit"),
+        )
+    )
+    return (
+        credit.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credited_touches"),
+            F.round(F.sum("credit"), 4).alias("attributed_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RUNRATE_ORACLE = """
+WITH today AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders),
+mtd AS (
+  SELECT SUM(o_totalprice) AS mtd_rev, COUNT(*) AS mtd_orders
+  FROM orders, today
+  WHERE date_trunc('month', o_orderdate) = date_trunc('month', today.d)
+),
+prev AS (
+  SELECT SUM(o_totalprice) AS prev_rev
+  FROM orders, today
+  WHERE date_trunc('month', o_orderdate)
+        = date_trunc('month', today.d - INTERVAL 1 MONTH)
+)
+SELECT today.d AS as_of,
+       CAST(mtd.mtd_orders AS BIGINT) AS mtd_orders,
+       round(mtd.mtd_rev, 2) AS mtd_revenue,
+       round(mtd.mtd_rev / day(today.d)
+             * day(last_day(today.d)), 2) AS projected_month_revenue,
+       round(prev.prev_rev, 2) AS prev_month_revenue,
+       round(mtd.mtd_rev / day(today.d) * day(last_day(today.d))
+             / prev.prev_rev - 1, 6) AS projected_mom_growth
+FROM today, mtd, prev
+"""
+
+
+@register("orders_runrate_projection", "G", oracle=_RUNRATE_ORACLE,
+          doc="Month-to-date run-rate projection anchored at the fixture's "
+              "max order date (deterministic 'today'): MTD revenue, "
+              "linear full-month projection, and projected MoM growth vs "
+              "the last complete month")
+def orders_runrate_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Today' is max(o_orderdate) — data-anchored, never wall clock, so
+    the query is replay-deterministic (the no-now() rule every oracle-
+    checked query here lives by). Three scans reduce to one row each and
+    cross-join broadcast; at scale the month filters push down to
+    partition pruning when orders is date-partitioned."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_totalprice"
+    )
+    today = o.agg(F.max("d").alias("today"))
+    j = o.crossJoin(F.broadcast(today))
+    mtd = j.where(
+        F.date_trunc("month", "d") == F.date_trunc("month", "today")
+    ).agg(
+        F.sum("o_totalprice").alias("mtd_rev"),
+        F.count(F.lit(1)).alias("mtd_orders"),
+        F.max("today").alias("as_of"),
+    )
+    prev = j.where(
+        F.date_trunc("month", "d")
+        == F.date_trunc("month", F.add_months(F.col("today"), -1))
+    ).agg(F.sum("o_totalprice").alias("prev_rev"))
+    proj = (
+        F.col("mtd_rev") / F.dayofmonth("as_of") * F.dayofmonth(F.last_day("as_of"))
+    )
+    return mtd.crossJoin(F.broadcast(prev)).select(
+        F.col("as_of"),
+        F.col("mtd_orders").cast("long").alias("mtd_orders"),
+        F.round("mtd_rev", 2).alias("mtd_revenue"),
+        F.round(proj, 2).alias("projected_month_revenue"),
+        F.round("prev_rev", 2).alias("prev_month_revenue"),
+        F.round(proj / F.col("prev_rev") - 1, 6).alias("projected_mom_growth"),
+    )

@@ -537,3 +537,54 @@ def timeseries_open_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.select("day", F.sum("d").over(w).cast("long").alias("open_orders"))
         .orderBy("day")
     )
+
+
+_DOW_SEASONALITY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+),
+by_dow AS (
+  SELECT isodow(day) AS dow, AVG(rev) AS dow_avg, COUNT(*) AS n_days
+  FROM daily GROUP BY 1
+),
+overall AS (SELECT AVG(rev) AS g FROM daily)
+SELECT CAST(b.dow AS BIGINT) AS dow,
+       CAST(b.n_days AS BIGINT) AS n_days,
+       round(b.dow_avg, 2) AS dow_avg_revenue,
+       round(b.dow_avg / o.g, 6) AS seasonal_index
+FROM by_dow b CROSS JOIN overall o
+ORDER BY dow
+"""
+
+
+@register("timeseries_seasonality_dow", "G", oracle=_DOW_SEASONALITY_ORACLE,
+          doc="Day-of-week seasonal index: average daily revenue per ISO "
+              "weekday over the overall daily average — the multiplicative "
+              "factors that turn forecast_naive into a weekday-aware "
+              "baseline (ISO numbering pinned cross-engine)")
+def timeseries_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's weekday() is Monday=0 and DuckDB's isodow is Monday=1 —
+    the +1 shift is pinned here exactly as in events_hourly_heatmap.
+    Daily rollup first (map-side combined), then a 7-row aggregate and a
+    one-row broadcast for the overall mean: calendar-sized all the way
+    after one scan."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    by_dow = daily.groupBy(
+        (F.weekday("day") + 1).cast("long").alias("dow")
+    ).agg(F.avg("rev").alias("dow_avg"), F.count(F.lit(1)).alias("n_days"))
+    overall = daily.agg(F.avg("rev").alias("g"))
+    return (
+        by_dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("dow_avg", 2).alias("dow_avg_revenue"),
+            F.round(F.col("dow_avg") / F.col("g"), 6).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
