@@ -125,3 +125,89 @@ def test_recursive_cte_agrees_with_unrolled_bfs(spark, sf_dir):
     a = sorted(map(tuple, get_spec("sql_recursive_cte").builder(spark, sf_dir).collect()))
     b = sorted(map(tuple, get_spec("graph_bfs_levels").builder(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_attribution_segments_match_bruteforce(spark, sf_dir):
+    # independent check of the reverse-cumulative segment trick: a plain
+    # python interval scan (for each purchase, credit the touches since
+    # the user's previous purchase) must produce identical channel totals
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.registry import get_spec
+    from toy_map_reduce_spark.tables import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click", "view"))
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    credit = defaultdict(float)
+    counts = defaultdict(int)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_type != "purchase", r.event_id))
+        # ascending order with purchases BEFORE same-ts touches, matching
+        # the query's DESC ordering where purchases sort before their
+        # preceding touches
+        touches = []
+        for r in rows:
+            if r.event_type == "purchase":
+                if touches:
+                    share = r.value / len(touches)
+                    for t in touches:
+                        credit[t.event_type] += share
+                        counts[t.event_type] += 1
+                touches = []
+            else:
+                touches.append(r)
+    got = {
+        r.event_type: (r.n_credited_touches, r.attributed_value)
+        for r in get_spec("events_attribution_linear").builder(spark, sf_dir).collect()
+    }
+    exp = {
+        ch: (counts[ch], round(credit[ch], 4)) for ch in credit
+    }
+    assert set(got) == set(exp)
+    for ch in exp:
+        assert got[ch][0] == exp[ch][0], (ch, got[ch], exp[ch])
+        assert abs(got[ch][1] - exp[ch][1]) < 1e-2, (ch, got[ch], exp[ch])
+
+
+def test_fuzzy_block_matches_bruteforce_within_first_char(spark, sf_dir):
+    # the blocked join must find exactly the pairs a brute-force scan
+    # finds among same-first-char pairs (length blocking is lossless at
+    # the threshold; first-char blocking is the documented residual)
+    from toy_map_reduce_spark.operators.joins import (
+        FUZZY_MAX_DIST,
+        _CANON_ROWS,
+        _MENTION_ROWS,
+    )
+    from toy_map_reduce_spark.registry import get_spec
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    exp = {}
+    for mid, m in _MENTION_ROWS:
+        cands = [
+            (lev(m, name), name)
+            for _, name in _CANON_ROWS
+            if name[0] == m[0] and lev(m, name) <= FUZZY_MAX_DIST
+        ]
+        exp[mid] = min(cands) if cands else (None, None)
+    got = {
+        r.mention_id: (r.distance, r.matched)
+        for r in get_spec("join_fuzzy_block").builder(spark, sf_dir).collect()
+    }
+    assert got == exp
