@@ -758,3 +758,36 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+_SCURVE_ORACLE = f"""
+WITH s AS (SELECT unnest(range(1, 20)) AS i)
+SELECT CAST(i AS BIGINT) AS step,
+       round(i / 20.0, 2) AS similarity,
+       round(1 - pow(1 - pow(i / 20.0, {BAND_ROWS}), {NUM_BANDS}), 6)
+         AS p_candidate
+FROM s ORDER BY step
+"""
+
+
+@register("dedup_lsh_scurve", "X", oracle=_SCURVE_ORACLE,
+          doc=f"Analytic LSH S-curve for the engine's own "
+              f"{NUM_BANDS}×{BAND_ROWS} banding: candidate probability "
+              "1-(1-s^r)^b on a similarity grid — the tuning table that "
+              "justifies the knob values dedup_lsh_eval then measures")
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed form behind the banding constants (see the knob table
+    at the top of this module): r controls where the S-curve rises, b
+    how sharply. Emitting it as a query keeps the design rationale
+    executable — a tuner diffs this curve against dedup_lsh_eval's
+    measured recall instead of re-deriving the algebra. Generated from
+    a range, no input tables."""
+    s = spark.range(1, 20).select(F.col("id").cast("long").alias("step"))
+    sim = F.col("step") / 20.0
+    return s.select(
+        "step",
+        F.round(sim, 2).alias("similarity"),
+        F.round(
+            1 - F.pow(1 - F.pow(sim, BAND_ROWS), NUM_BANDS), 6
+        ).alias("p_candidate"),
+    ).orderBy("step")

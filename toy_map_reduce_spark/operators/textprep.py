@@ -251,3 +251,135 @@ def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("url").alias("sample_url"),
         )
     )
+
+
+# Inline license-header corpus: real-world opening lines (plus a dual
+# license and a no-match), classified by first matching pattern in
+# precedence order. Kept byte-identical between builder and oracle.
+_LICENSE_ROWS = [
+    (1, "Licensed under the Apache License, Version 2.0 (the License)"),
+    (2, "Permission is hereby granted, free of charge (MIT License)"),
+    (3, "This program is free software: GNU General Public License v3"),
+    (4, "Redistribution and use in source and binary forms (BSD)"),
+    (5, "Mozilla Public License Version 2.0"),
+    (6, "Copyright 2024 Example Corp. All rights reserved."),
+    (7, "Dual licensed under the MIT License or the Apache License 2.0"),
+]
+
+_LICENSE_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _LICENSE_ROWS)
+
+# (label, case-insensitive regex) in precedence order — first hit wins.
+_LICENSE_PATTERNS = [
+    ("apache-2.0", "apache license"),
+    ("mit", "mit license"),
+    ("gpl", "general public license"),
+    ("bsd", "redistribution and use in source and binary forms"),
+    ("mpl-2.0", "mozilla public license"),
+]
+
+
+def _license_case_sql() -> str:
+    branches = "\n".join(
+        f"  WHEN regexp_matches(lower(header), '{pat}') THEN '{lab}'"
+        for lab, pat in _LICENSE_PATTERNS
+    )
+    return f"CASE\n{branches}\n  ELSE 'unknown' END"
+
+
+_LICENSE_ORACLE = f"""
+WITH raw(file_id, header) AS (VALUES {_LICENSE_VALUES})
+SELECT file_id,
+       {_license_case_sql()} AS license,
+       regexp_matches(lower(header), 'apache license')
+         AND regexp_matches(lower(header), 'mit license') AS is_dual
+FROM raw
+"""
+
+
+@register("text_license_detect", "X", oracle=_LICENSE_ORACLE,
+          doc="License detection (inline corpus): first-match precedence "
+              "over case-insensitive marker patterns for Apache/MIT/GPL/"
+              "BSD/MPL plus a dual-license flag — the compliance gate of "
+              "a code-corpus pipeline")
+def text_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure map-side regex classification; precedence order is a single
+    CASE chain shared (generated) with the oracle so the two engines
+    cannot disagree about tie-breaks. At corpus scale this runs on file
+    headers only (first N bytes), not full contents — the pattern table
+    is the thing to maintain, which is why it is data, not code."""
+    raw = spark.createDataFrame(_LICENSE_ROWS, ["file_id", "header"])
+    low = F.lower("header")
+    expr = None
+    for lab, pat in _LICENSE_PATTERNS:
+        cond = low.rlike(pat)
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    return raw.select(
+        "file_id",
+        expr.otherwise("unknown").alias("license"),
+        (low.rlike("apache license") & low.rlike("mit license")).alias("is_dual"),
+    )
+
+
+# Inline mixed corpus: code and prose snippets for the classifier; the
+# signals are symbol density, code-keyword hits, and line-start indent.
+_CODE_ROWS = [
+    (1, "def main(argv):\\n    return argv[0] if argv else None"),
+    (2, "The quarterly report shows steady growth across all regions."),
+    (3, "for (int i = 0; i < n; i++) { sum += a[i]; }"),
+    (4, "SELECT user_id, COUNT(*) FROM events GROUP BY user_id;"),
+    (5, "Once upon a time, a small team built a large data pipeline."),
+    (6, "import os\\nimport sys\\nprint(os.path.join(sys.argv[1], x))"),
+]
+
+_CODE_VALUES = ", ".join(
+    "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _CODE_ROWS
+)
+
+_CODE_DETECT_ORACLE = f"""
+WITH raw(snippet_id, body) AS (VALUES {_CODE_VALUES}),
+sig AS (
+  SELECT snippet_id,
+         CAST(length(regexp_replace(body, '[^(){{}}\\[\\];=<>]', '', 'g')) AS DOUBLE)
+           / length(body) AS sym_frac,
+         CAST(len(regexp_extract_all(lower(body),
+              '\\b(def|return|import|for|while|int|select|from|group by|print)\\b'))
+           AS BIGINT) AS kw_hits
+  FROM raw
+)
+SELECT snippet_id,
+       round(sym_frac, 6) AS sym_frac,
+       kw_hits,
+       sym_frac > 0.05 OR kw_hits >= 2 AS is_code
+FROM sig
+"""
+
+
+@register("text_code_detect", "X", oracle=_CODE_DETECT_ORACLE,
+          doc="Code-vs-prose heuristic (inline corpus): structural-symbol "
+              "density plus programming-keyword hits with an OR verdict "
+              "— the router that sends documents to a code or prose "
+              "tokenization/quality path")
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two regex-derived signals, no UDF: symbol fraction (brackets,
+    semicolons, operators per char) and keyword count; either alone can
+    fire — code-mixed prose routes to the code path by design (the
+    cheaper error). The thresholds are ratio/integer comparisons on
+    rounded values, cross-engine stable."""
+    raw = spark.createDataFrame(_CODE_ROWS, ["snippet_id", "body"])
+    sym_frac = (
+        F.length(F.regexp_replace("body", r"[^(){}\[\];=<>]", "")).cast("double")
+        / F.length("body")
+    )
+    kw = F.size(
+        F.regexp_extract_all(
+            F.lower("body"),
+            F.lit(r"\b(def|return|import|for|while|int|select|from|group by|print)\b"),
+            0,
+        )
+    ).cast("long")
+    return raw.select(
+        "snippet_id",
+        F.round(sym_frac, 6).alias("sym_frac"),
+        kw.alias("kw_hits"),
+        ((sym_frac > 0.05) | (kw >= 2)).alias("is_code"),
+    )
