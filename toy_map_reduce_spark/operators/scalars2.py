@@ -639,3 +639,37 @@ def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("flags").cast("long").alias("parity"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+_FORMAT_ORACLE = """
+SELECT o_orderkey,
+       printf('%08d', o_orderkey) AS key_padded,
+       printf('%.3f', o_totalprice) AS price_3dp,
+       printf('%x', o_custkey) AS cust_hex,
+       printf('order %d: %s', o_orderkey, o_orderstatus) AS summary,
+       lpad(CAST(o_custkey AS VARCHAR), 10, '*') AS cust_starred
+FROM orders WHERE o_orderkey < 1000
+"""
+
+
+@register("scalar_format", "G", oracle=_FORMAT_ORACLE,
+          doc="printf-style formatting battery: zero-padded ids, fixed "
+              "decimals, hex, positional templates, lpad — Spark "
+              "format_string ≡ DuckDB printf (C semantics on both JVM "
+              "and C++ sides)")
+def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both engines implement C printf semantics (%d/%f/%x/%s with
+    width/precision), so formatted strings — the usual report/export
+    surface — are safe for exact oracles. %.Nf rounds half-even from
+    the same double on both sides; scientific %e and locale-dependent
+    thousands grouping are deliberately excluded as cross-engine
+    hazards."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.format_string("%08d", "o_orderkey").alias("key_padded"),
+        F.format_string("%.3f", "o_totalprice").alias("price_3dp"),
+        F.format_string("%x", "o_custkey").alias("cust_hex"),
+        F.format_string("order %d: %s", "o_orderkey", "o_orderstatus").alias("summary"),
+        F.lpad(F.col("o_custkey").cast("string"), 10, "*").alias("cust_starred"),
+    )
