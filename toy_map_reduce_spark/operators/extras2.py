@@ -353,3 +353,38 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("class").agg(
         F.count(F.lit(1)).alias("n"), F.min("k").alias("sample_key")
     )
+
+
+_GEOMEAN_ORACLE = """
+SELECT l_returnflag,
+       round(exp(AVG(ln(l_extendedprice))), 4) AS geo_mean_price,
+       round(AVG(l_extendedprice), 4) AS arith_mean_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_geometric_mean", "G", oracle=_GEOMEAN_ORACLE,
+          doc="Geometric mean per group via exp(avg(ln x)) on "
+              "strictly-positive prices, next to the arithmetic mean — "
+              "the right average for ratios and growth factors, as a "
+              "plain partial-aggregated fold")
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exp∘avg∘ln keeps the aggregate map-side combinable (avg of logs)
+    where a literal product would overflow doubles after ~300 values;
+    the log/exp transcendentals agree cross-engine within the 1-ulp
+    convention and the result rounds at 4. Inputs are positive by
+    fixture construction — a production version guards ln with a
+    WHERE x > 0 contract."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias("geo_mean_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("arith_mean_price"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -588,3 +588,59 @@ def timeseries_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+_CAGR_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+),
+ends AS (
+  SELECT MIN(month) AS first_month, MAX(month) AS last_month,
+         arg_min(revenue, month) AS first_rev,
+         arg_max(revenue, month) AS last_rev,
+         COUNT(*) AS n_months
+  FROM monthly
+)
+SELECT first_month, last_month,
+       CAST(n_months AS BIGINT) AS n_months,
+       round(first_rev, 2) AS first_rev,
+       round(last_rev, 2) AS last_rev,
+       round(pow(last_rev / first_rev, 12.0 / (n_months - 1)) - 1, 6)
+         AS cagr_annualized
+FROM ends
+"""
+
+
+@register("timeseries_growth_cagr", "G", oracle=_CAGR_ORACLE,
+          doc="Annualized compound growth rate between the first and last "
+              "month's revenue (arg_min/arg_max endpoint selection over "
+              "the monthly rollup) — the one-number growth summary on "
+              "top of forecast_naive's machinery")
+def timeseries_growth_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Endpoint selection is min_by/max_by on the month key — an
+    aggregate, not a sort; everything runs over the calendar-sized
+    monthly rollup. Month keys are unique by construction (groupBy
+    output), so the arg_min/min_by tie question cannot arise."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    ends = monthly.agg(
+        F.min("month").alias("first_month"),
+        F.max("month").alias("last_month"),
+        F.min_by("revenue", "month").alias("first_rev"),
+        F.max_by("revenue", "month").alias("last_rev"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    return ends.select(
+        "first_month", "last_month",
+        F.col("n_months").cast("long").alias("n_months"),
+        F.round("first_rev", 2).alias("first_rev"),
+        F.round("last_rev", 2).alias("last_rev"),
+        F.round(
+            F.pow(F.col("last_rev") / F.col("first_rev"), 12.0 / (F.col("n_months") - 1)) - 1,
+            6,
+        ).alias("cagr_annualized"),
+    )
