@@ -558,3 +558,71 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("prev")
         .alias("direction"),
     )
+
+
+# merge_asof tolerance: a backward match only counts within this gap.
+ASOF_TOLERANCE_MIN = 30
+
+_ASOF_TOLERANCE_ORACLE = f"""
+SELECT c.event_id AS click_id,
+       c.user_id,
+       date_trunc('second', c.ts) AS click_sec,
+       CASE WHEN date_diff('minute', v.ts, c.ts) < {ASOF_TOLERANCE_MIN}
+            THEN v.view_id END AS view_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+  SELECT event_id AS view_id, ts FROM events
+  WHERE event_type = 'view' AND user_id = c.user_id AND ts <= c.ts
+  ORDER BY ts DESC, event_id DESC LIMIT 1
+) v ON TRUE
+"""
+
+
+@register("join_asof_tolerance", "G", oracle=_ASOF_TOLERANCE_ORACLE,
+          doc=f"Tolerance-bounded as-of join: the last view at or before "
+              f"each click counts only within {ASOF_TOLERANCE_MIN} "
+              "minutes (pandas merge_asof's tolerance parameter) — same "
+              "union-tag linear carry, match nulled past the gap")
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical single-shuffle shape to join_asof; the tolerance is a
+    post-carry filter on the carried (ts, id) struct, so it adds zero
+    shuffle or state. The gap compares in whole minutes exactly as the
+    oracle's date_diff('minute') — DuckDB counts minute BOUNDARIES
+    crossed, so the Spark side floors each timestamp to the minute
+    before differencing rather than dividing raw microseconds."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_click")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_click")
+    )
+    tagged = clicks.unionByName(views)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = (
+        tagged.select(
+            "*",
+            F.last(
+                F.when(
+                    F.col("is_click") == 0,
+                    F.struct(F.col("ts"), F.col("event_id").alias("vid")),
+                ),
+                ignorenulls=True,
+            ).over(w).alias("prev"),
+        )
+        .where(F.col("is_click") == 1)
+    )
+    gap_minutes = (
+        F.floor(F.unix_micros("ts") / 60_000_000)
+        - F.floor(F.unix_micros(F.col("prev.ts")) / 60_000_000)
+    )
+    return carried.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_trunc("second", "ts").alias("click_sec"),
+        F.when(gap_minutes < ASOF_TOLERANCE_MIN, F.col("prev.vid")).alias("view_id"),
+    )

@@ -322,3 +322,69 @@ def events_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         inv.cast("long").alias("n_inversions"),
         (inv == 0).alias("is_ordered"),
     )
+
+
+# SLO: at most this fraction of events may be errors over the window.
+SLO_ERROR_FRAC = 0.25
+
+_SLO_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, n, n_err,
+         SUM(n) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         SUM(n_err) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_err
+  FROM daily
+)
+SELECT day,
+       CAST(n_err AS BIGINT) AS n_err,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(cum_err AS DOUBLE) / cum_n, 6) AS cum_error_rate,
+       round(cum_err / ({SLO_ERROR_FRAC} * cum_n), 6) AS budget_burned,
+       cum_err > {SLO_ERROR_FRAC} * cum_n AS budget_exceeded
+FROM cum
+ORDER BY day
+"""
+
+
+@register("events_error_budget_slo", "G", oracle=_SLO_ORACLE,
+          doc=f"SLO error-budget burn-down: daily error share and "
+              f"cumulative budget consumption against a "
+              f"{SLO_ERROR_FRAC:.0%} error-rate objective, with the "
+              "exceeded flag per day — the SRE view of the event stream")
+def events_error_budget_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw events reduce to one row per day before the cumulative
+    windows (the post-reduction rule); the budget comparison is kept in
+    integer-vs-scaled-integer form (cum_err > frac*cum_n) so the flag
+    cannot flip on float noise cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "day", "n", "n_err",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_err").over(w).alias("cum_err"),
+    )
+    return cum.select(
+        "day",
+        F.col("n_err").cast("long").alias("n_err"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("cum_err").cast("double") / F.col("cum_n"), 6).alias(
+            "cum_error_rate"
+        ),
+        F.round(F.col("cum_err") / (SLO_ERROR_FRAC * F.col("cum_n")), 6).alias(
+            "budget_burned"
+        ),
+        (F.col("cum_err") > SLO_ERROR_FRAC * F.col("cum_n")).alias("budget_exceeded"),
+    ).orderBy("day")
