@@ -388,3 +388,37 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_HARMONIC_ORACLE = """
+SELECT l_returnflag,
+       round(COUNT(*) / SUM(1.0 / l_extendedprice), 4) AS harm_mean_price,
+       round(exp(AVG(ln(l_extendedprice))), 4) AS geo_mean_price,
+       round(AVG(l_extendedprice), 4) AS arith_mean_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_harmonic_mean", "G", oracle=_HARMONIC_ORACLE,
+          doc="Harmonic mean per group (n / sum(1/x)) beside the geometric "
+              "and arithmetic means — the Pythagorean trio in one "
+              "partial-aggregated pass, with HM ≤ GM ≤ AM holding row-wise")
+def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The right average for rates (price per unit averaged over equal
+    spend); like the geometric form it is a plain map-side-combinable
+    fold (sum of reciprocals), positive inputs by fixture contract. The
+    mean inequality doubles as a free sanity assertion in review."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.count(F.lit(1)) / F.sum(1.0 / F.col("l_extendedprice")), 4
+            ).alias("harm_mean_price"),
+            F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias("geo_mean_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("arith_mean_price"),
+        )
+        .orderBy("l_returnflag")
+    )

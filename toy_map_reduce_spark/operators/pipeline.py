@@ -895,3 +895,57 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leaked_groups_content_split"
         ),
     )
+
+
+_SHARD_SKEW_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 8))
+              AS BIGINT) % {MANIFEST_SHARDS} AS shard,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+per AS (
+  SELECT shard, COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes
+  FROM d GROUP BY shard
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+       CAST(MIN(total_bytes) AS BIGINT) AS min_bytes,
+       CAST(MAX(total_bytes) AS BIGINT) AS max_bytes,
+       round(MAX(total_bytes) / AVG(total_bytes), 6) AS max_over_mean,
+       round(stddev_samp(total_bytes) / AVG(total_bytes), 6) AS byte_cv
+FROM per
+"""
+
+
+@register("pipeline_shard_skew_report", "X", oracle=_SHARD_SKEW_ORACLE,
+          doc="Shard-balance report for the manifest's md5 hash sharding: "
+              "byte-size min/max, max-over-mean, and coefficient of "
+              "variation across shards — the number that says whether "
+              "the release needs re-sharding before training reads it")
+def pipeline_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumes the identical shard assignment as pipeline_shard_manifest
+    (single hashing source of truth) and reduces it to one balance row.
+    Hash sharding balances COUNTS, not BYTES, when document sizes are
+    heavy-tailed — max_over_mean is what a training loader's stragglers
+    will actually see, which is why the report is byte-denominated."""
+    docs = load(spark, sf_dir, "documents").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#shard"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % MANIFEST_SHARDS
+        ).alias("shard"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    per = docs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_bytes").alias("total_bytes")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.min("total_bytes").cast("long").alias("min_bytes"),
+        F.max("total_bytes").cast("long").alias("max_bytes"),
+        F.round(F.max("total_bytes") / F.avg("total_bytes"), 6).alias("max_over_mean"),
+        F.round(F.stddev_samp("total_bytes") / F.avg("total_bytes"), 6).alias("byte_cv"),
+    )
