@@ -626,3 +626,60 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", "ts").alias("click_sec"),
         F.when(gap_minutes < ASOF_TOLERANCE_MIN, F.col("prev.vid")).alias("view_id"),
     )
+
+
+# Trim the top and bottom this fraction before averaging.
+TRIM_FRAC = 0.05
+
+_TRIMMED_MEAN_ORACLE = f"""
+WITH cuts AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, {TRIM_FRAC}) AS lo,
+         quantile_cont(l_extendedprice, {1 - TRIM_FRAC}) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       round(AVG(l.l_extendedprice), 4) AS raw_mean,
+       round(AVG(CASE WHEN l.l_extendedprice >= c.lo
+                       AND l.l_extendedprice <= c.hi
+                      THEN l.l_extendedprice END), 4) AS trimmed_mean,
+       CAST(COUNT(CASE WHEN l.l_extendedprice >= c.lo
+                        AND l.l_extendedprice <= c.hi THEN 1 END) AS BIGINT)
+         AS n_kept,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register("agg_trimmed_mean", "G", oracle=_TRIMMED_MEAN_ORACLE,
+          doc=f"{TRIM_FRAC:.0%}-trimmed mean per group beside the raw "
+              "mean: exact percentile cut points broadcast back over the "
+              "scan, conditional average inside the cuts — the robust "
+              "mean that survives fat-fingered outliers")
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut points come from the exact interpolated percentile aggregate
+    (the agg_percentile parity contract) in a per-key fit table that
+    broadcasts back — the fact rows are scanned twice but never join-
+    shuffled. At 100 TB the swap-in is approx_percentile cuts, same as
+    every exact-sort-based statistic in this file."""
+    li = load(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(TRIM_FRAC)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(1 - TRIM_FRAC)).alias("hi"),
+    )
+    inside = F.col("l_extendedprice").between(F.col("lo"), F.col("hi"))
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+            F.round(F.avg(F.when(inside, F.col("l_extendedprice"))), 4).alias(
+                "trimmed_mean"
+            ),
+            F.count(F.when(inside, 1)).cast("long").alias("n_kept"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -751,3 +751,76 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# Hash-sampled subset size for the pairwise-distance audit; the
+# all-pairs stage is DIST_SAMPLE²/2 rows by construction, never
+# corpus-quadratic.
+DIST_SAMPLE_MOD = 5  # keep vec_id % 5 == 0 → ~20% of vectors
+
+_DIST_HIST_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {DIST_SAMPLE_MOD} = 0
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+         / (sqrt(list_sum(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * x)))) AS cos_sim
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT CAST(floor((cos_sim + 1) * 10) AS BIGINT) AS sim_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(MIN(cos_sim), 6) AS lo,
+       round(MAX(cos_sim), 6) AS hi
+FROM pairs GROUP BY 1 ORDER BY sim_bucket
+"""
+
+
+@register("embedding_distance_histogram", "X", oracle=_DIST_HIST_ORACLE,
+          doc="Pairwise cosine-similarity histogram over a deterministic "
+              "~20% hash sample (0.1-wide buckets on [-1,1]) — the "
+              "embedding-collapse screen: a healthy space is spread, a "
+              "collapsed one piles into the top buckets")
+def embedding_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-pairs stage runs on the HASH SAMPLE only (documented
+    bounded-quadratic, like dedup_embedding's verify stage) — the audit
+    needs the distribution's shape, not every pair. Dot products are
+    JVM-side zip_with/aggregate folds in signature order, IEEE-identical
+    to the oracle's list folds before the single rounding."""
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % DIST_SAMPLE_MOD == 0
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select((dot / (_norm(F.col("ea")) * _norm(F.col("eb")))).alias("cos_sim"))
+    )
+    return (
+        pairs.groupBy(
+            F.floor((F.col("cos_sim") + 1) * 10).cast("long").alias("sim_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.min("cos_sim"), 6).alias("lo"),
+            F.round(F.max("cos_sim"), 6).alias("hi"),
+        )
+        .orderBy("sim_bucket")
+    )
