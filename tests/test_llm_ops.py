@@ -454,3 +454,27 @@ def test_phash_pairs_deterministic_and_symmetric_free(spark, sf_dir):
     assert df1 == df2
     for a, b, _ in df1:
         assert a < b
+
+
+def test_substring_report_planted_span(spark):
+    """Two docs sharing a verbatim 12-token span must both be reported with
+    longest_tokens >= 12; an unrelated doc and a doc whose only repeat is
+    INTRA-document must not appear (cross-document contract)."""
+    from toy_map_reduce_spark.operators.curation import substring_report
+
+    span = "the quick brown fox jumps over the lazy dog near riverbank tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + span + " gamma delta"),
+            (2, span + " epsilon zeta eta theta iota kappa"),
+            (3, "completely unrelated text with no shared spans at all "
+                "just filler words continuing onward forever and ever"),
+            (4, "u v w x y z aa bb " + "u v w x y z aa bb " + "cc dd ee"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in substring_report(docs).collect()}
+    assert set(rows) == {1, 2}, f"expected docs 1,2 only, got {sorted(rows)}"
+    for d in (1, 2):
+        assert rows[d].longest_tokens >= 12
+        assert rows[d].n_dup_windows >= 5  # 12-token span → 5 overlapping 8-windows

@@ -382,3 +382,31 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     df.collect()  # execute THIS DataFrame's QueryExecution so AQE finalizes it
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in final, "AQE partition coalescing not active"
+
+
+def test_substring_df_check_is_aggregate_not_hash_window(spark, sf_dir):
+    # the cross-doc df>=2 check must be a partial+final aggregate keyed on
+    # the window hash (uniform key, combiner-collapsed) — a Window over the
+    # hash would funnel a boilerplate span's full posting list into one
+    # task; the only Window allowed is the per-doc longest-run scan
+    plan = plan_of(spark, sf_dir, "dedup_substring")
+    assert "windowspecdefinition(h#" not in plan, (
+        "substring df check regressed to a Window over the span hash"
+    )
+    assert "Keys [1]: [h#" in plan, "df>=2 must be an aggregate keyed on the hash"
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_buckets_are_bounded_boxes(spark, sf_dir):
+    # the point of a z-layout: fixing the z-value's top 8 bits fixes the
+    # high nibble of BOTH dimensions, so every 256-wide z-bucket must be a
+    # 16×16 box — if either span exceeds 15 the bit interleave is broken
+    # and two-dimensional file pruning silently degrades to one dimension
+    from toy_map_reduce_spark.registry import get_spec
+
+    rows = get_spec("sink_zorder").builder(spark, sf_dir).collect()
+    assert rows, "z-order report is empty"
+    for r in rows:
+        assert 0 <= r.span_x <= 15 and 0 <= r.span_y <= 15, (
+            f"bucket {r.z_bucket}: spans ({r.span_x}, {r.span_y}) exceed the 16×16 box"
+        )

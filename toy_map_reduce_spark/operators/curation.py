@@ -221,3 +221,131 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_variants"),
         F.min("page_id").alias("kept_id"),
     )
+
+
+# --- exact-substring dedup (overlapping window fingerprints) ----------------
+#
+# The window-level formulation of "exact substring dedup" from the training-
+# data dedup literature: any W-token span that appears verbatim in 2+
+# documents is a duplicated substring. A suffix array (the single-node tool
+# for this) does not distribute; the Spark-native equivalent fingerprints
+# every OVERLAPPING W-token window (stride 1 — exact, no span can hide
+# between samples) and finds hashes with document frequency >= 2.
+SUBSTR_W = 8  # window width in tokens; spans shorter than W are not detected
+
+_SUBSTR_TERMS = " || ' ' || ".join(f"t[i+{k}]" for k in range(1, SUBSTR_W + 1))
+
+_DEDUP_SUBSTRING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE len(string_split(text, ' ')) >= {SUBSTR_W}
+),
+win AS (
+  SELECT doc_id, u.idx, md5(u.wtext) AS h
+  FROM toks, LATERAL (
+    SELECT unnest(range(len(t) - {SUBSTR_W - 1})) AS idx,
+           unnest([{_SUBSTR_TERMS} FOR i IN range(len(t) - {SUBSTR_W - 1})]) AS wtext
+  ) u
+),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+  GROUP BY h HAVING COUNT(*) >= 2
+),
+flagged AS (
+  SELECT w.doc_id, w.idx, d.h IS NOT NULL AS dup
+  FROM win w LEFT JOIN dup d USING (h)
+),
+tot AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup
+  FROM flagged GROUP BY doc_id
+),
+runs AS (
+  SELECT doc_id, idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+  FROM flagged WHERE dup
+),
+longest AS (
+  SELECT doc_id, MAX(cnt) AS longest FROM (
+    SELECT doc_id, grp, COUNT(*) AS cnt FROM runs GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_windows AS BIGINT) AS n_windows,
+       CAST(t.n_dup AS BIGINT) AS n_dup_windows,
+       CAST(l.longest AS BIGINT) AS longest_run,
+       CAST(l.longest + {SUBSTR_W - 1} AS BIGINT) AS longest_tokens
+FROM tot t JOIN longest l USING (doc_id)
+WHERE t.n_dup > 0
+"""
+
+
+@register("dedup_substring", "X", oracle=_DEDUP_SUBSTRING_ORACLE,
+          doc=f"Exact-substring dedup report: every overlapping {SUBSTR_W}-"
+              "token window fingerprinted (md5), windows whose hash appears "
+              "in 2+ distinct docs flagged, per-doc duplicated-window count "
+              "and longest consecutive duplicated run (gaps-and-islands) — "
+              "the distributed stand-in for suffix-array substring dedup")
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_report(load(spark, sf_dir, "documents"))
+
+
+def substring_report(docs: DataFrame) -> DataFrame:
+    """Scale shape: the window table is len(doc) rows/doc (stride 1), all
+    downstream keys are uniform — the df>=2 test is a partial+final
+    groupBy on the md5 hash (a hot boilerplate span costs one combiner
+    row per task, never a hot partition), and the flag joins back keyed
+    on the same uniform hash, NOT broadcast (the duplicated-hash set
+    grows with the corpus, unlike the tiny top-K boilerplate list
+    above). The longest-run window partitions by doc_id — bounded by
+    document length. Intra-doc repeats are text_repetition's job; a
+    window repeated only within one doc does not count here, matching
+    the cross-document contract of substring dedup."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= SUBSTR_W
+    )
+    win = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - SUBSTR_W),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("t", (i + k + 1).cast("int")) for k in range(SUBSTR_W)],
+                ),
+            )
+        ).alias("idx", "wtext"),
+    ).select("doc_id", "idx", F.md5("wtext").alias("h"))
+
+    dup = (
+        win.select("doc_id", "h").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("h", F.lit(True).alias("dup"))
+    )
+    flagged = win.join(dup, "h", "left").select(
+        "doc_id", "idx", F.coalesce("dup", F.lit(False)).alias("dup")
+    )
+    tot = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("idx"))
+    runs = (
+        flagged.where("dup")
+        .select("doc_id", (F.col("idx") - rn).alias("grp"))
+        .groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id").agg(F.max("cnt").alias("longest"))
+    )
+    return (
+        tot.join(runs, "doc_id")
+        .where(F.col("n_dup") > 0)
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("n_dup").cast("long").alias("n_dup_windows"),
+            F.col("longest").cast("long").alias("longest_run"),
+            (F.col("longest") + SUBSTR_W - 1).cast("long").alias("longest_tokens"),
+        )
+    )

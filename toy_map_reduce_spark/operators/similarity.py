@@ -522,11 +522,17 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle until the final occupancy count. Distances are
     ascending-index double folds, bit-identical cross-engine, and the
     argmin tiebreak orders by (dist, cid) so assignment is total."""
-    from pyspark.sql import Window
-
     emb = load(spark, sf_dir, "embeddings")
+    codes = _pq_codes(emb)
+    return codes.groupBy("code1", "code2").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+def _pq_halves(emb: DataFrame) -> DataFrame:
+    """embeddings → (vec_id, half, h): the two 32-dim subvectors per row."""
     d = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
-    halves = d.select(
+    return d.select(
         "vec_id", F.lit(1).alias("half"), F.slice("e", 1, PQ_HALF).alias("h")
     ).unionAll(
         d.select(
@@ -534,23 +540,132 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("e", PQ_HALF + 1, PQ_HALF).alias("h"),
         )
     )
-    cents = halves.where(F.col("vec_id") < PQ_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("half").alias("c_half"), F.col("h").alias("c")
-    )
-    dist = F.aggregate(
-        F.zip_with("h", "c", lambda x, y: (x - y) * (x - y)),
+
+
+def _pq_sqdist(h_col, c_col):
+    """Squared L2 between two subvectors — ascending-index double fold,
+    bit-identical to the oracles' list_reduce."""
+    return F.aggregate(
+        F.zip_with(h_col, c_col, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda a, b: a + b,
     )
+
+
+def _pq_codes(emb: DataFrame) -> DataFrame:
+    """embeddings → (vec_id, code1, code2): nearest-centroid assignment per
+    subspace against the deterministic codebook (halves of vec_id <
+    PQ_CENTROIDS), tiebreak (dist asc, cid asc). Shared by the occupancy
+    report (embedding_pq_codes) and the ADC search (sim_topk_pq)."""
+    halves = _pq_halves(emb)
+    cents = halves.where(F.col("vec_id") < PQ_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("half").alias("c_half"), F.col("h").alias("c")
+    )
     dists = halves.join(
         F.broadcast(cents), F.col("half") == F.col("c_half")
-    ).select("vec_id", "half", "cid", dist.alias("dist"))
+    ).select("vec_id", "half", "cid", _pq_sqdist(F.col("h"), F.col("c")).alias("dist"))
     w = Window.partitionBy("vec_id", "half").orderBy("dist", "cid")
     best = dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     c1 = best.where(F.col("half") == 1).select("vec_id", F.col("cid").alias("code1"))
     c2 = best.where(F.col("half") == 2).select("vec_id", F.col("cid").alias("code2"))
-    return c1.join(c2, "vec_id").groupBy("code1", "code2").agg(
-        F.count(F.lit(1)).alias("n_vectors")
+    return c1.join(c2, "vec_id")
+
+
+_SIM_TOPK_PQ_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+halves AS (
+  SELECT vec_id, 1 AS half, e[1:{PQ_HALF}] AS h FROM d
+  UNION ALL
+  SELECT vec_id, 2 AS half, e[{PQ_HALF + 1}:{2 * PQ_HALF}] AS h FROM d
+),
+cents AS (
+  SELECT vec_id AS cid, half, h AS c FROM halves WHERE vec_id < {PQ_CENTROIDS}
+),
+dists AS (
+  SELECT v.vec_id, v.half, c.cid,
+         list_reduce(list_transform(range(1, {PQ_HALF} + 1),
+                                    i -> (v.h[i] - c.c[i]) * (v.h[i] - c.c[i])),
+                     (a, b) -> a + b) AS dist
+  FROM halves v JOIN cents c ON c.half = v.half
+),
+best AS (
+  SELECT vec_id, half, cid, dist,
+         row_number() OVER (PARTITION BY vec_id, half ORDER BY dist, cid) AS rn
+  FROM dists
+),
+codes AS (
+  SELECT c1.vec_id, c1.cid AS code1, c2.cid AS code2
+  FROM (SELECT vec_id, cid FROM best WHERE half = 1 AND rn = 1) c1
+  JOIN (SELECT vec_id, cid FROM best WHERE half = 2 AND rn = 1) c2 USING (vec_id)
+),
+lut AS (
+  SELECT d.vec_id AS q_id, d.half, d.cid, d.dist
+  FROM dists d WHERE d.vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT l1.q_id, v.vec_id, l1.dist + l2.dist AS adist
+  FROM codes v
+  JOIN lut l1 ON l1.half = 1 AND l1.cid = v.code1
+  JOIN lut l2 ON l2.half = 2 AND l2.cid = v.code2 AND l2.q_id = l1.q_id
+  WHERE v.vec_id <> l1.q_id
+)
+SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rnk, round(adist, 6) AS adist FROM (
+  SELECT q_id, vec_id, adist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("sim_topk_pq", "X", oracle=_SIM_TOPK_PQ_ORACLE,
+          doc="PQ asymmetric-distance (ADC) top-k: database vectors reduced "
+              "to (code1, code2), per-query distance = LUT[code1] + "
+              "LUT[code2] from a broadcast query×centroid lookup table — "
+              "the memory-resident search mode of a PQ index, completing "
+              "the ANN triple (LSH buckets, IVF cells, PQ codes)")
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC's scale contract, stated with the plan: the per-query lookup
+    table is |queries| × SUBSPACES × CENTROIDS rows (here 5×2×4; 256-
+    centroid production codebooks are still KBs per query) → broadcast;
+    scoring the full corpus is then ONE map-side pass over the tiny
+    codes table (two ints per vector — this is why PQ exists: the
+    float vectors never leave disk), followed by a per-query window
+    top-k. Approximation error vs exact cosine is sim_topk's to
+    measure; the parity oracle here pins the ADC arithmetic itself."""
+    emb = load(spark, sf_dir, "embeddings")
+    codes = _pq_codes(emb)
+
+    # query-side LUT: distance from each query half to each centroid
+    halves = _pq_halves(emb)
+    cents = halves.where(F.col("vec_id") < PQ_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("half").alias("c_half"), F.col("h").alias("c")
+    )
+    lut = (
+        halves.where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .join(F.broadcast(cents), F.col("half") == F.col("c_half"))
+        .select(
+            F.col("vec_id").alias("q_id"), "half", "cid",
+            _pq_sqdist(F.col("h"), F.col("c")).alias("dist"),
+        )
+    )
+    l1 = lut.where(F.col("half") == 1).select("q_id", F.col("cid").alias("cid1"), F.col("dist").alias("d1"))
+    l2 = lut.where(F.col("half") == 2).select(F.col("q_id").alias("q_id2"), F.col("cid").alias("cid2"), F.col("dist").alias("d2"))
+    scored = (
+        codes.join(F.broadcast(l1), F.col("code1") == F.col("cid1"))
+        .join(
+            F.broadcast(l2),
+            (F.col("code2") == F.col("cid2")) & (F.col("q_id") == F.col("q_id2")),
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", (F.col("d1") + F.col("d2")).alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.col("rn").cast("int").alias("rnk"), F.round("adist", 6).alias("adist"))
     )
 
 
@@ -823,4 +938,98 @@ def embedding_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cos_sim"), 6).alias("hi"),
         )
         .orderBy("sim_bucket")
+    )
+
+
+_COVARIANCE_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+el AS (
+  SELECT vec_id, unnest(range(1, {EMB_DIM} + 1)) AS i, unnest(e) AS v FROM d
+),
+g AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
+  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+s AS (SELECT i, SUM(v) AS sv FROM el GROUP BY i),
+n AS (SELECT COUNT(*) AS n FROM d)
+SELECT CAST(g.i AS INTEGER) AS dim_i, CAST(g.j AS INTEGER) AS dim_j,
+       round((g.sxy - sa.sv * sb.sv / n.n) / (n.n - 1), 6) + 0.0 AS cov
+FROM g
+CROSS JOIN n
+JOIN s sa ON sa.i = g.i
+JOIN s sb ON sb.i = g.j
+"""
+
+
+@register("embedding_covariance", "X", oracle=_COVARIANCE_ORACLE,
+          doc=f"Full {EMB_DIM}×{EMB_DIM} covariance matrix (upper triangle) "
+              "of the embedding corpus via per-batch numpy Gram partials "
+              "(mapInPandas X^T X) merged by a tiny (i,j)-keyed aggregate — "
+              "the PCA/whitening precursor, computed as distributed linear "
+              "algebra rather than a row explosion")
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-correct formulation of corpus covariance: each Arrow
+    batch collapses to ONE d(d+1)/2-row partial Gram inside numpy (BLAS
+    syrk, zero Python-loop rows), so the shuffle carries
+    #batches × 2080 rows regardless of corpus size — vs the naive
+    posexplode-pair formulation whose shuffle is n × d² rows (a 4096×
+    amplification at d=64 that is gone here). Dimension sums (for mean
+    centering) ride a cheap posexplode since they are n × d rows with a
+    64-key aggregate. Double-precision throughout; the 1e-6 rounding
+    absorbs BLAS-vs-sequential summation-order ulps."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select(_as_double(F.col("embedding")).alias("e"))
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            G = X.T @ X
+            iu = np.triu_indices(EMB_DIM)
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "sxy": G[iu],
+                }
+            )
+
+    gram = (
+        d.mapInPandas(gram_partials, "i int, j int, sxy double")
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").alias("sxy"))
+    )
+    el = d.select(F.posexplode("e").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("int").alias("i"), "v"
+    )
+    s = el.groupBy("i").agg(F.sum("v").alias("sv"))
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    sa = s.select(F.col("i").alias("ia"), F.col("sv").alias("sva"))
+    sb = s.select(F.col("i").alias("ib"), F.col("sv").alias("svb"))
+    return (
+        gram.crossJoin(F.broadcast(n))
+        .join(F.broadcast(sa), F.col("i") == F.col("ia"))
+        .join(F.broadcast(sb), F.col("j") == F.col("ib"))
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            # + 0.0 canonicalizes IEEE negative zero (a tiny negative
+            # covariance rounds to -0.0, which string-compares unequal to
+            # the other engine's 0.0)
+            (
+                F.round(
+                    (F.col("sxy") - F.col("sva") * F.col("svb") / F.col("n"))
+                    / (F.col("n") - 1),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
     )

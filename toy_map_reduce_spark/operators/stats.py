@@ -653,3 +653,94 @@ def stat_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_required_per_variant"
         ),
     )
+
+
+_MANN_WHITNEY_ORACLE = """
+WITH lab AS (
+  SELECT value AS v, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+byv AS (
+  SELECT v, SUM(g1) AS c1, SUM(1 - g1) AS c2, COUNT(*) AS cnt
+  FROM lab GROUP BY v
+),
+ranked AS (
+  SELECT c1, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_before,
+         SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2,
+         SUM(cnt * cnt * cnt - cnt) OVER () AS tie_term
+  FROM byv
+),
+s AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2, MAX(tie_term) AS tie_term,
+         SUM(c1 * (cum_before + (cnt + 1) / 2.0)) AS r1
+  FROM ranked
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u1,
+       round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1) - tie_term
+                       / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))), 6) AS z
+FROM s
+"""
+
+
+@register("stat_mann_whitney", "X", oracle=_MANN_WHITNEY_ORACLE,
+          doc="Mann-Whitney U (Wilcoxon rank-sum) between purchase and "
+              "click values: midrank ties, tie-corrected normal "
+              "approximation z — the nonparametric significance readout "
+              "beside stat_t_test for metrics too skewed for a t-test")
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank sums never materialize per-row ranks: values collapse to a
+    grouped (value → per-group counts) table first — the same midrank-
+    from-cumulative-counts formulation as stat_auc, so the expensive
+    step is one partial+final groupBy on value plus a window over the
+    DISTINCT values only (|distinct values| rows, not |events|). The
+    tie-correction term Σ(t³−t) falls out of the same grouped table for
+    free. At 100 TB the distinct-value table is what you window over —
+    never the raw events."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    lab = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
+    )
+    byv = lab.groupBy("v").agg(
+        F.sum("g1").alias("c1"),
+        F.sum(1 - F.col("g1")).alias("c2"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w_order = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = byv.select(
+        "c1",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_order), F.lit(0)).alias("cum_before"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).over(w_all).alias("tie_term"),
+    )
+    s = ranked.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("tie_term").alias("tie_term"),
+        F.sum(F.col("c1") * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)).alias("r1"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n1 + n2 + 1) - F.col("tie_term") / ((n1 + n2) * (n1 + n2 - 1)).cast("double"))
+    )
+    return s.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(u1, 4).alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z"),
+    )

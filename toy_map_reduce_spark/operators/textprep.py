@@ -383,3 +383,73 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         kw.alias("kw_hits"),
         ((sym_frac > 0.05) | (kw >= 2)).alias("is_code"),
     )
+
+
+# --- tokenizer vocabulary coverage ------------------------------------------
+VOCAB_SIZE = 256  # top-K corpus tokens by (freq desc, token asc)
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+clean AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS freq FROM clean GROUP BY tok
+  ) ORDER BY freq DESC, tok ASC LIMIT {VOCAB_SIZE}
+),
+per_doc AS (
+  SELECT c.doc_id, c.lang,
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM clean c LEFT JOIN vocab v ON c.tok = v.tok
+  GROUP BY c.doc_id, c.lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_oov) AS BIGINT) AS total_oov,
+       round(SUM(n_oov) / CAST(SUM(n_tokens) AS DOUBLE), 6) AS oov_rate,
+       round(AVG(n_oov / CAST(n_tokens AS DOUBLE)), 6) AS mean_doc_oov_rate
+FROM per_doc GROUP BY lang
+"""
+
+
+@register("tokenize_vocab_coverage", "X", oracle=_VOCAB_COVERAGE_ORACLE,
+          doc=f"Tokenizer vocabulary-coverage audit: top-{VOCAB_SIZE} corpus "
+              "tokens as the vocab, per-language token/OOV totals and mean "
+              "per-doc OOV rate — the pre-tokenization screen that decides "
+              "whether a tokenizer's vocab fits a new corpus slice")
+def tokenize_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: token frequencies are one partial+final groupBy (hot
+    stopword tokens collapse in the combiner); the vocab is top-K of
+    that — tiny by construction — so membership tagging is a broadcast
+    left join against the exploded token stream, map-side. Per-doc and
+    per-lang rollups are two more uniform-keyed aggregates. The
+    (freq desc, token asc) tiebreak makes the vocab total-ordered and
+    thus cross-engine deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    vocab = (
+        clean.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        clean.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_oov").cast("long").alias("total_oov"),
+        F.round(F.sum("n_oov") / F.sum("n_tokens").cast("double"), 6).alias("oov_rate"),
+        F.round(F.avg(F.col("n_oov") / F.col("n_tokens").cast("double")), 6).alias("mean_doc_oov_rate"),
+    )

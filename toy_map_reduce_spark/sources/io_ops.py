@@ -867,3 +867,79 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min").cast("long").alias("min_v"),
         F.col("max").cast("long").alias("max_v"),
     )
+
+
+# --- z-order clustered layout -----------------------------------------------
+ZORDER_BITS = 8  # bits per dimension → 16-bit z-value, 256 coarse buckets
+
+_ZX = "(l_partkey % 256)"
+_ZY = "(l_suppkey % 256)"
+_Z_SQL = " + ".join(
+    f"(({_ZX} >> {k}) & 1) * {1 << (2 * k)} + (({_ZY} >> {k}) & 1) * {1 << (2 * k + 1)}"
+    for k in range(ZORDER_BITS)
+)
+
+_ZORDER_ORACLE = f"""
+WITH z AS (
+  SELECT {_ZX} AS x, {_ZY} AS y, ({_Z_SQL}) AS zval FROM lineitem
+)
+SELECT CAST(zval // 256 AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+       CAST(MAX(x) - MIN(x) AS BIGINT) AS span_x,
+       CAST(MAX(y) - MIN(y) AS BIGINT) AS span_y
+FROM z GROUP BY 1
+"""
+
+
+@register("sink_zorder", "G", oracle=_ZORDER_ORACLE,
+          doc="Z-order (Morton-curve) clustered parquet layout: 16-bit "
+              "interleaved z-value over (partkey, suppkey) mod 256, "
+              "repartitionByRange + sortWithinPartitions on zval, then a "
+              "per-z-bucket locality report over the read-back — every "
+              "bucket's x AND y spans are ≤ 15, which is why a z-layout "
+              "prunes two-dimensional filters where a linear sort prunes "
+              "only one")
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth layout lever beside partitioning, bucketing, and linear
+    clustering (sink_sorted_clustered): interleaving the bits of two key
+    columns gives a single sort key under which BOTH dimensions stay
+    locally bounded — fixing the z-value's top 8 bits fixes the high
+    nibble of each dimension, so every 256-wide z-bucket is a 16×16 box.
+    At 100 TB the write is one range shuffle on zval (range partitioner
+    samples keep output files balanced) and row-group min/max stats on x
+    and y both become tight, so a (part, supp) box predicate skips files
+    on two columns at once. The z-value is pure integer bit arithmetic
+    (shift/mask/add) — whole-stage codegen, no UDF."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    x = F.col("l_partkey") % 256
+    y = F.col("l_suppkey") % 256
+    zval = None
+    for k in range(ZORDER_BITS):
+        bx = F.shiftright(x, k).bitwiseAND(F.lit(1)) * (1 << (2 * k))
+        by = F.shiftright(y, k).bitwiseAND(F.lit(1)) * (1 << (2 * k + 1))
+        term = bx + by
+        zval = term if zval is None else zval + term
+    staged = li.select(x.alias("x"), y.alias("y"), zval.alias("zval"))
+
+    path = _scratch(sf_dir, "zorder")
+    (
+        staged.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy((F.col("zval") / 256).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").cast("long").alias("min_x"),
+            F.max("x").cast("long").alias("max_x"),
+            F.min("y").cast("long").alias("min_y"),
+            F.max("y").cast("long").alias("max_y"),
+            (F.max("x") - F.min("x")).cast("long").alias("span_x"),
+            (F.max("y") - F.min("y")).cast("long").alias("span_y"),
+        )
+    )
