@@ -422,3 +422,62 @@ def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_CORR_PAIRS_ORACLE = """
+WITH pairs AS (
+  SELECT 'qty_price' AS pair, corr(l_quantity, l_extendedprice) AS r,
+         covar_samp(l_quantity, l_extendedprice) AS cov FROM lineitem
+  UNION ALL
+  SELECT 'qty_discount', corr(l_quantity, l_discount),
+         covar_samp(l_quantity, l_discount) FROM lineitem
+  UNION ALL
+  SELECT 'price_tax', corr(l_extendedprice, l_tax),
+         covar_samp(l_extendedprice, l_tax) FROM lineitem
+  UNION ALL
+  SELECT 'discount_tax', corr(l_discount, l_tax),
+         covar_samp(l_discount, l_tax) FROM lineitem
+)
+SELECT pair, round(r, 6) + 0.0 AS r, round(cov, 4) + 0.0 AS cov,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n
+FROM pairs
+"""
+
+
+@register("agg_corr_pairs", "G", oracle=_CORR_PAIRS_ORACLE,
+          doc="Pairwise Pearson correlation + sample covariance over the "
+              "lineitem measure columns — the feature-redundancy screen, "
+              "each pair a single-pass co-moment aggregate")
+def agg_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/covar_samp are single-pass streaming co-moment aggregates
+    (partial+final, map-side combinable) — four pairs over one cached
+    scan is still one stage, no joins, no windows; at 100 TB this is
+    exactly a multi-column statistics collection pass. Rounded inside
+    the query on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = [
+        ("qty_price", "l_quantity", "l_extendedprice"),
+        ("qty_discount", "l_quantity", "l_discount"),
+        ("price_tax", "l_extendedprice", "l_tax"),
+        ("discount_tax", "l_discount", "l_tax"),
+    ]
+    aggs = []
+    for name, a, b in cols:
+        # + 0.0 canonicalizes IEEE negative zero (a near-zero negative
+        # statistic rounds to -0.0, which string-compares unequal cross-engine)
+        aggs += [
+            (F.round(F.corr(a, b), 6) + F.lit(0.0)).alias(f"r_{name}"),
+            (F.round(F.covar_samp(a, b), 4) + F.lit(0.0)).alias(f"cov_{name}"),
+        ]
+    wide = li.agg(*aggs, F.count(F.lit(1)).alias("n"))
+    rows = F.array(*[
+        F.struct(
+            F.lit(name).alias("pair"),
+            F.col(f"r_{name}").alias("r"),
+            F.col(f"cov_{name}").alias("cov"),
+        )
+        for name, _, _ in cols
+    ])
+    return wide.select(F.explode(rows).alias("p"), "n").select(
+        "p.pair", "p.r", "p.cov", F.col("n").cast("long").alias("n")
+    )

@@ -949,3 +949,59 @@ def pipeline_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("total_bytes") / F.avg("total_bytes"), 6).alias("max_over_mean"),
         F.round(F.stddev_samp("total_bytes") / F.avg("total_bytes"), 6).alias("byte_cv"),
     )
+
+
+_EPOCH_SHUFFLE_ORACLE = """
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)) AS k
+  FROM documents d CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
+),
+sharded AS (
+  SELECT epoch, doc_id, k, ascii(substr(k, 1, 1)) % 4 AS shard FROM keyed
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, CAST(shard AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k)) AS order_digest
+FROM sharded GROUP BY epoch, shard
+"""
+
+
+@register("pipeline_epoch_shuffle", "X", oracle=_EPOCH_SHUFFLE_ORACLE,
+          doc="Deterministic per-epoch global shuffle: order key = "
+              "md5(doc_id:epoch), so every epoch gets a different but "
+              "exactly reproducible permutation with zero stored state; "
+              "per-(epoch, shard) manifest digests audit the order")
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How training-data loaders shuffle at scale: never rand() (not
+    reproducible, not resumable) and never a global sort of raw rows —
+    the hash key IS the permutation, epoch-salted so epochs decorrelate,
+    and each worker reads its shard in key order independently. The
+    digest is computed per (epoch, shard): the collect_list is bounded
+    by shard size (corpus/8 here; a real manifest digests per output
+    file), and array_sort runs AFTER collection so shuffle arrival
+    order cannot change the digest — the same determinism contract as
+    pipeline_shard_manifest."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string"))).alias("k"),
+    )
+    sharded = keyed.withColumn("shard", F.ascii(F.substring("k", 1, 1)) % 4)
+    return (
+        sharded.groupBy("epoch", F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "doc_id"))),
+                        lambda s: s["doc_id"].cast("string"),
+                    ),
+                )
+            ).alias("order_digest"),
+        )
+    )

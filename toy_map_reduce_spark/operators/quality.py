@@ -708,3 +708,66 @@ def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("signal")
     )
+
+
+# --- hashed-feature linear quality model ------------------------------------
+#
+# The "model-scored quality" stage of a training pipeline (the fasttext-
+# style classifier step), reduced to its Spark-shaped essence: per-token
+# pseudo-weights derived from a portable deterministic token code, mean-
+# pooled per document, squashed through a sigmoid. The weights are a stand-
+# in for a trained linear model's hashed-feature weights — the POINT is the
+# execution shape (model scoring as one scan, no UDF), not the model.
+QUALITY_SIGMOID_K = 10.0
+
+_MODEL_SCORE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+w AS (
+  SELECT doc_id, lang,
+         ((length(tok) * 131 + ascii(substr(tok, 1, 1))) % 1001 - 500) / 1000.0 AS wt
+  FROM toks WHERE tok <> ''
+),
+scored AS (
+  SELECT doc_id, lang,
+         1.0 / (1.0 + exp(-{QUALITY_SIGMOID_K} * AVG(wt))) AS score
+  FROM w GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(score), 6) AS mean_score,
+       CAST(SUM(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM scored GROUP BY lang
+"""
+
+
+@register("quality_model_score", "X", oracle=_MODEL_SCORE_ORACLE,
+          doc="Linear quality-model scoring as a scan: deterministic hashed "
+              "per-token weights mean-pooled per doc, sigmoid squash, "
+              "per-language pass rates — the execution shape of the "
+              "classifier-filter stage (one pass, zero UDFs, weights "
+              "resolved map-side)")
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the real version broadcasts a vocab→weight map and this
+    plan is unchanged: explode tokens, map-side weight lookup, one
+    partial+final groupBy per doc, one per-lang rollup. Everything is
+    JVM column arithmetic; the sigmoid is exp()/arithmetic, identical
+    IEEE cross-engine, and only the final averages are rounded."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    wt = (
+        (F.length("tok") * 131 + F.ascii(F.substring("tok", 1, 1))) % 1001 - 500
+    ) / 1000.0
+    scored = toks.select("doc_id", "lang", wt.alias("wt")).groupBy(
+        "doc_id", "lang"
+    ).agg(
+        (1.0 / (1.0 + F.exp(-QUALITY_SIGMOID_K * F.avg("wt")))).alias("score")
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.sum(F.when(F.col("score") > 0.5, 1).otherwise(0)).cast("long").alias("n_pass"),
+    )
