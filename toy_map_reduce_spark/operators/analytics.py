@@ -1261,3 +1261,89 @@ def orders_runrate_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("prev_rev", 2).alias("prev_month_revenue"),
         F.round(proj / F.col("prev_rev") - 1, 6).alias("projected_mom_growth"),
     )
+
+
+RULE_MIN_CONF = 0.2
+
+_ASSOC_RULES_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+isup AS (SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS s_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_SUPPORT}
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, s_ab FROM pairs
+  UNION ALL
+  SELECT part_b, part_a, s_ab FROM pairs
+)
+SELECT r.antecedent, r.consequent, CAST(r.s_ab AS BIGINT) AS support,
+       round(r.s_ab / CAST(sa.s AS DOUBLE), 6) AS confidence,
+       round(r.s_ab / CAST(sa.s AS DOUBLE) / (sc.s / CAST(n.n_baskets AS DOUBLE)), 6) AS lift
+FROM rules r
+JOIN isup sa ON sa.l_partkey = r.antecedent
+JOIN isup sc ON sc.l_partkey = r.consequent
+CROSS JOIN n
+WHERE r.s_ab / CAST(sa.s AS DOUBLE) >= {RULE_MIN_CONF}
+"""
+
+
+@register("itemsets_assoc_rules", "G", oracle=_ASSOC_RULES_ORACLE,
+          doc="Association rules over the frequent pairs: both rule "
+              "directions scored with confidence = supp(ab)/supp(a) and "
+              "lift vs the consequent's base rate, confidence-thresholded "
+              "— the recommendation layer on top of itemsets_copurchase")
+def itemsets_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three aggregates (basket count, item supports, pair supports) and
+    two joins keyed on item id. The item-support table is |items| rows —
+    broadcast below ~100M items, hash-join above; the pair table is
+    already support-thresholded before any join, so the rule scoring
+    never touches the quadratic candidate space. Lift needs the global
+    basket count: one scalar broadcast, the same one-row pattern as
+    dedup_incremental."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"), F.col("part_b").alias("consequent"), "s_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"), F.col("part_a").alias("consequent"), "s_ab"
+        )
+    )
+    sa = isup.select(F.col("l_partkey").alias("antecedent"), F.col("s").alias("s_a"))
+    sc = isup.select(F.col("l_partkey").alias("consequent"), F.col("s").alias("s_c"))
+    conf = F.col("s_ab") / F.col("s_a").cast("double")
+    return (
+        rules.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n))
+        .where(conf >= RULE_MIN_CONF)
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s_ab").cast("long").alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / (F.col("s_c") / F.col("n_baskets").cast("double")), 6).alias("lift"),
+        )
+    )

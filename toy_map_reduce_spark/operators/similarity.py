@@ -564,8 +564,15 @@ def _pq_codes(emb: DataFrame) -> DataFrame:
     dists = halves.join(
         F.broadcast(cents), F.col("half") == F.col("c_half")
     ).select("vec_id", "half", "cid", _pq_sqdist(F.col("h"), F.col("c")).alias("dist"))
-    w = Window.partitionBy("vec_id", "half").orderBy("dist", "cid")
-    best = dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # argmin as min(struct(dist, cid)) — lexicographic struct ordering IS the
+    # (dist asc, cid asc) tiebreak, and unlike a row_number window it is a
+    # partial+final aggregate: each task emits one candidate per (vec_id,
+    # half), so no per-key sort and no skew exposure on the window shuffle
+    best = (
+        dists.groupBy("vec_id", "half")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select("vec_id", "half", F.col("m.cid").alias("cid"))
+    )
     c1 = best.where(F.col("half") == 1).select("vec_id", F.col("cid").alias("code1"))
     c2 = best.where(F.col("half") == 2).select("vec_id", F.col("cid").alias("code2"))
     return c1.join(c2, "vec_id")

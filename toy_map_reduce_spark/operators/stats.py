@@ -744,3 +744,87 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u1, 4).alias("u1"),
         F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z"),
     )
+
+
+# --- Poisson bootstrap ------------------------------------------------------
+BOOTSTRAP_B = 32  # replicas; production uses 100-1000 — same plan, wider union
+
+# Poisson(1) inverse-CDF ladder (cumulative probabilities for k = 0..4);
+# rows draw a deterministic uniform from (event_id, replica) so every rerun
+# and both engines resample identically — never rand().
+_POIS_CDF = (0.367879441, 0.735758882, 0.919698603, 0.981011843, 0.996340153)
+
+_POIS_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF))
+    + " ELSE 5 END"
+)
+
+_BOOTSTRAP_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, value FROM events WHERE event_type = 'purchase'
+),
+rep AS (
+  SELECT b.b, base.value,
+         (((event_id % 1000003) * 2654435761 + b.b * 40503) % 1000000)
+           / 1000000.0 AS u
+  FROM base CROSS JOIN (SELECT unnest(range({BOOTSTRAP_B})) AS b) b
+),
+w AS (SELECT b, value, {_POIS_CASE_SQL} AS wt FROM rep),
+means AS (
+  SELECT b, SUM(wt * value) / SUM(wt) AS m FROM w GROUP BY b
+)
+SELECT CAST({BOOTSTRAP_B} AS BIGINT) AS n_replicas,
+       round((SELECT AVG(value) FROM base), 6) AS point_mean,
+       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+       round(quantile_cont(m, 0.975), 6) AS ci_hi
+FROM means
+"""
+
+
+@register("stat_bootstrap_ci", "X", oracle=_BOOTSTRAP_ORACLE,
+          doc=f"Poisson-bootstrap 95% CI for the purchase-value mean: "
+              f"{BOOTSTRAP_B} replicas, each row's replica weight drawn "
+              "Poisson(1) from a deterministic (event_id, replica) uniform "
+              "— the distributed bootstrap (no per-replica resample pass, "
+              "no rand())")
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why Poisson bootstrap is THE scale formulation: a classical
+    resample needs n draws per replica coordinated across the cluster;
+    Poisson(1) weights are independent per (row, replica), so the whole
+    thing is one map-side weight expression over a replicated scan —
+    B× row amplification, fully partial-aggregated, no shuffle beyond
+    the B-key groupBy. The deterministic hash uniform makes the CI
+    reproducible run-to-run and engine-to-engine (the driver
+    hash-compares); swap in a true RNG and nothing else changes."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    base = ev.select("event_id", "value")
+    reps = spark.range(BOOTSTRAP_B).select(F.col("id").cast("long").alias("b"))
+    u = (
+        ((F.col("event_id") % 1000003) * F.lit(2654435761) + F.col("b") * 40503)
+        % 1000000
+    ) / 1000000.0
+    wt = F.when(u < _POIS_CDF[0], 0)
+    for k, c in enumerate(_POIS_CDF[1:], start=1):
+        wt = wt.when(u < c, k)
+    wt = wt.otherwise(5)
+    means = (
+        base.crossJoin(F.broadcast(reps))
+        .select("b", "value", wt.alias("wt"))
+        .groupBy("b")
+        .agg((F.sum(F.col("wt") * F.col("value")) / F.sum("wt")).alias("m"))
+    )
+    point = base.agg(F.round(F.avg("value"), 6).alias("point_mean"))
+    return (
+        means.agg(
+            F.round(F.percentile("m", 0.025), 6).alias("ci_lo"),
+            F.round(F.percentile("m", 0.975), 6).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            F.lit(BOOTSTRAP_B).cast("long").alias("n_replicas"),
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
