@@ -478,3 +478,50 @@ def test_substring_report_planted_span(spark):
     for d in (1, 2):
         assert rows[d].longest_tokens >= 12
         assert rows[d].n_dup_windows >= 5  # 12-token span → 5 overlapping 8-windows
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """The distributed BPE loop must learn exactly the merges a textbook
+    single-process trainer learns (same greedy leftmost non-overlapping
+    rewrite, same (count desc, pair asc) tiebreak), including on repeated-
+    symbol words where overlap handling bites."""
+    from toy_map_reduce_spark.operators.textstats import bpe_train
+
+    corpus = {"banana": 6, "bandana": 4, "aaaa": 5, "low": 7, "lower": 3, "lowest": 2}
+
+    def ref_bpe(word_freqs, n):
+        words = {tuple(w): f for w, f in word_freqs.items()}
+        merges = []
+        for rank in range(1, n + 1):
+            counts = {}
+            for syms, f in words.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+            merges.append((rank, pair[0], pair[1], pair[0] + pair[1], counts[pair]))
+            new_words = {}
+            for syms, f in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == pair[0]
+                        and syms[i + 1] == pair[1]
+                    ):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                k = tuple(out)
+                new_words[k] = new_words.get(k, 0) + f
+            words = new_words
+        return merges
+
+    words_df = spark.createDataFrame(list(corpus.items()), ["word", "freq"])
+    got = bpe_train(words_df, n_merges=5)
+    want = ref_bpe(corpus, 5)
+    assert got == want, f"spark merges {got} != reference {want}"

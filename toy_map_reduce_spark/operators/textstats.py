@@ -780,3 +780,106 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+BPE_N_MERGES = 6
+
+
+def _bpe_merge_fold(sym_col, a: str, b: str):
+    """Greedy leftmost non-overlapping merge of adjacent (a, b) → a+b inside
+    a symbol array, as a pure JVM higher-order fold (no UDF): the
+    accumulator carries (emitted prefix, one pending symbol); each step
+    either completes a merge, flushes the pending symbol, or starts a new
+    pending one. Matches the replacement rule of reference BPE trainers."""
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        pend, out = acc["pend"], acc["out"]
+        hit = pend.eqNullSafe(F.lit(a)) & (s == F.lit(b))
+        new_out = F.when(pend.isNull(), out).otherwise(
+            F.when(hit, F.concat(out, F.array(F.lit(a + b)))).otherwise(
+                F.concat(out, F.array(pend))
+            )
+        )
+        new_pend = F.when(pend.isNull() | ~hit, s).otherwise(
+            F.lit(None).cast("string")
+        )
+        return F.struct(new_out.alias("out"), new_pend.alias("pend"))
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(sym_col, acc0, step, finish)
+
+
+def bpe_train(words: DataFrame, n_merges: int = BPE_N_MERGES):
+    """(word, freq) → ordered merge list [(rank, pair_a, pair_b, merged,
+    n), ...]: the actual BPE training loop. Each iteration counts
+    adjacent symbol pairs weighted by word frequency (one partial+final
+    aggregate over the vocab-sized table), pulls the single argmax row to
+    the driver (trainer state is one pair — the same tiny-state pattern
+    as k-means centroids), and rewrites the symbol arrays with a JVM
+    fold. Ties break (count desc, pair_a asc, pair_b asc) so training is
+    total-ordered and rerun-deterministic."""
+    sym = words.select(
+        F.filter(F.split("word", ""), lambda c: c != "").alias("sym"), "freq"
+    ).cache()
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pair_struct = F.transform(
+            F.sequence(F.lit(1), F.size("sym") - 1),
+            lambda i: F.struct(
+                F.element_at("sym", i.cast("int")).alias("pa"),
+                F.element_at("sym", (i + 1).cast("int")).alias("pb"),
+            ),
+        )
+        best = (
+            sym.where(F.size("sym") >= 2)
+            .select("freq", F.explode(pair_struct).alias("p"))
+            .groupBy("p.pa", "p.pb")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "pa", "pb")
+            .first()
+        )
+        if best is None:
+            break
+        a, b, n = best["pa"], best["pb"], best["n"]
+        merges.append((rank, a, b, a + b, int(n)))
+        new_sym = sym.select(_bpe_merge_fold(F.col("sym"), a, b).alias("sym"), "freq").cache()
+        sym.unpersist()
+        sym = new_sym
+    sym.unpersist()
+    return merges
+
+
+@register("tokenize_bpe_train", "X", oracle=None,
+          doc=f"Full BPE merge training ({BPE_N_MERGES} iterations) over the "
+              "word-frequency table: per-iteration weighted pair counts → "
+              "argmax merge → JVM-fold symbol rewrite; returns the learned "
+              "merge list. Rows-only (the iterative fold has no SQL twin); "
+              "pinned against a pure-Python reference trainer in pytest")
+def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale contract of distributed BPE: the corpus is touched ONCE
+    (word-frequency aggregate — corpus-sized shuffle, map-side combined);
+    every training iteration then runs over the vocab-sized table only,
+    so 6 merges cost 6 small aggregates regardless of corpus size. Driver
+    state per iteration is a single (pair, count) row. The symbol
+    rewrite is a whole-stage-codegen fold — no Python touches row data."""
+    from toy_map_reduce_spark.functions.text import norm_text
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(norm_text(F.col("text")), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_train(words)
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair_a string, pair_b string, merged string, n long"
+    )
