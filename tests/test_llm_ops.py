@@ -525,3 +525,38 @@ def test_bpe_train_matches_reference_trainer(spark):
     got = bpe_train(words_df, n_merges=5)
     want = ref_bpe(corpus, 5)
     assert got == want, f"spark merges {got} != reference {want}"
+
+
+def test_bpe_apply_matches_reference_encode(spark):
+    """Encoding with the learned merges must shrink symbol counts exactly
+    as the reference trainer's final word table does."""
+    from toy_map_reduce_spark.operators.textstats import bpe_apply, bpe_train
+
+    corpus = {"banana": 6, "bandana": 4, "aaaa": 5, "low": 7, "lower": 3}
+    words_df = spark.createDataFrame(list(corpus.items()), ["word", "freq"])
+    merges = bpe_train(words_df, n_merges=4)
+
+    # reference: replay the same greedy rewrite in Python
+    def encode(word):
+        syms = list(word)
+        for _, a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {r.word: r.n_sym for r in bpe_apply(words_df, merges).collect()}
+    want = {w: encode(w) for w in corpus}
+    assert got == want
+    # merges are frequency-greedy, so the high-frequency words must
+    # compress (rare words legitimately may not within 4 merges)
+    total_tokens = sum(got[w] * f for w, f in corpus.items())
+    total_chars = sum(len(w) * f for w, f in corpus.items())
+    assert total_tokens < total_chars, "no corpus-level compression learned"
+    assert got["banana"] < 6 and got["aaaa"] < 4

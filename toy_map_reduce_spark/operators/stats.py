@@ -828,3 +828,115 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+_KM_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders
+),
+mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+dur AS (
+  SELECT CAST(date_diff('day', o_orderdate, nxt) AS BIGINT) AS t, 1 AS ev
+  FROM seq WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT CAST(date_diff('day', o_orderdate, mx.mx) AS BIGINT) AS t, 0 AS ev
+  FROM seq CROSS JOIN mx WHERE nxt IS NULL
+),
+byt AS (
+  SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c, COUNT(*) AS cnt FROM dur GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         SUM(cnt) OVER (ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM byt
+),
+km AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              THEN 0.0
+              ELSE exp(SUM(CASE WHEN d > 0 AND d < n_risk
+                                THEN ln(1 - d / CAST(n_risk AS DOUBLE)) END)
+                       OVER (ORDER BY t ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         END AS s
+  FROM risk
+)
+SELECT t, CAST(d AS BIGINT) AS d_events, CAST(c AS BIGINT) AS c_censored,
+       CAST(n_risk AS BIGINT) AS n_risk, round(s, 6) AS survival
+FROM km WHERE d > 0
+"""
+
+
+@register("stat_kaplan_meier", "X", oracle=_KM_ORACLE,
+          doc="Kaplan-Meier survival curve for inter-purchase durations "
+              "with right-censoring at the corpus horizon: per-duration "
+              "at-risk counts via a descending running sum, survival as "
+              "exp(Σ ln(1 − d/n)) with an exact zero-absorbing guard — "
+              "the churn/time-to-reorder estimator")
+def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: durations reduce to the DISTINCT-duration table
+    before any window (days-grain → thousands of rows at any corpus
+    size), the at-risk count is the O(n) DESC running frame (never the
+    O(n²) unbounded-following frame — same discipline as
+    timeseries_interpolate), and the cumulative product rides
+    exp-of-running-sum-of-logs. Spark's ln() returns NULL at 0 where
+    DuckDB returns -inf, so the d = n_risk boundary (survival hits
+    exactly zero) is handled by an explicit zero-absorbing flag instead
+    of relying on engine-specific log semantics."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_orderdate", F.lead("o_orderdate").over(w).alias("nxt")
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    events = seq.where(F.col("nxt").isNotNull()).select(
+        F.datediff("nxt", "o_orderdate").cast("long").alias("t"), F.lit(1).alias("ev")
+    )
+    censored = (
+        seq.where(F.col("nxt").isNull())
+        .crossJoin(F.broadcast(mx))
+        .select(F.datediff("mx", "o_orderdate").cast("long").alias("t"), F.lit(0).alias("ev"))
+    )
+    byt = events.unionAll(censored).groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        F.sum(1 - F.col("ev")).alias("c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byt.select(
+        "t", "d", "c", F.sum("cnt").over(w_desc).alias("n_risk")
+    )
+    w_asc = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hit_zero = (
+        F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)).over(w_asc) == 1
+    )
+    log_sum = F.sum(
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.log(1 - F.col("d") / F.col("n_risk").cast("double")),
+        )
+    ).over(w_asc)
+    km = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.when(hit_zero, F.lit(0.0)).otherwise(F.exp(log_sum)).alias("s"),
+    )
+    return km.where(F.col("d") > 0).select(
+        "t",
+        F.col("d").cast("long").alias("d_events"),
+        F.col("c").cast("long").alias("c_censored"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.round("s", 6).alias("survival"),
+    )

@@ -883,3 +883,57 @@ def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, pair_a string, pair_b string, merged string, n long"
     )
+
+
+def bpe_apply(words: DataFrame, merges: list[tuple]) -> DataFrame:
+    """Apply a learned merge list in rank order to a (word, freq) table:
+    each merge is one chained JVM fold over the symbol arrays (the same
+    rewrite the trainer used), so encoding is |merges| narrow map stages
+    over the vocab-sized table — corpus rows are never touched. Returns
+    (word, freq, n_sym)."""
+    sym = words.select(
+        "word", "freq",
+        F.filter(F.split("word", ""), lambda c: c != "").alias("sym"),
+    )
+    for _, a, b, _, _ in merges:
+        sym = sym.withColumn("sym", _bpe_merge_fold(F.col("sym"), a, b))
+    return sym.select("word", "freq", F.size("sym").alias("n_sym"))
+
+
+@register("tokenize_bpe_apply", "X", oracle=None,
+          doc="BPE encode pass with the merges tokenize_bpe_train learns: "
+              "chained JVM-fold rewrites over the word-frequency table, "
+              "corpus-level chars→tokens compression report. Rows-only "
+              "(iterative fold, no SQL twin); encode pinned against the "
+              "reference trainer's output in pytest")
+def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train + encode end-to-end, still touching the corpus exactly once:
+    the merge list is driver-side (6 tiny rows), encoding is 6 chained
+    whole-stage-codegen folds over the vocab table, and the compression
+    report is one aggregate weighted by word frequency — the
+    tokens-per-byte number a tokenizer change is judged by."""
+    from toy_map_reduce_spark.functions.text import norm_text
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(norm_text(F.col("text")), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .cache()
+    )
+    merges = bpe_train(words)
+    enc = bpe_apply(words, merges)
+    out = enc.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_words"),
+        F.sum("freq").cast("long").alias("corpus_words"),
+        F.sum(F.length("word") * F.col("freq")).cast("long").alias("chars_total"),
+        F.sum(F.col("n_sym") * F.col("freq")).cast("long").alias("tokens_total"),
+        F.round(
+            F.sum(F.col("n_sym") * F.col("freq"))
+            / F.sum(F.length("word") * F.col("freq")).cast("double"),
+            6,
+        ).alias("tokens_per_char"),
+    )
+    words.unpersist()
+    return out
