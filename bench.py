@@ -44,8 +44,12 @@ def main() -> int:
     #
     # Pass 1 doubles as the warm-up (whole-stage codegen compilation and
     # parquet footer caches are one-time costs, not engine throughput); the
-    # LAST pass is the official steady-state timing. SPARK_GRAFT_BENCH_COLD=1
-    # reports the cold pass instead (single pass).
+    # official per-query timing is the MIN across passes — the steady-state
+    # convention that a one-off GC pause in either pass cannot inflate
+    # (measured: an 11.5 s last-pass outlier on a 1.6 s query, unchanged
+    # code). The full min/max spread still ships in the sidecar so drift
+    # stays classifiable. SPARK_GRAFT_BENCH_COLD=1 reports the single cold
+    # pass instead.
     n_passes = 1 if os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1" else int(
         os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")
     )
@@ -62,11 +66,13 @@ def main() -> int:
                     print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
                 timings[name] = -1.0
         per_pass.append(timings)
-    timings = per_pass[-1]
     spread = {
         name: [min(ts), max(ts)]
-        for name in timings
+        for name in per_pass[-1]
         if (ts := [pp[name] for pp in per_pass if pp[name] >= 0])
+    }
+    timings = {
+        name: (spread[name][0] if name in spread else -1.0) for name in per_pass[-1]
     }
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)

@@ -298,3 +298,23 @@ def test_geo_grid_neighborhood_covers_radius(s_lat, s_lon, dlat, dlon):
         for dj in (-1, 0, 1)
     }
     assert (math.floor(p_lat), math.floor(p_lon)) in cells
+
+
+def test_digest_queries_invariant_under_partitioning(spark, sf_dir):
+    """Order-digest queries (epoch shuffle, shard manifest) must produce
+    byte-identical output whatever the physical partitioning — the digests
+    are only meaningful if shuffle arrival order can't leak into them. Run
+    each with two very different shuffle-partition settings and compare."""
+    from toy_map_reduce_spark.registry import get_spec
+
+    for name in ("pipeline_epoch_shuffle", "pipeline_shard_manifest"):
+        spec = get_spec(name)
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            one = sorted(map(tuple, spec.builder(spark, sf_dir).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            many = sorted(map(tuple, spec.builder(spark, sf_dir).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+        assert one == many, f"{name}: digest changed with partition count"

@@ -791,3 +791,62 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.pow(1 - F.pow(sim, BAND_ROWS), NUM_BANDS), 6
         ).alias("p_candidate"),
     ).orderBy("step")
+
+
+_KEEP_LONGEST_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, {PREFIX_LEN}) AS prefix,
+         length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_len
+  FROM documents
+),
+g AS (
+  SELECT md5(prefix) AS prefix_hash, doc_id, norm_len,
+         row_number() OVER (PARTITION BY md5(prefix)
+                            ORDER BY norm_len DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(prefix)) AS n_docs
+  FROM p WHERE length(prefix) = {PREFIX_LEN}
+)
+SELECT prefix_hash,
+       CAST(doc_id AS BIGINT) AS keep_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(norm_len AS BIGINT) AS kept_len
+FROM g WHERE rn = 1 AND n_docs > 1
+"""
+
+
+@register("dedup_keep_longest", "X", oracle=_KEEP_LONGEST_ORACLE,
+          doc="The keep decision for truncated-copy clusters: within each "
+              "shared-prefix group, survive the LONGEST normalized copy "
+              "(len desc, doc_id asc) — dedup_prefix finds the clusters, "
+              "this picks which member enters the training set")
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact keeps min doc_id because exact copies are
+    interchangeable; truncated copies are NOT — dropping the longest
+    loses content. The argmax is max_by-style via min(struct(-len,
+    doc_id)): a partial+final aggregate on the uniform prefix-hash key,
+    no window, no skew exposure (contrast the oracle, which uses
+    row_number only because DuckDB's arg_min lacks the composite
+    tiebreak)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = _norm_text(F.col("text"))
+    p = docs.select(
+        "doc_id",
+        F.md5(F.substring(norm, 1, PREFIX_LEN)).alias("prefix_hash"),
+        F.length(norm).alias("norm_len"),
+        F.length(F.substring(norm, 1, PREFIX_LEN)).alias("plen"),
+    ).where(F.col("plen") == PREFIX_LEN)
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.min(F.struct((-F.col("norm_len")).alias("neg_len"), F.col("doc_id").alias("doc_id"))).alias("m"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            "prefix_hash",
+            F.col("m.doc_id").cast("long").alias("keep_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (-F.col("m.neg_len")).cast("long").alias("kept_len"),
+        )
+    )

@@ -1005,3 +1005,49 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("order_digest"),
         )
     )
+
+
+_ERASURE_ORACLE = """
+WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+kept AS (
+  SELECT e.event_type FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.user_id = e.user_id)
+),
+before AS (SELECT event_type, COUNT(*) AS n_before FROM events GROUP BY event_type),
+after AS (SELECT event_type, COUNT(*) AS n_after FROM kept GROUP BY event_type)
+SELECT b.event_type,
+       CAST(b.n_before AS BIGINT) AS n_before,
+       CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+       CAST(b.n_before - COALESCE(a.n_after, 0) AS BIGINT) AS n_erased
+FROM before b LEFT JOIN after a USING (event_type)
+"""
+
+
+@register("pipeline_erasure_audit", "X", oracle=_ERASURE_ORACLE,
+          doc="Right-to-erasure propagation audit: a deterministic deletion "
+              "list (user_id % 97 — the stand-in for a tombstone table) "
+              "anti-joined out of the fact stream, per-event-type "
+              "before/after/erased counts — the compliance report a GDPR "
+              "delete run emits")
+def pipeline_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale mechanics of deletion propagation: the tombstone list is
+    orders of magnitude smaller than the fact table, so erasure is one
+    broadcast anti-join per downstream table (never a rewrite-triggering
+    join on the fact side's full width), and the audit is two
+    partial-aggregated counts. A lakehouse would follow with a
+    copy-on-write of affected files only; the read-side semantics are
+    exactly this anti-join."""
+    ev = load(spark, sf_dir, "events")
+    tomb = ev.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    kept = ev.join(F.broadcast(tomb), "user_id", "left_anti")
+    before = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_after"))
+    return (
+        before.join(after, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_before").cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0))).cast("long").alias("n_erased"),
+        )
+    )
