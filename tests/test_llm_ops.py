@@ -560,3 +560,17 @@ def test_bpe_apply_matches_reference_encode(spark):
     total_chars = sum(len(w) * f for w, f in corpus.items())
     assert total_tokens < total_chars, "no corpus-level compression learned"
     assert got["banana"] < 6 and got["aaaa"] < 4
+
+
+def test_sim_ann_eval_invariants(spark, sf_dir):
+    """The ANN recall report's exact row is the control (recall must be
+    exactly 1.0); approximate methods must be within [0, 1] with hit
+    counts bounded by the exact set size."""
+    from toy_map_reduce_spark.registry import get_spec
+
+    rows = {r.method: r for r in get_spec("sim_ann_eval").builder(spark, sf_dir).collect()}
+    assert set(rows) == {"sim_topk", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_pq"}
+    assert rows["sim_topk"].recall_micro == 1_000_000
+    for m, r in rows.items():
+        assert 0 <= r.n_hits <= r.n_exact, m
+        assert 0 <= r.recall_micro <= 1_000_000, m

@@ -410,3 +410,14 @@ def test_zorder_buckets_are_bounded_boxes(spark, sf_dir):
         assert 0 <= r.span_x <= 15 and 0 <= r.span_y <= 15, (
             f"bucket {r.z_bucket}: spans ({r.span_x}, {r.span_y}) exceed the 16×16 box"
         )
+
+
+def test_token_budget_doc_window_is_bucket_partitioned(spark, sf_dir):
+    # the per-document running sum must be partitioned by the score bucket
+    # (bounded state); only the ~20-row bucket-offset window may be global.
+    # A corpus-wide unpartitioned doc window here would funnel every row
+    # through one task — the exact pattern this operator exists to avoid
+    plan = plan_of(spark, sf_dir, "pipeline_token_budget")
+    assert "windowspecdefinition(bkt#" in plan, (
+        "per-doc budget window lost its bucket partitioning"
+    )

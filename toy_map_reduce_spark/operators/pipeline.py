@@ -1051,3 +1051,98 @@ def pipeline_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_before") - F.coalesce("n_after", F.lit(0))).cast("long").alias("n_erased"),
         )
     )
+
+
+TOKEN_BUDGET = 30_000  # corpus token budget for the quality-greedy fill
+BUDGET_BUCKETS = 20    # score-quantile coarse buckets for the two-phase fill
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+w AS (
+  SELECT doc_id, lang,
+         ((length(tok) * 131 + ascii(substr(tok, 1, 1))) % 1001 - 500) / 1000.0 AS wt
+  FROM toks WHERE tok <> ''
+),
+scored AS (
+  SELECT doc_id, lang, COUNT(*) AS n_toks,
+         1.0 / (1.0 + exp(-10.0 * AVG(wt))) AS score
+  FROM w GROUP BY doc_id, lang
+),
+run AS (
+  SELECT doc_id, lang, n_toks, score,
+         SUM(n_toks) OVER (ORDER BY score DESC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM scored
+),
+kept AS (SELECT * FROM run WHERE cum <= {TOKEN_BUDGET})
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_toks) AS BIGINT) AS tokens_kept,
+       round(MIN(score), 6) AS min_score_kept
+FROM kept GROUP BY lang
+"""
+
+
+@register("pipeline_token_budget", "X", oracle=_TOKEN_BUDGET_ORACLE,
+          doc=f"Token-budget curation fill: rank docs by quality-model "
+              f"score, keep the prefix whose running token sum fits "
+              f"{TOKEN_BUDGET} tokens — computed two-phase (coarse score "
+              "buckets running-summed, then an in-bucket window only at "
+              "the boundary), never a corpus-wide single-partition window")
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Fill a 10B-token budget with the best documents' is a global
+    ordered prefix sum — the naive formulation is one unpartitioned
+    window (every row through a single task). The scale-correct shape
+    used here: (1) quantize scores into coarse buckets, running-sum the
+    BUCKET token totals (a ~20-row window); (2) buckets wholly inside
+    the budget are kept outright, buckets wholly outside dropped, and
+    only the single boundary bucket runs a per-doc window — partitioned
+    by bucket, so the sorted state is one bucket's docs, not the corpus.
+    Bucket quantization is monotone in score, so the result is
+    bit-identical to the oracle's global window."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    wt = (
+        (F.length("tok") * 131 + F.ascii(F.substring("tok", 1, 1))) % 1001 - 500
+    ) / 1000.0
+    scored = toks.select("doc_id", "lang", wt.alias("wt")).groupBy(
+        "doc_id", "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        (1.0 / (1.0 + F.exp(-10.0 * F.avg("wt")))).alias("score"),
+    )
+    # phase 1: coarse score buckets (monotone quantization), bucket totals,
+    # running offset over the tiny bucket table
+    bucketed = scored.withColumn(
+        "bkt", F.least(F.floor(F.col("score") * BUDGET_BUCKETS), F.lit(BUDGET_BUCKETS - 1))
+    )
+    btot = bucketed.groupBy("bkt").agg(F.sum("n_toks").alias("b_toks"))
+    w_b = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = btot.select(
+        "bkt", F.coalesce(F.sum("b_toks").over(w_b), F.lit(0)).alias("cum_before"),
+        F.col("b_toks"),
+    )
+    # phase 2: per-doc window ONLY within each bucket (boundary resolution);
+    # fully-inside buckets keep everything, fully-outside keep nothing
+    joined = bucketed.join(F.broadcast(boff), "bkt")
+    w_doc = Window.partitionBy("bkt").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept = joined.withColumn(
+        "cum", F.col("cum_before") + F.sum("n_toks").over(w_doc)
+    ).where(
+        (F.col("cum_before") + F.col("b_toks") <= TOKEN_BUDGET)
+        | (F.col("cum") <= TOKEN_BUDGET)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_toks").cast("long").alias("tokens_kept"),
+        F.round(F.min("score"), 6).alias("min_score_kept"),
+    )

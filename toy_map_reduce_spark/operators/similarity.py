@@ -1040,3 +1040,33 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+@register("sim_ann_eval", "X", oracle=None, bench=False,
+          doc="ANN quality report: recall@5 of the LSH, IVF, and PQ-ADC "
+              "search paths against exact brute-force cosine top-k, as "
+              "micro-ints per method — the tuning feedback loop for the "
+              "ANN family (dedup_lsh_eval's counterpart for similarity "
+              "search). Rows-only; invariants pytest-pinned")
+def sim_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How an ANN index's knobs (tables×bits, nprobe, codebook size) get
+    validated before a corpus-wide run: measure recall on the query
+    sample against the exact baseline. Each method's top-k is |q|×k
+    rows, so the set comparisons are tiny joins on (q_id, vec_id);
+    exact's own recall is emitted as the 1.0 control row."""
+    from toy_map_reduce_spark.registry import get_spec
+
+    exact = get_spec("sim_topk").builder(spark, sf_dir).select("q_id", "vec_id").cache()
+    n_exact = exact.count()
+    rows = []
+    for method in ("sim_topk", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_pq"):
+        got = get_spec(method).builder(spark, sf_dir).select("q_id", "vec_id")
+        n_hit = got.join(exact, ["q_id", "vec_id"], "inner").count()
+        rows.append(
+            (method, n_exact, n_hit,
+             (1_000_000 * n_hit) // n_exact if n_exact else 1_000_000)
+        )
+    exact.unpersist()
+    return spark.createDataFrame(
+        rows, "method string, n_exact long, n_hits long, recall_micro long"
+    )
