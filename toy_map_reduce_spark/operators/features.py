@@ -104,3 +104,73 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+CHURN_HOLDOUT_DAYS = 14
+
+_CHURN_LABELS_ORACLE = f"""
+WITH cut AS (
+  SELECT MAX(ts) - INTERVAL {CHURN_HOLDOUT_DAYS} DAY AS cutoff FROM events
+),
+pre AS (
+  SELECT e.user_id,
+         COUNT(*) AS n_events_pre,
+         SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch_pre,
+         round(SUM(e.value), 4) AS total_value_pre,
+         COUNT(DISTINCT CAST(date_trunc('day', e.ts) AS DATE)) AS days_active_pre
+  FROM events e CROSS JOIN cut WHERE e.ts < cut.cutoff
+  GROUP BY e.user_id
+),
+post AS (
+  SELECT DISTINCT e.user_id FROM events e CROSS JOIN cut WHERE e.ts >= cut.cutoff
+)
+SELECT p.user_id,
+       CAST(p.n_events_pre AS BIGINT) AS n_events_pre,
+       CAST(p.n_purch_pre AS BIGINT) AS n_purch_pre,
+       p.total_value_pre,
+       CAST(p.days_active_pre AS BIGINT) AS days_active_pre,
+       po.user_id IS NULL AS churned
+FROM pre p LEFT JOIN post po ON po.user_id = p.user_id
+"""
+
+
+@register("feature_churn_labels", "X", oracle=_CHURN_LABELS_ORACLE,
+          doc=f"Temporal train-set builder for churn: features aggregated "
+              f"STRICTLY before a {CHURN_HOLDOUT_DAYS}-day holdout cutoff, "
+              "label = zero activity in the holdout — the split-by-time "
+              "construction that makes label leakage structurally "
+              "impossible (no post-cutoff row can reach a feature)")
+def feature_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage guard is the dataflow itself: the cutoff is one
+    broadcast scalar, features aggregate over ts < cutoff only, and the
+    label is an anti-join-shaped left join against the post-cutoff
+    user set — features and labels never read the same rows. Users
+    with no pre-cutoff history are excluded (no features to train on).
+    Both aggregates are single partial+final passes keyed on user_id."""
+    ev = load(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {CHURN_HOLDOUT_DAYS} DAYS")).alias("cutoff")
+    )
+    tagged = ev.crossJoin(F.broadcast(cut))
+    pre = (
+        tagged.where(F.col("ts") < F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events_pre"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long").alias("n_purch_pre"),
+            F.round(F.sum("value"), 4).alias("total_value_pre"),
+            F.countDistinct(F.date_trunc("day", "ts").cast("date"))
+            .cast("long").alias("days_active_pre"),
+        )
+    )
+    post = (
+        tagged.where(F.col("ts") >= F.col("cutoff"))
+        .select("user_id").distinct()
+        .withColumn("active_post", F.lit(True))
+    )
+    return pre.join(post, "user_id", "left").select(
+        "user_id", "n_events_pre", "n_purch_pre", "total_value_pre",
+        "days_active_pre",
+        F.col("active_post").isNull().alias("churned"),
+    )

@@ -940,3 +940,63 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_risk").cast("long").alias("n_risk"),
         F.round("s", 6).alias("survival"),
     )
+
+
+_TWO_PROP_ORACLE = """
+WITH arms AS (
+  SELECT user_id % 2 AS arm,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 0 THEN conv END) AS c1,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n2,
+         MAX(CASE WHEN arm = 1 THEN conv END) AS c2
+  FROM arms
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(c1 / CAST(n1 AS DOUBLE), 6) AS p1,
+       round(c2 / CAST(n2 AS DOUBLE), 6) AS p2,
+       round((c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE))
+             / sqrt(((c1 + c2) / CAST(n1 + n2 AS DOUBLE))
+                    * (1 - (c1 + c2) / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS z
+FROM s
+"""
+
+
+@register("stat_two_proportions", "X", oracle=_TWO_PROP_ORACLE,
+          doc="Two-proportion z-test on purchase conversion between "
+              "deterministic A/B arms (user_id parity): pooled-variance z "
+              "from one conditional-aggregate pass — the rate-metric "
+              "significance readout beside stat_t_test's mean metric")
+def stat_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same single-pass cost model as stat_t_test: both arms reduce in
+    one conditional aggregate (map-side combined), the statistic is
+    arithmetic on one row. At 100 TB a conversion-rate readout is
+    exactly this plan with the arm column coming from the assignment
+    service instead of a hash."""
+    ev = load(spark, sf_dir, "events")
+    arm = (F.col("user_id") % 2)
+    is_conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    s = ev.agg(
+        F.count(F.when(arm == 0, 1)).alias("n1"),
+        F.sum(F.when(arm == 0, is_conv)).alias("c1"),
+        F.count(F.when(arm == 1, 1)).alias("n2"),
+        F.sum(F.when(arm == 1, is_conv)).alias("c2"),
+    )
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    p2 = F.col("c2") / F.col("n2").cast("double")
+    pp = (F.col("c1") + F.col("c2")) / (F.col("n1") + F.col("n2")).cast("double")
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(
+            (p1 - p2) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+            6,
+        ).alias("z"),
+    )

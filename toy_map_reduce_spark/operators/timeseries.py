@@ -644,3 +644,86 @@ def timeseries_growth_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cagr_annualized"),
     )
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_HORIZON = 7
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE d0 AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+daily AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d0),
+h AS (
+  -- seed b must be CAST to DOUBLE: DuckDB types recursive-CTE columns
+  -- from the FIRST branch, and a bare 0.0 is DECIMAL(2,1) — every
+  -- iteration's trend would silently round to one decimal place
+  SELECT rn, x AS l, CAST(0.0 AS DOUBLE) AS b FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT d.rn,
+         {HOLT_ALPHA} * d.x + (1 - {HOLT_ALPHA}) * (h.l + h.b),
+         {HOLT_BETA} * (({HOLT_ALPHA} * d.x + (1 - {HOLT_ALPHA}) * (h.l + h.b)) - h.l)
+           + (1 - {HOLT_BETA}) * h.b
+  FROM h JOIN daily d ON d.rn = h.rn + 1
+),
+last AS (SELECT l, b FROM h ORDER BY rn DESC LIMIT 1),
+n AS (SELECT COUNT(*) AS n_days FROM daily)
+SELECT CAST(n.n_days AS BIGINT) AS n_days,
+       round(last.l, 4) AS level,
+       round(last.b, 4) AS trend,
+       round(last.l + {HOLT_HORIZON} * last.b, 4) AS forecast_{HOLT_HORIZON}d
+FROM last CROSS JOIN n
+"""
+
+
+@register("timeseries_holt", "X", oracle=_HOLT_ORACLE,
+          doc="Holt double-exponential smoothing (level + trend) over daily "
+              "event volume with a 7-day-ahead linear forecast — the "
+              "trend-aware upgrade of timeseries_ewma, as the same "
+              "ordered-fold-over-the-rollup recurrence vs a recursive-CTE "
+              "oracle")
+def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level and trend each depend on the whole prefix (not
+    frame-expressible), so the recurrence is an ordered JVM fold over
+    the DAILY rollup — the collected array is calendar-sized (days),
+    never event-sized; the corpus-sized work is one partial-aggregated
+    groupBy. Initialization l₁ = x₁, b₁ = 0 is pinned on both engines
+    (textbook variants differ here — the oracle encodes the same
+    choice)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = daily.agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "x"))
+        ).alias("pts")
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("l"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, p):
+        first = acc["l"].isNull()
+        new_l = F.when(first, p["x"]).otherwise(
+            HOLT_ALPHA * p["x"] + (1 - HOLT_ALPHA) * (acc["l"] + acc["b"])
+        )
+        new_b = F.when(first, F.lit(0.0)).otherwise(
+            HOLT_BETA * (new_l - acc["l"]) + (1 - HOLT_BETA) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = series.select(
+        F.size("pts").cast("long").alias("n_days"),
+        F.aggregate(F.col("pts"), init, step).alias("acc"),
+    )
+    return folded.select(
+        "n_days",
+        F.round(F.col("acc.l"), 4).alias("level"),
+        F.round(F.col("acc.b"), 4).alias("trend"),
+        F.round(F.col("acc.l") + HOLT_HORIZON * F.col("acc.b"), 4).alias(
+            f"forecast_{HOLT_HORIZON}d"
+        ),
+    )
