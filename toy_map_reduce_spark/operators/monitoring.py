@@ -388,3 +388,138 @@ def events_error_budget_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("cum_err") > SLO_ERROR_FRAC * F.col("cum_n")).alias("budget_exceeded"),
     ).orderBy("day")
+
+
+_EXPECTATIONS_ORACLE = """
+WITH checks AS (
+  SELECT 'orders_custkey_not_null' AS check_name,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         CAST(COUNT(*) AS BIGINT) AS n_checked
+  FROM orders
+  UNION ALL
+  SELECT 'orders_orderkey_unique',
+         CAST(SUM(cnt - 1) AS BIGINT),
+         CAST(SUM(cnt) AS BIGINT)
+  FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'orders_totalprice_positive',
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_custkey_in_customer',
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+  UNION ALL
+  SELECT 'lineitem_orderkey_in_orders',
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+  UNION ALL
+  SELECT 'lineitem_discount_in_range',
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_status_accepted_values',
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders
+)
+SELECT check_name, n_violations, n_checked, n_violations = 0 AS passed
+FROM checks
+"""
+
+
+@register("pipeline_expectations", "G", oracle=_EXPECTATIONS_ORACLE,
+          doc="Data-quality expectations battery (dbt-test shape): "
+              "not-null, uniqueness, accepted values, value-range, and "
+              "two referential-integrity checks across the "
+              "orders/customer/lineitem FKs — one report row per check "
+              "with violation counts and a pass verdict")
+def pipeline_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each expectation compiles to the cheapest plan of its class:
+    column checks are conditional aggregates inside ONE scan per table;
+    uniqueness is a partial+final groupBy on the key; referential
+    integrity is a left join keyed on the FK with the dimension side
+    broadcast when small. Violations count rather than fail-fast — at
+    100 TB you quarantine and continue, not abort; the `passed` column
+    is the gate a pipeline branches on."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def check(name, n_viol, n_checked):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            n_viol.cast("long").alias("n_violations"),
+            n_checked.cast("long").alias("n_checked"),
+        )
+
+    o_scalar = orders.agg(
+        check(
+            "orders_custkey_not_null",
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+            F.count(F.lit(1)),
+        ).alias("c1"),
+        check(
+            "orders_totalprice_positive",
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+            F.count(F.lit(1)),
+        ).alias("c2"),
+        check(
+            "orders_status_accepted_values",
+            F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)),
+            F.count(F.lit(1)),
+        ).alias("c3"),
+    )
+    uniq = orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("cnt")).agg(
+        check("orders_orderkey_unique", F.sum(F.col("cnt") - 1), F.sum("cnt")).alias("c")
+    )
+    ri_cust = (
+        orders.join(
+            customer.select(F.col("c_custkey"), F.lit(True).alias("dim_hit")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        ).agg(
+            check(
+                "orders_custkey_in_customer",
+                F.sum(F.when(F.col("dim_hit").isNull(), 1).otherwise(0)),
+                F.count(F.lit(1)),
+            ).alias("c")
+        )
+    )
+    ri_ord = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("ok"), F.lit(True).alias("ord_hit")),
+            li.l_orderkey == F.col("ok"),
+            "left",
+        ).agg(
+            check(
+                "lineitem_orderkey_in_orders",
+                F.sum(F.when(F.col("ord_hit").isNull(), 1).otherwise(0)),
+                F.count(F.lit(1)),
+            ).alias("c")
+        )
+    )
+    dates = li.agg(
+        check(
+            "lineitem_discount_in_range",
+            F.sum(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+            ),
+            F.count(F.lit(1)),
+        ).alias("c")
+    )
+    report = (
+        o_scalar.select(F.explode(F.array("c1", "c2", "c3")).alias("c"))
+        .unionAll(uniq.select("c"))
+        .unionAll(ri_cust.select("c"))
+        .unionAll(ri_ord.select("c"))
+        .unionAll(dates.select("c"))
+    )
+    return report.select(
+        "c.check_name", "c.n_violations", "c.n_checked",
+        (F.col("c.n_violations") == 0).alias("passed"),
+    )

@@ -222,3 +222,40 @@ def window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p25, 6).alias("p25_qty"),
         F.round(F.col("l_quantity") - med, 6).alias("dev_from_med"),
     )
+
+
+_RATIO_TO_REPORT_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+         AS share_of_customer,
+       round(o_totalprice / SUM(o_totalprice) OVER (), 9) AS share_of_total
+FROM orders
+"""
+
+
+@register("window_ratio_to_report", "G", oracle=_RATIO_TO_REPORT_ORACLE,
+          doc="Ratio-to-report windows: each order's share of its "
+              "customer's spend and of the corpus total — the classic "
+              "contribution-analysis window pair")
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-customer share is a keyed window (uniform key, bounded
+    state). The global share is where naive SQL reaches for SUM() OVER ()
+    — an unpartitioned window Spark executes as ONE task. The engine side
+    instead computes the grand total as a one-row aggregate broadcast
+    back to the scan (the same scalar-to-rows pattern as stat_winsorize
+    and agg_trimmed_mean); the oracle uses the global window form,
+    pinning that both formulations give identical results."""
+    orders = load(spark, sf_dir, "orders")
+    w_cust = Window.partitionBy("o_custkey")
+    tot = orders.agg(F.sum("o_totalprice").alias("grand"))
+    return (
+        orders.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.col("o_totalprice") / F.sum("o_totalprice").over(w_cust), 6
+            ).alias("share_of_customer"),
+            F.round(F.col("o_totalprice") / F.col("grand"), 9).alias("share_of_total"),
+        )
+    )
