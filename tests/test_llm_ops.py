@@ -574,3 +574,17 @@ def test_sim_ann_eval_invariants(spark, sf_dir):
     for m, r in rows.items():
         assert 0 <= r.n_hits <= r.n_exact, m
         assert 0 <= r.recall_micro <= 1_000_000, m
+
+
+def test_dedup_ensemble_report_invariants(spark, sf_dir):
+    """Consensus counts must nest (3of3 ≤ 2of3 ≤ union), the union must be
+    at least any single method, and a rerun must be identical."""
+    from toy_map_reduce_spark.registry import get_spec
+
+    fn = get_spec("dedup_ensemble_report").builder
+    rows = {r.method: r.n_pairs for r in fn(spark, sf_dir).collect()}
+    assert {"minhash_lsh", "ngram_jaccard", "simhash_hamming",
+            "union_any", "consensus_2of3", "consensus_3of3"} == set(rows)
+    assert rows["consensus_3of3"] <= rows["consensus_2of3"] <= rows["union_any"]
+    assert rows["union_any"] >= max(rows["minhash_lsh"], rows["ngram_jaccard"], rows["simhash_hamming"])
+    assert rows == {r.method: r.n_pairs for r in fn(spark, sf_dir).collect()}

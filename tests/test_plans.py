@@ -421,3 +421,21 @@ def test_token_budget_doc_window_is_bucket_partitioned(spark, sf_dir):
     assert "windowspecdefinition(bkt#" in plan, (
         "per-doc budget window lost its bucket partitioning"
     )
+
+
+def test_meta_plan_report_invariants(spark, sf_dir):
+    # the self-audit surface must agree with what the plan tests pin:
+    # no cartesian products anywhere, no Python UDFs on relational paths,
+    # broadcast present where small dims join, partial aggs on wordcount
+    from toy_map_reduce_spark.registry import get_spec
+
+    rows = {r.query: r for r in get_spec("meta_plan_report").builder(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "wordcount", "sql_tpch_q5", "dedup_exact", "join_broadcast",
+        "sim_topk", "dedup_ngram_jaccard", "agg_basic", "filter_pred",
+    }
+    assert not any(r.has_cartesian for r in rows.values())
+    assert rows["join_broadcast"].broadcast_join
+    assert rows["wordcount"].n_hash_aggregates >= 2  # partial + final
+    assert not rows["sql_tpch_q5"].python_udf
+    assert not rows["dedup_exact"].python_udf

@@ -850,3 +850,41 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("m.neg_len")).cast("long").alias("kept_len"),
         )
     )
+
+
+@register("dedup_ensemble_report", "X", oracle=None, bench=False,
+          doc="Near-dup method-agreement report: pair sets from MinHash-LSH, "
+              "exact df-capped Jaccard, and SimHash-Hamming compared at "
+              "(doc_a, doc_b) granularity — per-method pair/doc counts plus "
+              "2-of-3 and 3-of-3 consensus rows. Rows-only (two methods "
+              "have no SQL twin); invariants pytest-pinned")
+def dedup_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How a production dedup rollout picks its operating point: run the
+    candidate methods over the same slice, measure where they agree (the
+    safe deletes) and where only one fires (the review queue). All three
+    pair sets are |pairs|-sized, so the comparison is two tiny joins on
+    (doc_a, doc_b); consensus pairs = those found by ≥2 methods — the
+    usual 'delete only on agreement' policy."""
+    docs = load(spark, sf_dir, "documents")
+    sets = {
+        "minhash_lsh": dedup_near(spark, sf_dir).select("doc_a", "doc_b"),
+        "ngram_jaccard": ngram_jaccard_pairs(docs).select("doc_a", "doc_b"),
+        "simhash_hamming": simhash_pairs(simhash_signatures(docs)).select("doc_a", "doc_b"),
+    }
+    tagged = None
+    for m, df in sets.items():
+        t = df.withColumn("method", F.lit(m))
+        tagged = t if tagged is None else tagged.unionAll(t)
+    votes = tagged.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_methods")
+    ).cache()
+
+    rows = []
+    for m, df in sets.items():
+        rows.append((m, df.count(), df.select("doc_a").unionAll(df.select("doc_b")).distinct().count()))
+    uni = votes.count()
+    two = votes.where(F.col("n_methods") >= 2).count()
+    all3 = votes.where(F.col("n_methods") >= 3).count()
+    votes.unpersist()
+    rows += [("union_any", uni, -1), ("consensus_2of3", two, -1), ("consensus_3of3", all3, -1)]
+    return spark.createDataFrame(rows, "method string, n_pairs long, n_docs long")

@@ -481,3 +481,54 @@ def agg_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(rows).alias("p"), "n").select(
         "p.pair", "p.r", "p.cov", F.col("n").cast("long").alias("n")
     )
+
+
+DIM_DATE_START = "2024-01-01"
+DIM_DATE_DAYS = 730
+
+_DIM_DATE_ORACLE = f"""
+SELECT d AS date_key,
+       CAST(year(d) AS INTEGER) AS year,
+       CAST(quarter(d) AS INTEGER) AS quarter,
+       CAST(month(d) AS INTEGER) AS month,
+       CAST(isodow(d) AS INTEGER) AS iso_dow,
+       CAST(weekofyear(d) AS INTEGER) AS iso_week,
+       isodow(d) >= 6 AS is_weekend,
+       CAST(date_trunc('month', d) AS DATE) AS month_start,
+       CAST(last_day(d) AS DATE) AS month_end
+FROM (
+  SELECT CAST(unnest(generate_series(DATE '{DIM_DATE_START}',
+                                     DATE '{DIM_DATE_START}' + INTERVAL {DIM_DATE_DAYS - 1} DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+)
+"""
+
+
+@register("dim_date_generate", "G", oracle=_DIM_DATE_ORACLE,
+          doc=f"Date-dimension generator: {DIM_DATE_DAYS} consecutive days "
+              "from a fixed epoch with year/quarter/month/ISO-dow/ISO-week/"
+              "weekend/month-boundary attributes — the calendar spine every "
+              "warehouse joins against, built from sequence+explode with "
+              "zero input tables")
+def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated dimensions are pure metadata — the build is one
+    sequence() literal exploded JVM-side (no scan, no shuffle), and the
+    dimension is broadcast-sized by construction at any fact scale. ISO
+    day-of-week is derived portably ((dayofweek + 5) % 7 + 1: Spark's
+    dayofweek is Sunday=1, ISO wants Monday=1) — the dow-convention trap
+    pinned once in scalar_calendar, reused here."""
+    days = spark.range(DIM_DATE_DAYS).select(
+        F.date_add(F.lit(DIM_DATE_START).cast("date"), F.col("id").cast("int")).alias("d")
+    )
+    iso_dow = ((F.dayofweek("d") + 5) % 7 + 1).cast("int")
+    return days.select(
+        F.col("d").alias("date_key"),
+        F.year("d").cast("int").alias("year"),
+        F.quarter("d").cast("int").alias("quarter"),
+        F.month("d").cast("int").alias("month"),
+        iso_dow.alias("iso_dow"),
+        F.weekofyear("d").cast("int").alias("iso_week"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.trunc("d", "month").alias("month_start"),
+        F.last_day("d").alias("month_end"),
+    )

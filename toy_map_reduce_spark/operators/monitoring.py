@@ -523,3 +523,49 @@ def pipeline_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c.check_name", "c.n_violations", "c.n_checked",
         (F.col("c.n_violations") == 0).alias("passed"),
     )
+
+
+_PLAN_REPORT_QUERIES = (
+    "wordcount", "sql_tpch_q5", "dedup_exact", "join_broadcast",
+    "sim_topk", "dedup_ngram_jaccard", "agg_basic", "filter_pred",
+)
+
+
+@register("meta_plan_report", "G", oracle=None, bench=False,
+          doc="Plan-introspection surface: physical-plan properties "
+              "(broadcast vs sort-merge joins, exchange and partial-"
+              "aggregate counts, top-k, cartesian, Python-UDF presence) "
+              "for eight flagship queries, as a queryable report — the "
+              "engine's plan discipline made self-auditable. Rows-only "
+              "(plans are engine-specific by nature)")
+def meta_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a fleet health-check runs nightly: re-derive every flagship
+    plan and diff its scale-critical properties against the expected
+    shape, catching silent regressions (a lost broadcast after a stats
+    change, a new exchange after a refactor) before they cost a cluster-
+    day. Uses the same extractor as tests/test_plans.py, so the pinned
+    properties and the reported ones cannot drift apart."""
+    from toy_map_reduce_spark.plans import plan_properties
+    from toy_map_reduce_spark.registry import get_spec
+
+    rows = []
+    for name in _PLAN_REPORT_QUERIES:
+        p = plan_properties(get_spec(name).builder(spark, sf_dir))
+        rows.append(
+            (
+                name,
+                bool(p["broadcast_join"]),
+                bool(p["sort_merge_join"]),
+                bool(p["topk"]),
+                int(p["exchanges"]),
+                int(p["hash_aggregates"]),
+                bool(p["has_cartesian"]),
+                bool(p["python_udf"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "query string, broadcast_join boolean, sort_merge_join boolean, "
+        "topk boolean, n_exchanges int, n_hash_aggregates int, "
+        "has_cartesian boolean, python_udf boolean",
+    )
