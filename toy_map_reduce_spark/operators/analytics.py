@@ -1347,3 +1347,69 @@ def itemsets_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(conf / (F.col("s_c") / F.col("n_baskets").cast("double")), 6).alias("lift"),
         )
     )
+
+
+_RANK_SHIFT_ORACLE = """
+WITH mid AS (
+  -- midpoint in integer epoch-microseconds: identical floor on both
+  -- engines (interval halving would carry sub-microsecond fractions)
+  SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) AS m
+  FROM events
+),
+halves AS (
+  SELECT e.event_type,
+         SUM(CASE WHEN e.ts < mid.m THEN 1 ELSE 0 END) AS n_first,
+         SUM(CASE WHEN e.ts >= mid.m THEN 1 ELSE 0 END) AS n_second
+  FROM events e CROSS JOIN mid
+  GROUP BY e.event_type
+)
+SELECT event_type,
+       CAST(n_first AS BIGINT) AS n_first,
+       CAST(n_second AS BIGINT) AS n_second,
+       CAST(rank() OVER (ORDER BY n_first DESC, event_type) AS INTEGER) AS rank_first,
+       CAST(rank() OVER (ORDER BY n_second DESC, event_type) AS INTEGER) AS rank_second,
+       CAST(CAST(rank() OVER (ORDER BY n_first DESC, event_type) AS INTEGER)
+            - CAST(rank() OVER (ORDER BY n_second DESC, event_type) AS INTEGER)
+            AS INTEGER) AS rank_gain
+FROM halves
+"""
+
+
+@register("events_rank_shift", "G", oracle=_RANK_SHIFT_ORACLE,
+          doc="Rank-shift (mover) analysis: event-type volume ranks in the "
+              "first vs second half of the timeline and the rank delta — "
+              "the risers-and-fallers readout trend dashboards lead with")
+def events_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both periods reduce in ONE conditional-aggregate pass against a
+    broadcast midpoint scalar (never two scans), and the rank windows
+    run over the tiny per-type table — |event types| rows, so the
+    unpartitioned windows are bounded by construction, not by luck.
+    Tie-broken on event_type so ranks are total and cross-engine
+    stable."""
+    ev = load(spark, sf_dir, "events")
+    # midpoint in integer epoch-MICROseconds (unix_timestamp would floor
+    # to seconds and disagree with the oracle on boundary rows); the sum
+    # is ~3.4e15, exact in the double division, floored by the long cast
+    mid = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        ).alias("m")
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("m"), 1).otherwise(0)).alias("n_first"),
+            F.sum(F.when(F.col("ts") >= F.col("m"), 1).otherwise(0)).alias("n_second"),
+        )
+    )
+    w1 = Window.orderBy(F.col("n_first").desc(), "event_type")
+    w2 = Window.orderBy(F.col("n_second").desc(), "event_type")
+    return halves.select(
+        "event_type",
+        F.col("n_first").cast("long").alias("n_first"),
+        F.col("n_second").cast("long").alias("n_second"),
+        F.rank().over(w1).cast("int").alias("rank_first"),
+        F.rank().over(w2).cast("int").alias("rank_second"),
+        (F.rank().over(w1) - F.rank().over(w2)).cast("int").alias("rank_gain"),
+    )

@@ -673,3 +673,45 @@ def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("order %d: %s", "o_orderkey", "o_orderstatus").alias("summary"),
         F.lpad(F.col("o_custkey").cast("string"), 10, "*").alias("cust_starred"),
     )
+
+
+_SCALAR_INTERVAL_ORACLE = """
+WITH d AS (
+  SELECT o_orderkey, o_orderdate FROM orders
+)
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_month,
+       CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS plus_year,
+       CAST(o_orderdate - INTERVAL 90 DAY AS DATE) AS minus_90d,
+       CAST(date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH - INTERVAL 1 DAY
+            AS DATE) AS quarter_end,
+       CAST(datediff('month', DATE '2024-01-01', o_orderdate) AS INTEGER) AS months_since_epoch
+FROM d
+"""
+
+
+@register("scalar_interval", "G", oracle=_SCALAR_INTERVAL_ORACLE,
+          doc="Calendar-interval arithmetic battery: month/year addition "
+              "with end-of-month clamping (Jan 31 + 1 month = Feb 29 on "
+              "both engines), quarter-end derivation, and whole-month "
+              "diffs (Spark's fractional months_between floored to match "
+              "DuckDB's calendar-boundary datediff)")
+def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar intervals are NOT fixed durations — month addition clamps
+    to the target month's last day, and both engines agree on that
+    clamp (pinned here so a regression surfaces). The month-diff trap
+    is real though: Spark's months_between is fractional (31-day months)
+    while DuckDB's datediff counts calendar-boundary crossings — the
+    portable form compares year*12+month, exact on both."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    months_since = (
+        (F.year("o_orderdate") - 2024) * 12 + (F.month("o_orderdate") - 1)
+    ).cast("int")
+    return orders.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 1).alias("plus_month"),
+        F.add_months("o_orderdate", 12).alias("plus_year"),
+        F.date_sub("o_orderdate", 90).alias("minus_90d"),
+        F.date_sub(F.add_months(F.trunc("o_orderdate", "quarter"), 3), 1).alias("quarter_end"),
+        months_since.alias("months_since_epoch"),
+    )
