@@ -1413,3 +1413,77 @@ def events_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w2).cast("int").alias("rank_second"),
         (F.rank().over(w1) - F.rank().over(w2)).cast("int").alias("rank_gain"),
     )
+
+
+_SEGMENT_MIGRATION_ORACLE = """
+WITH years AS (
+  SELECT o_custkey, year(o_orderdate) AS yr, SUM(o_totalprice) AS spend
+  FROM orders GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(yr) AS y1, MAX(yr) AS y2 FROM years),
+seg AS (
+  SELECT y.o_custkey, y.yr,
+         CASE WHEN y.spend >= 300000 THEN 'high'
+              WHEN y.spend >= 100000 THEN 'mid'
+              ELSE 'low' END AS segment
+  FROM years y
+),
+mat AS (
+  SELECT COALESCE(a.segment, 'absent') AS seg_from,
+         COALESCE(b.segment, 'absent') AS seg_to,
+         COUNT(*) AS n_customers
+  FROM bounds
+  CROSS JOIN (SELECT DISTINCT o_custkey FROM years) c
+  LEFT JOIN seg a ON a.o_custkey = c.o_custkey AND a.yr = bounds.y1
+  LEFT JOIN seg b ON b.o_custkey = c.o_custkey AND b.yr = bounds.y2
+  GROUP BY 1, 2
+)
+SELECT seg_from, seg_to, CAST(n_customers AS BIGINT) AS n_customers
+FROM mat
+"""
+
+
+@register("orders_segment_migration", "G", oracle=_SEGMENT_MIGRATION_ORACLE,
+          doc="Customer segment-migration matrix: spend tier in the first "
+              "year vs the last year (absent = no orders that year), "
+              "customer counts per (from, to) cell — the churn/upgrade "
+              "flow chart behind retention planning")
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregate produces per-(customer, year) spend; segments are a
+    CASE over that; the matrix is two keyed left joins from the
+    customer spine against the first/last-year segment slices (each a
+    fraction of customers, dimension-shaped) and a final tiny groupBy.
+    Everything keys on o_custkey — uniform, partial-aggregated, no
+    windows."""
+    orders = load(spark, sf_dir, "orders")
+    years = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(F.sum("o_totalprice").alias("spend"))
+    bounds = years.agg(F.min("yr").alias("y1"), F.max("yr").alias("y2"))
+    seg = years.select(
+        "o_custkey",
+        "yr",
+        F.when(F.col("spend") >= 300000, "high")
+        .when(F.col("spend") >= 100000, "mid")
+        .otherwise("low")
+        .alias("segment"),
+    )
+    spine = years.select("o_custkey").distinct().crossJoin(F.broadcast(bounds))
+    a = seg.select(
+        F.col("o_custkey").alias("ck_a"), F.col("yr").alias("yr_a"),
+        F.col("segment").alias("seg_a"),
+    )
+    b = seg.select(
+        F.col("o_custkey").alias("ck_b"), F.col("yr").alias("yr_b"),
+        F.col("segment").alias("seg_b"),
+    )
+    mat = (
+        spine.join(a, (F.col("o_custkey") == F.col("ck_a")) & (F.col("yr_a") == F.col("y1")), "left")
+        .join(b, (F.col("o_custkey") == F.col("ck_b")) & (F.col("yr_b") == F.col("y2")), "left")
+        .groupBy(
+            F.coalesce("seg_a", F.lit("absent")).alias("seg_from"),
+            F.coalesce("seg_b", F.lit("absent")).alias("seg_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return mat

@@ -569,3 +569,45 @@ def meta_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "topk boolean, n_exchanges int, n_hash_aggregates int, "
         "has_cartesian boolean, python_udf boolean",
     )
+
+
+_OBSERVE_ORACLE = """
+SELECT 'lineitem_scan' AS observation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(SUM(l_extendedprice), 2) AS sum_price,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discounted
+FROM lineitem WHERE l_shipdate >= '1996-01-01'
+"""
+
+
+@register("meta_observe_metrics", "G", oracle=_OBSERVE_ORACLE,
+          doc="Spark Observation API surface: named metrics (row count, "
+              "price sum, discount-rate numerator) collected DURING a "
+              "filtered scan via df.observe() — zero extra passes, the "
+              "instrumentation hook a pipeline uses to emit data-volume "
+              "metrics without re-reading its inputs")
+def meta_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """observe() attaches accumulator-backed metrics to a plan node: the
+    metrics materialize as a side effect of whatever action runs the
+    frame, so auditing costs nothing beyond the pass the pipeline
+    already makes — contrast pipeline_expectations, which pays one
+    dedicated scan per table. The observed values are returned as a
+    one-row frame; the oracle recomputes them relationally, pinning
+    that the instrumented numbers equal the ground truth."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1996-01-01")
+    obs = Observation("lineitem_scan")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the pipeline's own action
+    m = obs.get
+    return spark.createDataFrame(
+        [("lineitem_scan", m["n_rows"], float(m["sum_price"]), m["n_discounted"])],
+        "observation string, n_rows long, sum_price double, n_discounted long",
+    )
