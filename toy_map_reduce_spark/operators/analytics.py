@@ -1487,3 +1487,97 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
     return mat
+
+
+_FULFILLMENT_ORACLE = """
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS days_to_first_ship
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(AVG(days_to_first_ship), 4) AS mean_days,
+       round(quantile_cont(days_to_first_ship, 0.50), 4) AS p50_days,
+       round(quantile_cont(days_to_first_ship, 0.90), 4) AS p90_days,
+       round(quantile_cont(days_to_first_ship, 0.99), 4) AS p99_days
+FROM lat GROUP BY o_orderpriority
+"""
+
+
+@register("orders_fulfillment_latency", "G", oracle=_FULFILLMENT_ORACLE,
+          doc="Order-to-first-ship latency percentiles per priority class: "
+              "per-order min ship date joined back to order dates, then "
+              "p50/p90/p99 per priority — the operational SLA readout for "
+              "a fulfillment funnel")
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-order reduction (min ship date) runs BEFORE the percentile
+    aggregation — lineitem collapses ~4:1 on its join key first, so the
+    sort-based exact percentile sees orders, not lineitems. Priority
+    classes are 5 keys; at 100 TB the swap to percentile_approx is one
+    function name (agg_approx_percentile demonstrates that surface)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("first_ship", "o_orderdate").alias("days_to_first_ship"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.avg("days_to_first_ship"), 4).alias("mean_days"),
+        F.round(F.percentile("days_to_first_ship", 0.50), 4).alias("p50_days"),
+        F.round(F.percentile("days_to_first_ship", 0.90), 4).alias("p90_days"),
+        F.round(F.percentile("days_to_first_ship", 0.99), 4).alias("p99_days"),
+    )
+
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(l_extendedprice * (1 - l_discount)) AS r
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, SUM(r) AS t, COUNT(*) AS n_supp FROM rev GROUP BY 1)
+SELECT r.l_partkey,
+       CAST(MAX(t.n_supp) AS BIGINT) AS n_suppliers,
+       CAST(round(SUM(pow(r.r / t.t, 2)) * 10000) AS BIGINT) AS hhi
+FROM rev r JOIN tot t ON t.l_partkey = r.l_partkey
+GROUP BY r.l_partkey
+HAVING MAX(t.n_supp) >= 2
+"""
+
+
+@register("orders_supplier_hhi", "G", oracle=_HHI_ORACLE,
+          doc="Supplier-concentration index per part: Herfindahl-Hirschman "
+              "(sum of squared revenue shares, 0-10000 scale) over each "
+              "part's supplier mix — the supply-chain-risk screen; "
+              "single-supplier parts excluded (HHI trivially 10000)")
+def orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained aggregates on the same l_partkey key — Catalyst reuses
+    the partitioning, so the share computation costs no extra shuffle;
+    the squared-share sum is integer-scaled (×10000, HHI's conventional
+    basis points) and rounded to an integer so cross-engine float fuzz
+    cannot flip a row."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    tot = rev.groupBy("l_partkey").agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        rev.join(tot, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.max("n_supp").cast("long").alias("n_suppliers"),
+            F.round(F.sum(F.pow(F.col("r") / F.col("t"), 2)) * 10000)
+            .cast("long").alias("hhi"),
+        )
+        .where(F.col("n_suppliers") >= 2)
+    )

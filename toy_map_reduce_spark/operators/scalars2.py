@@ -759,3 +759,45 @@ def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.select(
         "o_orderkey", F.explode_outer("tags").alias("tag")
     ).select("o_orderkey", "tag", F.col("tag").isNull().alias("from_empty"))
+
+
+_SURROGATE_KEY_ORACLE = """
+WITH k AS (
+  SELECT c_custkey, md5('cust|' || CAST(c_custkey AS VARCHAR) || '|' || c_name) AS h
+  FROM customer
+)
+SELECT c_custkey,
+       substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+         || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS surrogate_uuid,
+       CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS surrogate_int
+FROM k
+"""
+
+
+@register("scalar_surrogate_key", "G", oracle=_SURROGATE_KEY_ORACLE,
+          doc="Hash surrogate keys: md5 over a delimited natural key "
+              "rendered both as a UUID-shaped string and as a 60-bit "
+              "integer — the stateless key generation pattern that "
+              "replaces sequences/identity columns at warehouse scale "
+              "(parallel-safe, idempotent on reload, join-stable across "
+              "systems)")
+def scalar_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why hash keys beat sequences at 100 TB: no coordination (every
+    executor derives keys locally), re-ingestion maps to the SAME key
+    (idempotent loads), and two systems agree without sharing state.
+    The delimiter in the natural-key concat is load-bearing — without
+    it ('ab','c') and ('a','bc') collide. 15 hex chars = 60 bits keeps
+    the integer form inside a signed BIGINT on both engines."""
+    cust = load(spark, sf_dir, "customer")
+    h = F.md5(F.concat_ws("|", F.lit("cust"), F.col("c_custkey").cast("string"), F.col("c_name")))
+    k = cust.select("c_custkey", h.alias("h"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring("h", 1, 8), F.substring("h", 9, 4), F.substring("h", 13, 4),
+        F.substring("h", 17, 4), F.substring("h", 21, 12),
+    )
+    return k.select(
+        "c_custkey",
+        uuid.alias("surrogate_uuid"),
+        F.conv(F.substring("h", 1, 15), 16, 10).cast("long").alias("surrogate_int"),
+    )
