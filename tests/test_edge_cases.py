@@ -211,3 +211,20 @@ def test_fuzzy_block_matches_bruteforce_within_first_char(spark, sf_dir):
         for r in get_spec("join_fuzzy_block").builder(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_soundex_golden_codes(spark):
+    """Pin Spark's soundex against the textbook reference codes so the
+    phonetic blocking key can't silently change semantics."""
+    from pyspark.sql import functions as F
+
+    golden = {
+        "ROBERT": "R163", "RUPERT": "R163",   # the canonical collision
+        "ASHCRAFT": "A261",
+        "TYMCZAK": "T522",
+        "PFISTER": "P236",
+        "HONEYMAN": "H555",
+    }
+    df = spark.createDataFrame([(n,) for n in golden], ["name"])
+    got = {r.name: r.code for r in df.select("name", F.soundex("name").alias("code")).collect()}
+    assert got == golden, got

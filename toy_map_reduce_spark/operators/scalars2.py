@@ -801,3 +801,28 @@ def scalar_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         uuid.alias("surrogate_uuid"),
         F.conv(F.substring("h", 1, 15), 16, 10).cast("long").alias("surrogate_int"),
     )
+
+
+@register("scalar_phonetic", "G", oracle=None, bench=False,
+          doc="Phonetic matching surface: soundex codes over customer "
+              "names plus same-code blocking pair counts — the classic "
+              "fuzzy-entity-resolution blocking key beside levenshtein "
+              "(dedup_editdistance) and fingerprinting. Rows-only "
+              "(DuckDB has no soundex); codes golden-pinned in pytest")
+def scalar_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex collapses spelling variants to a 4-char code, making it a
+    blocking key: candidate pairs only form within a code bucket —
+    identical scale shape to the LSH band buckets (uniform-ish keys,
+    never all-pairs). Emitted per code: member count and the pair count
+    a within-bucket verify stage would score."""
+    cust = load(spark, sf_dir, "customer")
+    codes = cust.select(F.soundex(F.upper("c_name")).alias("code"))
+    return (
+        codes.groupBy("code")
+        .agg(F.count(F.lit(1)).alias("n_names"))
+        .select(
+            "code",
+            F.col("n_names").cast("long").alias("n_names"),
+            (F.col("n_names") * (F.col("n_names") - 1) / 2).cast("long").alias("n_block_pairs"),
+        )
+    )

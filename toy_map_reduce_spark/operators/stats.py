@@ -1000,3 +1000,53 @@ def stat_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+_SRM_ORACLE = """
+WITH arms AS (
+  SELECT user_id % 2 AS arm, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+         MAX(CASE WHEN arm = 1 THEN n_users END) AS n1
+  FROM arms
+)
+SELECT CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+       round(pow(n0 - (n0 + n1) / 2.0, 2) / ((n0 + n1) / 2.0)
+             + pow(n1 - (n0 + n1) / 2.0, 2) / ((n0 + n1) / 2.0), 6) AS chi2,
+       pow(n0 - (n0 + n1) / 2.0, 2) / ((n0 + n1) / 2.0)
+         + pow(n1 - (n0 + n1) / 2.0, 2) / ((n0 + n1) / 2.0) > 3.841 AS srm_detected
+FROM s
+"""
+
+
+@register("events_ab_srm", "X", oracle=_SRM_ORACLE,
+          doc="Sample-ratio-mismatch guardrail: chi-square of per-arm "
+              "DISTINCT user counts against the expected 50/50 split "
+              "(df=1, 5% critical value 3.841) — the experiment-validity "
+              "check that must pass before any A/B readout is trusted")
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRM is the assignment-bug detector: if the arms' USER counts (not
+    event counts — a heavy user inflates events but is one assignment)
+    deviate beyond chance from the design ratio, every downstream
+    metric comparison is invalid regardless of its p-value. One
+    distinct-count aggregate, arithmetic on one row; the verdict
+    boolean uses the unrounded statistic so the threshold cannot be
+    crossed by rounding."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    s = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+    )
+    exp = (F.col("n0") + F.col("n1")) / 2.0
+    chi2 = F.pow(F.col("n0") - exp, 2) / exp + F.pow(F.col("n1") - exp, 2) / exp
+    return s.select(
+        F.col("n0").cast("long").alias("n_arm0"),
+        F.col("n1").cast("long").alias("n_arm1"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
