@@ -1581,3 +1581,129 @@ def orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_suppliers") >= 2)
     )
+
+
+_MARKOV_ACC_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (SELECT event_type AS cur, nxt FROM seq WHERE nxt IS NOT NULL),
+trans AS (SELECT cur, nxt, COUNT(*) AS n FROM pairs GROUP BY cur, nxt),
+pred AS (
+  SELECT cur, nxt AS predicted FROM (
+    SELECT cur, nxt, row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt) AS rn
+    FROM trans
+  ) WHERE rn = 1
+)
+SELECT p.cur AS state,
+       pr.predicted,
+       CAST(SUM(p2.n) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN p2.nxt = pr.predicted THEN p2.n ELSE 0 END) AS BIGINT) AS n_correct,
+       round(SUM(CASE WHEN p2.nxt = pr.predicted THEN p2.n ELSE 0 END)
+             / CAST(SUM(p2.n) AS DOUBLE), 6) AS accuracy
+FROM (SELECT DISTINCT cur FROM trans) p
+JOIN pred pr ON pr.cur = p.cur
+JOIN trans p2 ON p2.cur = p.cur
+GROUP BY p.cur, pr.predicted
+"""
+
+
+@register("events_markov_accuracy", "G", oracle=_MARKOV_ACC_ORACLE,
+          doc="First-order Markov next-event baseline evaluated in-corpus: "
+              "per-state argmax transition as the prediction, accuracy = "
+              "share of observed transitions it gets right — the sanity "
+              "baseline every sequence model must beat")
+def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train and evaluate in two aggregates over the same transition
+    table: pair counts (one lead window per user — bounded state, then a
+    partial-aggregated groupBy), argmax via the (n desc, state) total
+    order, and accuracy by joining predictions back onto the counts —
+    the transition matrix is |states|² rows, so every join is
+    broadcast-sized regardless of corpus scale."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("event_type").alias("cur"), "nxt")
+    )
+    trans = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    # argmax tiebreak must be (n desc, nxt ASC) — max(struct(n, nxt)) would
+    # break ties toward the LARGEST state name; use min over negated n
+    pred = (
+        trans.groupBy("cur")
+        .agg(F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("nxt").alias("nxt"))).alias("m"))
+        .select("cur", F.col("m.nxt").alias("predicted"))
+    )
+    return (
+        trans.join(pred, "cur")
+        .groupBy(F.col("cur").alias("state"), "predicted")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted"), F.col("n")).otherwise(0))
+            .cast("long").alias("n_correct"),
+        )
+        .select(
+            "state", "predicted", "n_transitions", "n_correct",
+            F.round(F.col("n_correct") / F.col("n_transitions").cast("double"), 6).alias("accuracy"),
+        )
+    )
+
+
+_HIERARCHY_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(o.o_totalprice) AS nation_rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+),
+reg AS (SELECT region, SUM(nation_rev) AS region_rev FROM rev GROUP BY 1),
+tot AS (SELECT SUM(nation_rev) AS grand FROM rev)
+SELECT rev.region, rev.nation,
+       round(rev.nation_rev, 2) AS nation_rev,
+       round(rev.nation_rev / reg.region_rev, 6) AS share_of_region,
+       round(reg.region_rev / tot.grand, 6) AS region_share_of_total
+FROM rev JOIN reg ON reg.region = rev.region CROSS JOIN tot
+"""
+
+
+@register("orders_hierarchy_share", "G", oracle=_HIERARCHY_SHARE_ORACLE,
+          doc="Percent-of-parent through the region→nation hierarchy: each "
+              "nation's share of its region and each region's share of "
+              "the total, from one fact aggregation re-rolled twice — "
+              "the drill-down contribution view next to agg_rollup's "
+              "subtotal grid")
+def orders_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact table aggregates ONCE (orders → nation grain, keyed
+    through two broadcast-sized dimension joins); region totals and the
+    grand total re-aggregate the already-tiny nation table, and both
+    join back as broadcasts. Contrast a window formulation, which would
+    re-shuffle the fact rows per level."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("nation_rev"))
+    )
+    reg = rev.groupBy("region").agg(F.sum("nation_rev").alias("region_rev"))
+    tot = rev.agg(F.sum("nation_rev").alias("grand"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region", "nation",
+            F.round("nation_rev", 2).alias("nation_rev"),
+            F.round(F.col("nation_rev") / F.col("region_rev"), 6).alias("share_of_region"),
+            F.round(F.col("region_rev") / F.col("grand"), 6).alias("region_share_of_total"),
+        )
+    )
