@@ -1146,3 +1146,65 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("long").alias("tokens_kept"),
         F.round(F.min("score"), 6).alias("min_score_kept"),
     )
+
+
+SEQLEN_CHOICES = (128, 256, 512)
+
+_SEQLEN_UNION = "\nUNION ALL\n".join(
+    f"""SELECT {L} AS max_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_toks > {L} THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       CAST(SUM(GREATEST(n_toks - {L}, 0)) AS BIGINT) AS truncation_waste,
+       CAST(SUM({L} - LEAST(n_toks, {L})) AS BIGINT) AS padding_waste,
+       round(SUM(LEAST(n_toks, {L})) / CAST(COUNT(*) * {L} AS DOUBLE), 6)
+         AS fill_rate
+FROM sized"""
+    for L in SEQLEN_CHOICES
+)
+
+_SEQLEN_ORACLE = f"""
+WITH sized AS (
+  SELECT len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks
+  FROM documents
+)
+{_SEQLEN_UNION}
+"""
+
+
+@register("pipeline_seqlen_tradeoff", "X", oracle=_SEQLEN_ORACLE,
+          doc="Sequence-length decision table: for max_len ∈ {128, 256, "
+              "512}, documents truncated, tokens lost to truncation, "
+              "tokens lost to padding (one doc per sequence), and the "
+              "resulting fill rate — the accounting that picks a context "
+              "length before packing (pack_sequences then reclaims the "
+              "padding)")
+def pipeline_seqlen_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every candidate length is a conditional aggregate over the SAME
+    per-doc token-count scan — one corpus pass total, the three report
+    rows built by exploding a literal array of the choices against the
+    single sized table (no union of three scans; Catalyst would not
+    merge them). Truncation and padding waste trade against each other
+    monotonically; fill_rate is the single number to maximize."""
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(F.size(_tokens("text")).alias("n_toks"))
+    choices = F.explode(
+        F.array(*[F.lit(L) for L in SEQLEN_CHOICES])
+    ).alias("max_len")
+    per = sized.select("n_toks", choices)
+    return (
+        per.groupBy("max_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_toks") > F.col("max_len"), 1).otherwise(0))
+            .cast("long").alias("n_truncated"),
+            F.sum(F.greatest(F.col("n_toks") - F.col("max_len"), F.lit(0)))
+            .cast("long").alias("truncation_waste"),
+            F.sum(F.col("max_len") - F.least(F.col("n_toks"), F.col("max_len")))
+            .cast("long").alias("padding_waste"),
+            F.round(
+                F.sum(F.least(F.col("n_toks"), F.col("max_len")))
+                / (F.count(F.lit(1)) * F.max("max_len")).cast("double"),
+                6,
+            ).alias("fill_rate"),
+        )
+    )
