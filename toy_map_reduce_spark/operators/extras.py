@@ -683,3 +683,51 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_PERCENTILE_DISC_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_disc(l_extendedprice, 0.5), 2) AS p50_disc,
+       round(quantile_disc(l_extendedprice, 0.9), 2) AS p90_disc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_percentile_disc", "G", oracle=_PERCENTILE_DISC_ORACLE,
+          doc="Discrete percentile (percentile_disc semantics: an ACTUAL "
+              "data value, the smallest with cumulative share ≥ p — no "
+              "interpolation): p50/p90 per return flag via an ordered "
+              "rank selection, distinct surface from agg_percentile's "
+              "interpolating percentile_cont")
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_cont invents values between observations;
+    percentile_disc returns one that exists — required when the value is
+    an identifier-like quantity (latency bucket boundaries, price
+    points) or when downstream joins back on it. Spark has no disc
+    variant of `percentile`, so it is derived exactly: rank rows per
+    key, pick the first with rank ≥ ceil(p·n) — one sort per key, the
+    same cost class as the cont form."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    picks = ranked.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("rn") >= F.ceil(0.5 * F.col("n")), F.col("l_extendedprice"))
+        ).alias("p50"),
+        F.min(
+            F.when(F.col("rn") >= F.ceil(0.9 * F.col("n")), F.col("l_extendedprice"))
+        ).alias("p90"),
+        F.max("n").alias("n"),
+    )
+    return picks.select(
+        "l_returnflag",
+        F.round("p50", 2).alias("p50_disc"),
+        F.round("p90", 2).alias("p90_disc"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -727,3 +727,50 @@ def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"forecast_{HOLT_HORIZON}d"
         ),
     )
+
+
+_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT m.month, round(m.revenue, 2) AS revenue,
+       round(p.revenue, 2) AS revenue_prior_year,
+       round((m.revenue - p.revenue) / p.revenue, 6) AS yoy_growth
+FROM monthly m
+JOIN monthly p ON p.month = m.month - INTERVAL 1 YEAR
+"""
+
+
+@register("timeseries_yoy", "G", oracle=_YOY_ORACLE,
+          doc="Year-over-year growth by month: the monthly rollup "
+              "self-joined on month − 1 year (calendar-exact, not lag(12) "
+              "— a missing month would silently shift a row-offset lag), "
+              "emitting only months with a prior-year counterpart")
+def timeseries_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-on-shifted-key form is the robust YoY: lag(12) over the
+    month sequence is wrong the moment a month is absent (offset slips)
+    while the calendar join degrades to 'no row', which is the truthful
+    answer. Both sides are the same months-sized rollup, so the
+    self-join is broadcast-sized at any fact scale."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("month")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    prior = monthly.select(
+        F.add_months("month", 12).alias("month"),
+        F.col("revenue").alias("revenue_prior_year"),
+    )
+    return (
+        monthly.join(F.broadcast(prior), "month")
+        .select(
+            "month",
+            F.round("revenue", 2).alias("revenue"),
+            F.round("revenue_prior_year", 2).alias("revenue_prior_year"),
+            F.round(
+                (F.col("revenue") - F.col("revenue_prior_year")) / F.col("revenue_prior_year"),
+                6,
+            ).alias("yoy_growth"),
+        )
+    )
