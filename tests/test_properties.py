@@ -318,3 +318,40 @@ def test_digest_queries_invariant_under_partitioning(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", orig)
         assert one == many, f"{name}: digest changed with partition count"
+
+
+def test_bpe_fold_random_corpus_matches_reference(spark):
+    """Stress the JVM merge fold on a seeded random corpus full of
+    repeated-symbol runs (the overlap-handling edge): every word's encoded
+    length after 6 trained merges must equal the Python reference's."""
+    import random
+
+    from toy_map_reduce_spark.operators.textstats import bpe_apply, bpe_train
+
+    rng = random.Random(42)
+    alphabet = "abc"
+    corpus = {}
+    for _ in range(60):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        corpus[w] = corpus.get(w, 0) + rng.randint(1, 9)
+
+    words_df = spark.createDataFrame(list(corpus.items()), ["word", "freq"])
+    merges = bpe_train(words_df, n_merges=6)
+
+    def encode_len(word):
+        syms = list(word)
+        for _, a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {r.word: r.n_sym for r in bpe_apply(words_df, merges).collect()}
+    want = {w: encode_len(w) for w in corpus}
+    assert got == want, {w: (got[w], want[w]) for w in corpus if got[w] != want[w]}

@@ -532,3 +532,53 @@ def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trunc("d", "month").alias("month_start"),
         F.last_day("d").alias("month_end"),
     )
+
+
+_TRANSPOSE_ORACLE = """
+WITH a AS (
+  SELECT l_returnflag,
+         round(SUM(l_quantity), 2) AS sum_qty,
+         round(AVG(l_extendedprice), 2) AS avg_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'sum_qty' AS key,
+       (SELECT sum_qty FROM a WHERE l_returnflag = 'A') AS A,
+       (SELECT sum_qty FROM a WHERE l_returnflag = 'N') AS N,
+       (SELECT sum_qty FROM a WHERE l_returnflag = 'R') AS R
+UNION ALL
+SELECT 'avg_price',
+       (SELECT avg_price FROM a WHERE l_returnflag = 'A'),
+       (SELECT avg_price FROM a WHERE l_returnflag = 'N'),
+       (SELECT avg_price FROM a WHERE l_returnflag = 'R')
+UNION ALL
+SELECT 'n_rows',
+       (SELECT n_rows FROM a WHERE l_returnflag = 'A'),
+       (SELECT n_rows FROM a WHERE l_returnflag = 'N'),
+       (SELECT n_rows FROM a WHERE l_returnflag = 'R')
+"""
+
+
+@register("sql_transpose", "G", oracle=_TRANSPOSE_ORACLE,
+          doc="DataFrame.transpose (Spark 4 API): the per-returnflag "
+              "metric grid flipped so metrics become rows and flags "
+              "become columns — the wide-to-tall pivot dual, as a native "
+              "relational op instead of driver-side reshaping")
+def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transpose() collects the (tiny, pre-aggregated) frame's first
+    column as the new header — legitimate here because the input is a
+    grouped summary (|flags| rows), never a fact table; the aggregate
+    before it is where the scale lives. All measures are cast to a
+    common double type, which transpose requires (and which the oracle's
+    UNION mirrors)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return a.transpose()

@@ -886,3 +886,36 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+_LATERAL_DFAPI_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+     LATERAL (
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+       FROM orders o WHERE o.o_custkey = c.c_custkey
+       ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 2
+     ) t
+"""
+
+
+@register("join_lateral_dfapi", "G", oracle=_LATERAL_DFAPI_ORACLE,
+          doc="DataFrame.lateralJoin (Spark 4 API): per-customer top-2 "
+              "orders via a correlated subquery expressed with outer() "
+              "column references — the DataFrame-native spelling of the "
+              "SQL LATERAL join_lateral_topn demonstrates")
+def join_lateral_dfapi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst decorrelates the lateral subquery into the same
+    window-rank plan the SQL form gets — the API surface differs, the
+    physical plan does not (that equivalence is exactly what makes the
+    DataFrame spelling safe to adopt). The (price desc, orderkey asc)
+    order is total, so the top-2 cut is cross-engine deterministic."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders")
+    sub = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(2)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+    return cust.lateralJoin(sub).select("c_custkey", "o_orderkey", "o_totalprice")
