@@ -259,3 +259,136 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") / F.col("grand"), 9).alias("share_of_total"),
         )
     )
+
+
+_WINDOW_COUNT_DISTINCT_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(COUNT(DISTINCT o_orderpriority)
+            OVER (PARTITION BY o_custkey) AS BIGINT) AS n_distinct_priorities
+FROM orders
+"""
+
+
+@register("window_count_distinct", "G", oracle=_WINDOW_COUNT_DISTINCT_ORACLE,
+          doc="COUNT(DISTINCT) OVER — a window Spark rejects outright — "
+              "derived exactly as max(dense_rank) over the same partition "
+              "ordered by the counted column: the canonical workaround, "
+              "checked against DuckDB's native distinct window")
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank assigns consecutive ranks to distinct values, so its
+    per-partition max IS the distinct count; NULLs would rank too, so a
+    null-counting correction applies where the column is nullable (not
+    needed here — o_orderpriority is NOT NULL in the fixture, and the
+    docstring records that assumption). Cost: one sort-window per key,
+    the same class as any ranked window — vs the unsupported native
+    form, nothing is lost."""
+    orders = load(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    w_all = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.max(F.dense_rank().over(w_rank)).over(w_all)
+        .cast("long").alias("n_distinct_priorities"),
+    )
+
+
+_FILL_FORWARD_ORACLE = """
+WITH masked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE round(o_totalprice, 2) END AS price_sparse
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_sparse,
+       last_value(price_sparse IGNORE NULLS)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price_filled
+FROM masked
+"""
+
+
+@register("window_fill_forward", "G", oracle=_FILL_FORWARD_ORACLE,
+          doc="Forward-fill (LOCF): last non-null carried forward per key "
+              "via last_value(... IGNORE NULLS) over a running frame — the "
+              "sparse-observation densifier (every third price masked to "
+              "simulate gaps); leading gaps stay NULL by contract")
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS inside a RUNNING frame is the whole trick: the frame
+    never looks ahead, so state per key is one value (Spark streams the
+    frame; no buffering of the partition), and rows before the first
+    observation honestly stay NULL instead of leaking a future value —
+    the leakage-safe direction for feature engineering
+    (feature_churn_labels makes the same argument for time splits)."""
+    orders = load(spark, sf_dir, "orders")
+    masked = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round("o_totalprice", 2)).alias("price_sparse"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return masked.select(
+        "o_custkey", "o_orderkey", "price_sparse",
+        F.last("price_sparse", ignorenulls=True).over(w).alias("price_filled"),
+    )
+
+
+SESSION_GAP_MIN = 30
+
+_SESSION_NATIVE_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, date_trunc('second', ts) AS t,
+         CASE WHEN date_diff('second',
+                             lag(date_trunc('second', ts))
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             date_trunc('second', ts)) > {SESSION_GAP_MIN * 60}
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+tagged AS (
+  SELECT user_id, t,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM seq
+)
+SELECT user_id,
+       MIN(t) AS session_start,
+       MAX(t) + INTERVAL {SESSION_GAP_MIN * 60} SECOND AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM tagged
+GROUP BY user_id, session_no
+"""
+
+
+@register("window_session_native", "S", oracle=_SESSION_NATIVE_ORACLE,
+          doc=f"Native session_window in BATCH mode: {SESSION_GAP_MIN}-minute "
+              "gap sessions per user via F.session_window groupBy — the "
+              "same operator Structured Streaming uses (stream_session), "
+              "checked against a gaps-and-islands oracle")
+def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window works identically in batch and streaming — the point
+    of demonstrating it here: the batch run IS the backfill path for the
+    streaming job (stream_session), same operator, same session
+    boundaries, no dual implementation to keep in sync. Session end in
+    Spark's contract is last-event + gap; the oracle reproduces that
+    closed-open definition. One shuffle on user_id, merge-sorted session
+    assembly."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "t", F.date_trunc("second", "ts")
+    )
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("t", f"{SESSION_GAP_MIN} minutes")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
