@@ -603,3 +603,36 @@ def test_hll_precision_sweep_error_bounds(spark, sf_dir):
         rsd = float(setting.split("_")[1])
         assert abs(r.err_ppm) <= 4 * rsd * 1_000_000, (setting, r.err_ppm)
         assert r.exact > 0 and r.estimate > 0
+
+
+def test_rolling_distinct_hll_tracks_exact(spark, sf_dir):
+    """Every 7-day rolling HLL estimate must be within 5% of the exact
+    rolling distinct count computed by brute force (default lgConfigK=12
+    gives ~1.6% rsd; 5% is ~3 sigma)."""
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.registry import get_spec
+    from toy_map_reduce_spark.tables import load
+
+    est = {
+        r.day: r.rolling_users_est
+        for r in get_spec("timeseries_rolling_distinct_hll").builder(spark, sf_dir).collect()
+    }
+    pairs = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+    from datetime import timedelta
+
+    by_day = defaultdict(set)
+    for r in pairs:
+        by_day[r.day].add(r.user_id)
+    for day, got in est.items():
+        exact = len(set().union(*[
+            by_day.get(day - timedelta(days=k), set()) for k in range(7)
+        ]))
+        assert exact > 0
+        assert abs(got - exact) <= max(2, 0.05 * exact), (day, got, exact)

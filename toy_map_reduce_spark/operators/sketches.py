@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from toy_map_reduce_spark.registry import register
@@ -253,3 +253,36 @@ def agg_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "setting string, exact long, estimate long, err_ppm long"
     )
+
+
+ROLLING_DAYS = 7
+
+
+@register("timeseries_rolling_distinct_hll", "X", oracle=None, bench=True,
+          doc=f"Rolling {ROLLING_DAYS}-day distinct users via mergeable "
+              "Datasketches HLL: one per-day sketch, then hll_union_agg "
+              "over a 7-row window — the pattern that makes rolling "
+              "distinct FEASIBLE at scale (exact rolling distinct cannot "
+              "reuse work across overlapping windows). Rows-only; "
+              "accuracy vs brute-force exact pytest-pinned")
+def timeseries_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why sketches, stated with the costs: exact rolling distinct must
+    re-scan every window's raw rows (overlap work is not reusable —
+    distinct doesn't decompose), so a w-day window costs w× the scan.
+    HLL sketches DO merge: one pass builds a KB-sized sketch per day,
+    and each rolling value is a union of w tiny sketches — the window
+    operates over |days| rows regardless of event volume. The same
+    sketches also roll up to weekly/monthly for free (agg_hll_merge
+    shows the re-aggregation path)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy("day").rowsBetween(-(ROLLING_DAYS - 1), 0)
+    rolled = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .cast("long").alias("rolling_users_est"),
+        F.hll_sketch_estimate("sk").cast("long").alias("day_users_est"),
+    )
+    return rolled
