@@ -16,7 +16,7 @@ Scale notes (100 TB):
 - Timestamps are floored to seconds on BOTH engines before any arithmetic:
   the parquet feed carries sub-microsecond precision that Spark (µs) and
   DuckDB (ns) truncate differently, so second-floor-first is the only
-  cross-engine-stable contract (see .claude/skills/verify gotchas).
+  cross-engine-stable contract (see SURVEY.md §8 hazard notes).
 - All expressions are JVM-side built-ins — zero Python UDFs.
 """
 

@@ -582,3 +582,105 @@ def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_returnflag")
     )
     return a.transpose()
+
+
+_MV_JOIN_INCREMENTAL_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(SUM(o.o_totalprice), 2) AS total_spend
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("mv_join_incremental", "G", oracle=_MV_JOIN_INCREMENTAL_ORACLE,
+          doc="Incremental maintenance of a JOIN view: the base view "
+              "(even orderkeys ⋈ customer) plus the delta contribution "
+              "(odd orderkeys ⋈ customer) merged by additive aggregation "
+              "— the join-IVM delta rule, verified equal to a full "
+              "recompute by the oracle")
+def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta rule for a one-sided fact append: Δ(O ⋈ C) = ΔO ⋈ C, so
+    refreshing the view costs one join of the (small) delta against the
+    dimension — never a rescan of the materialized base. Both sides
+    aggregate to the view's grain BEFORE the merge (partial aggregates
+    are additive for COUNT/SUM), so the merge is a tiny segment-keyed
+    sum. The watershed here is orderkey parity, standing in for 'rows
+    since the last refresh'; the oracle's full recompute pins that the
+    incremental result is exact, not approximate."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def view_partial(orders_slice):
+        return (
+            orders_slice.join(c, orders_slice.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_totalprice").alias("spend"),
+            )
+        )
+
+    base = view_partial(o.where(F.col("o_orderkey") % 2 == 0))
+    delta = view_partial(o.where(F.col("o_orderkey") % 2 == 1))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("spend").alias("spend"))
+    )
+    return merged.select(
+        "c_mktsegment",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("spend", 2).alias("total_spend"),
+    )
+
+
+_CDC_APPLY_ORACLE = """
+WITH log AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN event_id % 10 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+  FROM events
+),
+latest AS (
+  SELECT user_id, op, value FROM (
+    SELECT user_id, op, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST((SELECT COUNT(*) FROM latest WHERE op = 'D') AS BIGINT) AS n_tombstoned,
+       round(SUM(value), 2) AS sum_value_live
+FROM latest WHERE op <> 'D'
+"""
+
+
+@register("cdc_apply_changelog", "G", oracle=_CDC_APPLY_ORACLE,
+          doc="CDC changelog application: a synthesized I/U/D log collapsed "
+              "to final table state via latest-record-per-key, with 'D' as "
+              "the terminal tombstone — live row count, tombstone count, "
+              "and the live-value sum (the MERGE-from-changelog read path)")
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction is exactly window_latest_per_key plus the
+    tombstone rule: ONLY the newest record per key decides liveness, so
+    the whole apply is one shuffle on the key (uniform) and a row_number
+    — no iterative replay, no ordering dependence beyond the per-key
+    (ts, event_id) total order both engines walk identically. Ops are
+    synthesized by id modulo (D ≻ U ≻ I precedence in the CASE) to stand
+    in for a Debezium-style feed."""
+    ev = load(spark, sf_dir, "events")
+    log = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 3 == 0, "U")
+        .otherwise("I").alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = log.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return latest.agg(
+        F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).cast("long").alias("n_live"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("long").alias("n_tombstoned"),
+        F.round(F.sum(F.when(F.col("op") != "D", F.col("value"))), 2).alias("sum_value_live"),
+    )
