@@ -1707,3 +1707,36 @@ def orders_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("region_rev") / F.col("grand"), 6).alias("region_share_of_total"),
         )
     )
+
+
+_DUP_PAYMENTS_ORACLE = """
+SELECT o_custkey, o_orderdate, round(o_totalprice, 2) AS amount,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey
+FROM orders
+GROUP BY o_custkey, o_orderdate, round(o_totalprice, 2)
+HAVING COUNT(*) > 1
+"""
+
+
+@register("orders_duplicate_payments", "G", oracle=_DUP_PAYMENTS_ORACLE,
+          doc="Duplicate-payment audit: orders sharing (customer, date, "
+              "amount) — the double-charge screen every finance pipeline "
+              "runs; one composite-key aggregate, map-side combined")
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-table cousin of dedup_exact: the composite business key
+    plays the content hash's role, the groupBy partial-aggregates so a
+    pathological duplicate storm stays one combiner row per task, and
+    amounts are rounded to cents BEFORE grouping so float representation
+    can't split a true duplicate into two groups."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_custkey", "o_orderdate", F.round("o_totalprice", 2).alias("amount")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.min("o_orderkey").alias("first_orderkey"),
+        )
+        .where(F.col("n_dupes") > 1)
+    )

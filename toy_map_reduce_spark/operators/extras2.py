@@ -684,3 +684,43 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("long").alias("n_tombstoned"),
         F.round(F.sum(F.when(F.col("op") != "D", F.col("value"))), 2).alias("sum_value_live"),
     )
+
+
+EQUIDEPTH_BUCKETS = 8
+
+_EQUIDEPTH_ORACLE = f"""
+WITH t AS (
+  SELECT o_totalprice,
+         ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       round(MIN(o_totalprice), 2) AS lo,
+       round(MAX(o_totalprice), 2) AS hi
+FROM t GROUP BY bucket
+"""
+
+
+@register("agg_histogram_equidepth", "G", oracle=_EQUIDEPTH_ORACLE,
+          doc=f"Equi-depth histogram ({EQUIDEPTH_BUCKETS} ntile buckets, "
+              "equal row counts, data-driven bounds) — the optimizer-"
+              "statistics dual of agg_histogram's equi-width form, where "
+              "skewed data leaves most equi-width buckets empty")
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth is what engine statistics actually store (selectivity
+    per bucket is uniform by construction). ntile needs a global order;
+    at 100 TB the production path derives the same bounds from
+    approx_percentile's mergeable sketch (agg_approx_percentile) — the
+    exact ntile here is the verifiable small-scale form, tie-broken on
+    o_orderkey so bucket assignment is total."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select(
+        "o_totalprice", F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket")
+    )
+    return t.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -1208,3 +1208,54 @@ def pipeline_seqlen_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_rate"),
         )
     )
+
+
+MIX_TEMPERATURE = 0.3  # alpha: share^alpha sampling (multilingual-corpus convention)
+
+_MIX_TEMPERATURE_ORACLE = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n) AS t FROM counts),
+raised AS (
+  SELECT lang, n, pow(n / CAST(t AS DOUBLE), {MIX_TEMPERATURE}) AS w
+  FROM counts CROSS JOIN tot
+),
+z AS (SELECT SUM(w) AS z FROM raised)
+SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs,
+       round(r.n / CAST(tot.t AS DOUBLE), 6) AS natural_share,
+       round(r.w / z.z, 6) AS sampled_share,
+       round((r.w / z.z) / (r.n / CAST(tot.t AS DOUBLE)), 4) AS upsample_factor
+FROM raised r CROSS JOIN z CROSS JOIN tot
+"""
+
+
+@register("data_mix_temperature", "X", oracle=_MIX_TEMPERATURE_ORACLE,
+          doc=f"Temperature-scaled sampling mix (alpha = {MIX_TEMPERATURE}): "
+              "per-language sampling shares ∝ natural_share^alpha, "
+              "renormalized — the multilingual-corpus rebalancing rule "
+              "that boosts low-resource slices without the uniform "
+              "target data_mix_rebalance plans toward")
+def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure aggregate algebra on the language histogram (dimension-sized
+    after one partial-aggregated count); the exponent interpolates
+    between natural sampling (alpha=1) and uniform (alpha=0), and the
+    emitted upsample_factor is the per-language repeat rate a sampler
+    (sample_weighted) then applies. One scan, two broadcast scalars."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    raised = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.pow(F.col("n") / F.col("t").cast("double"), MIX_TEMPERATURE)
+    )
+    z = raised.agg(F.sum("w").alias("z"))
+    nat = F.col("n") / F.col("t").cast("double")
+    samp = F.col("w") / F.col("z")
+    return (
+        raised.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(nat, 6).alias("natural_share"),
+            F.round(samp, 6).alias("sampled_share"),
+            F.round(samp / nat, 4).alias("upsample_factor"),
+        )
+    )
