@@ -826,3 +826,55 @@ def scalar_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_names") * (F.col("n_names") - 1) / 2).cast("long").alias("n_block_pairs"),
         )
     )
+
+
+_DIVISION_ORACLE = """
+WITH v AS (
+  SELECT o_orderkey,
+         CAST(o_orderkey AS BIGINT) - 1000 AS a,
+         CAST(7 AS BIGINT) AS b
+  FROM orders WHERE o_orderkey <= 3000
+)
+SELECT o_orderkey, a,
+       -- both engines' native integer division TRUNCATES toward zero
+       CAST(a // b AS BIGINT) AS div_trunc,
+       -- floor division is explicit on BOTH engines (Python-style // it
+       -- is not: -1 // 7 = 0 here, -1 in Python)
+       CAST(CASE WHEN a < 0 AND a % b <> 0 THEN a // b - 1
+                 ELSE a // b END AS BIGINT) AS div_floor,
+       -- remainder: sign follows the DIVIDEND on both engines
+       CAST(a % b AS BIGINT) AS rem_dividend_sign,
+       -- positive modulus (Spark pmod): ((a % b) + b) % b
+       CAST(((a % b) + b) % b AS BIGINT) AS pmod
+FROM v
+"""
+
+
+@register("scalar_division", "G", oracle=_DIVISION_ORACLE,
+          doc="Integer division/remainder semantics battery over negative "
+              "operands: truncated vs floor division (they differ below "
+              "zero; both engines' native forms truncate — unlike "
+              "Python's //, which floors), dividend-sign remainder, and "
+              "positive pmod")
+def scalar_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-5 div 7: truncation says 0, floor says -1 — silently different
+    bucket assignments for anything hashed or binned on a signed value.
+    The trap is PYTHON vs SQL: Python's // floors while both engines'
+    native integer division truncates, so a Python-prototyped binning
+    formula ports wrong for negative inputs. Every binning operator in
+    this repo (z-order, histograms, shards) therefore keys on
+    non-negative domains or uses pmod; this battery pins all four forms
+    so a semantics regression surfaces as a parity diff."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 3000)
+    a = (F.col("o_orderkey").cast("long") - 1000)
+    b = F.lit(7).cast("long")
+    div_trunc = (a / b).cast("long")  # Spark casts truncate toward zero
+    div_floor = F.floor(a / b).cast("long")
+    return o.select(
+        "o_orderkey",
+        a.alias("a"),
+        div_trunc.alias("div_trunc"),
+        div_floor.alias("div_floor"),
+        (a % b).cast("long").alias("rem_dividend_sign"),
+        F.pmod(a, b).cast("long").alias("pmod"),
+    )

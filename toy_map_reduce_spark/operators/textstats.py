@@ -937,3 +937,49 @@ def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words.unpersist()
     return out
+
+
+_LEXICAL_DIVERSITY_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         len(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))
+           AS n_types,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(n_types / CAST(n_tokens AS DOUBLE)), 6) AS mean_ttr,
+       round(MIN(n_types / CAST(n_tokens AS DOUBLE)), 6) AS min_ttr,
+       CAST(SUM(CASE WHEN n_types / CAST(n_tokens AS DOUBLE) < 0.3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity
+FROM per_doc WHERE n_tokens > 0
+GROUP BY lang
+"""
+
+
+@register("text_lexical_diversity", "X", oracle=_LEXICAL_DIVERSITY_ORACLE,
+          doc="Type-token ratio per document rolled up per language: mean "
+              "and min TTR plus a low-diversity (< 0.3) count — the "
+              "lexical-repetitiveness quality signal beside "
+              "text_repetition's bigram looping detector")
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTR is array algebra per row (distinct count over the token array
+    — no explode, no shuffle until the per-lang rollup), which is the
+    right shape because the signal is per-document: the corpus-level
+    aggregate only summarizes. Low TTR flags keyword-stuffed or
+    template-generated docs a length/stopword filter passes."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size(toks).alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    ttr = F.col("n_types") / F.col("n_tokens").cast("double")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg(ttr), 6).alias("mean_ttr"),
+        F.round(F.min(ttr), 6).alias("min_ttr"),
+        F.sum(F.when(ttr < 0.3, 1).otherwise(0)).cast("long").alias("n_low_diversity"),
+    )
