@@ -293,3 +293,85 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _view(load(spark, sf_dir, "orders"), sf_dir, "rcte_orders")
     return spark.sql(_RECURSIVE_CTE_SQL.format(t=v))
+
+
+_CLUSTERING_COEFF_ORACLE = f"""
+WITH und AS (
+  SELECT DISTINCT least(o_custkey % {PR_NODES_MOD}, o_orderkey % {PR_NODES_MOD}) AS a,
+                  greatest(o_custkey % {PR_NODES_MOD}, o_orderkey % {PR_NODES_MOD}) AS b
+  FROM orders
+  WHERE o_custkey % {PR_NODES_MOD} <> o_orderkey % {PR_NODES_MOD}
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT d.node,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+       round(COALESCE(t.t, 0) / (d.d * (d.d - 1) / 2.0), 6) AS local_cc
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+WHERE d.d >= 2
+"""
+
+
+@register("graph_clustering_coeff", "G", oracle=_CLUSTERING_COEFF_ORACLE,
+          doc="Local clustering coefficient per node: triangles through "
+              "the node over its wedge count d(d−1)/2 — the cohesion "
+              "metric on top of graph_triangles' numerator; degree-1 "
+              "nodes excluded (undefined denominator)")
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reuses the canonical low→high edge orientation (each triangle
+    counted once, join fan-out bounded by high-neighbor degree); degrees
+    come from one partial-aggregated count over both edge endpoints, and
+    the coefficient is arithmetic on the joined (degree, triangle) pair
+    — no new join shapes beyond the triangle pass itself."""
+    orders = load(spark, sf_dir, "orders")
+    src = F.col("o_custkey") % PR_NODES_MOD
+    dst = F.col("o_orderkey") % PR_NODES_MOD
+    und = (
+        orders.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    tcnt = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .where(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.coalesce("t", F.lit(0)) / (F.col("d") * (F.col("d") - 1) / 2.0), 6
+            ).alias("local_cc"),
+        )
+    )

@@ -774,3 +774,59 @@ def timeseries_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yoy_growth"),
         )
     )
+
+
+_MAX_GAP_ORACLE = """
+WITH seq AS (
+  SELECT event_type, date_trunc('second', ts) AS t,
+         lag(date_trunc('second', ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+  FROM events
+),
+gaps AS (
+  SELECT event_type, prev_t, t,
+         date_diff('second', prev_t, t) AS gap_s,
+         -- composite argmax via ranking (DuckDB arg_max takes no
+         -- ROW/LIST key): (gap DESC, end-time DESC) reproduces Spark's
+         -- max_by(prev_t, struct(gap_s, t)) lexicographic-max tiebreak
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_diff('second', prev_t, t) DESC,
+                                     t DESC) AS rn
+  FROM seq WHERE prev_t IS NOT NULL
+),
+agg AS (
+  SELECT event_type,
+         CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+         CAST(round(AVG(gap_s), 0) AS BIGINT) AS mean_gap_s
+  FROM gaps GROUP BY event_type
+)
+SELECT a.event_type, a.max_gap_s, a.mean_gap_s, g.prev_t AS silence_start
+FROM agg a JOIN gaps g ON g.event_type = a.event_type AND g.rn = 1
+"""
+
+
+@register("timeseries_max_gap", "G", oracle=_MAX_GAP_ORACLE,
+          doc="Longest-silence detection per event type: max inter-event "
+              "gap (seconds) with the timestamp where the outage began — "
+              "the gap detector behind missing-data alerts; argmax "
+              "tie-broken on the gap's end time")
+def timeseries_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lag window per event_type (bounded by type cardinality per
+    task after the key shuffle) and one aggregate: the argmax rides
+    max_by over a (gap, end-time) struct so ties resolve identically on
+    both engines. Second-floored timestamps per the module's
+    cross-engine precision contract."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.date_trunc("second", "ts").alias("t"),
+        F.lag(F.date_trunc("second", "ts")).over(w).alias("prev_t"),
+    ).where(F.col("prev_t").isNotNull())
+    gap = (F.unix_timestamp("t") - F.unix_timestamp("prev_t"))
+    gaps = seq.select("event_type", "prev_t", "t", gap.alias("gap_s"))
+    return gaps.groupBy("event_type").agg(
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.round(F.avg("gap_s"), 0).cast("long").alias("mean_gap_s"),
+        F.max_by("prev_t", F.struct("gap_s", "t")).alias("silence_start"),
+    )
