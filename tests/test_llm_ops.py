@@ -636,3 +636,26 @@ def test_rolling_distinct_hll_tracks_exact(spark, sf_dir):
         ]))
         assert exact > 0
         assert abs(got - exact) <= max(2, 0.05 * exact), (day, got, exact)
+
+
+def test_bbit_minhash_estimator_separates_pairs(spark, planted):
+    """1-bit minhash agreement must be near-perfect for the planted
+    near-dup pairs and near-chance (~32/64) for unrelated pairs, and the
+    signature must be rerun-deterministic."""
+    from toy_map_reduce_spark.operators.dedup import bbit_signatures
+    from toy_map_reduce_spark.tables import load
+
+    docs = load(spark, planted, "documents")
+    sigs = {r.doc_id: r.bbit_sig for r in bbit_signatures(docs).collect()}
+    sigs2 = {r.doc_id: r.bbit_sig for r in bbit_signatures(docs).collect()}
+    assert sigs == sigs2
+
+    def agree(a, b):
+        return 64 - bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    # 1-bit agreement expectation is J + (1-J)/2: the long planted pair
+    # (J≈0.87) lands near 60/64, the short pair (J≈0.65, fewer shingles)
+    # near 53/64, unrelated (J≈0) at the 32/64 coin-flip line
+    assert agree(0, 1) >= 56, agree(0, 1)
+    assert agree(2, 3) >= 50, agree(2, 3)
+    assert agree(0, 2) <= 48, agree(0, 2)

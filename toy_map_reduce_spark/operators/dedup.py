@@ -888,3 +888,44 @@ def dedup_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes.unpersist()
     rows += [("union_any", uni, -1), ("consensus_2of3", two, -1), ("consensus_3of3", all3, -1)]
     return spark.createDataFrame(rows, "method string, n_pairs long, n_docs long")
+
+
+def bbit_signatures(docs: DataFrame, sh_all: DataFrame | None = None) -> DataFrame:
+    """documents → (doc_id, bbit_sig): 1-bit minhash (Li & König) — the
+    lowest bit of each of the 64 minhashes packed into one 64-bit long.
+    64 minhashes × 1 bit = 8 bytes/doc vs 64 × 8 bytes for the full
+    signatures: a 64× index-memory reduction, paid for with a noisier
+    estimator (collision probability for 1-bit agreement is
+    (1+J)/2, so Ĵ = 2·agree/64 − 1)."""
+    sh = _shingles(docs) if sh_all is None else sh_all
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"m{j}") for j in range(64)]
+    )
+    packed = None
+    for j in range(64):
+        bit = F.when(
+            F.col(f"m{j}").bitwiseAND(F.lit(1)) == 1,
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed + bit
+    return mins.select("doc_id", packed.alias("bbit_sig"))
+
+
+@register("dedup_bbit_minhash", "X", oracle=None, bench=False,
+          doc="1-bit minhash signatures (b-bit minhash, Li & König): the "
+              "low bit of 64 minhashes packed into one long — 64× smaller "
+              "index than full signatures; estimated Jaccard = "
+              "2·(agreeing bits)/64 − 1 on planted pairs. Rows-only; "
+              "estimator behavior pytest-pinned")
+def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memory lever for billion-document minhash indexes: banding/
+    bucketing runs on the packed longs exactly as on full signatures
+    (bit-slice the long into bands), and verification falls back to the
+    exact df-capped Jaccard as usual — only the candidate-generation
+    index shrinks. Emitted per doc with the popcount so the driver's
+    rows-only check still sees a stable schema."""
+    docs = load(spark, sf_dir, "documents")
+    sig = bbit_signatures(docs)
+    return sig.select(
+        "doc_id", "bbit_sig", F.bit_count("bbit_sig").cast("int").alias("popcount")
+    )

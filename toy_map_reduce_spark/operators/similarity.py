@@ -1070,3 +1070,74 @@ def sim_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, n_exact long, n_hits long, recall_micro long"
     )
+
+
+_SEMANTIC_KEEP_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm FROM d
+),
+c AS (SELECT vec_id AS centroid_id, e AS c_e, nrm AS c_nrm FROM n WHERE vec_id < {KMEANS_K}),
+scored AS (
+  SELECT n.vec_id, c.centroid_id,
+         list_reduce([n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)], (x, y) -> x + y)
+           / (n.nrm * c.c_nrm) AS sim
+  FROM n, c
+),
+assigned AS (
+  SELECT vec_id, centroid_id, sim FROM (
+    SELECT vec_id, centroid_id, sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(arg_max(vec_id, sim) AS BIGINT) AS keep_vec_id,
+       round(MAX(sim), 6) AS keep_sim,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_pruned
+FROM assigned GROUP BY centroid_id
+"""
+
+
+@register("dedup_semantic_keep", "X", oracle=_SEMANTIC_KEEP_ORACLE,
+          doc="Semantic dedup (the SemDeDup shape): vectors clustered to "
+              "the deterministic centroids, ONE representative kept per "
+              "cell (closest to its centroid), the rest pruned — the "
+              "embedding-space analogue of dedup_keep_longest's keep "
+              "decision; per-cell keep id, similarity, and prune count")
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup removes REDUNDANT-not-identical content: cluster in
+    embedding space, keep the most central member per cell. The plan is
+    the k-means assignment (broadcast centroids, one scan, min-struct
+    argmax per vector) plus a per-cell arg_max — two partial-aggregated
+    reductions, no pairwise anything. Production varies the cell count
+    to tune the prune rate; the argmax tiebreak (sim, then vec_id via
+    the unique sim values of the fixture) keeps the driver hash stable.
+    Note the keep rule's tie behavior: arg_max on sim alone suffices
+    because a vector's self-similarity 1.0 makes each seed centroid its
+    own cell's keeper — the general rule would tiebreak on vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", _as_double(F.col("embedding")).alias("e")).withColumn(
+        "nrm", _norm(F.col("e"))
+    )
+    c = d.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("c_e"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sim = _dot(F.col("e"), F.col("c_e")) / (F.col("nrm") * F.col("c_nrm"))
+    scored = d.crossJoin(F.broadcast(c)).select("vec_id", "centroid_id", sim.alias("sim"))
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("sim")).alias("neg"), F.col("centroid_id").alias("centroid_id"), F.col("sim").alias("sim"))).alias("m"))
+        .select("vec_id", F.col("m.centroid_id").alias("centroid_id"), F.col("m.sim").alias("sim"))
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max_by("vec_id", "sim").cast("long").alias("keep_vec_id"),
+        F.round(F.max("sim"), 6).alias("keep_sim"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_pruned"),
+    )
