@@ -1259,3 +1259,82 @@ def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(samp / nat, 4).alias("upsample_factor"),
         )
     )
+
+
+_IMPORTANCE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+clean AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM clean),
+src AS (SELECT tok, COUNT(*) AS n FROM clean GROUP BY tok),
+src_tot AS (SELECT SUM(n) AS t FROM src),
+tgt AS (SELECT tok, COUNT(*) AS n FROM clean WHERE lang = 'en' GROUP BY tok),
+tgt_tot AS (SELECT SUM(n) AS t FROM tgt),
+w AS (
+  SELECT s.tok,
+         ln((COALESCE(g.n, 0) + 1) / CAST(tgt_tot.t + vocab.v AS DOUBLE))
+         - ln((s.n + 1) / CAST(src_tot.t + vocab.v AS DOUBLE)) AS lw
+  FROM src s
+  LEFT JOIN tgt g ON g.tok = s.tok
+  CROSS JOIN src_tot CROSS JOIN tgt_tot CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT c.doc_id, c.lang, AVG(w.lw) AS logweight
+  FROM clean c JOIN w ON w.tok = c.tok
+  GROUP BY c.doc_id, c.lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(logweight), 6) AS mean_logweight,
+       CAST(SUM(CASE WHEN logweight > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_target_like
+FROM per_doc GROUP BY lang
+"""
+
+
+@register("data_importance_weights", "X", oracle=_IMPORTANCE_ORACLE,
+          doc="Importance-resampling weights (the DSIR shape): per-token "
+              "log p_target/p_source under add-1-smoothed unigram LMs "
+              "(target = the 'en' slice), mean-pooled per doc — positive "
+              "logweight marks documents that look like the target "
+              "distribution; per-language means and target-like counts")
+def data_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection by distribution matching, in three aggregates: both
+    LMs are token-count tables off ONE exploded scan (conditional
+    aggregation splits target from source), the per-token log-ratio
+    table joins back keyed on the token (uniform; hot stopwords collapse
+    in the count combiners and appear once in the weight table), and
+    per-doc pooling is a partial-aggregated groupBy. At 100 TB the
+    weight table is vocab-sized — broadcast if it fits, hash-join if
+    not; nothing else changes."""
+    docs = load(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = clean.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    )
+    tots = counts.agg(
+        F.sum("n_src").alias("t_src"),
+        F.sum("n_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w = counts.crossJoin(F.broadcast(tots)).select(
+        "tok",
+        (
+            F.log((F.col("n_tgt") + 1) / (F.col("t_tgt") + F.col("v")).cast("double"))
+            - F.log((F.col("n_src") + 1) / (F.col("t_src") + F.col("v")).cast("double"))
+        ).alias("lw"),
+    )
+    per_doc = (
+        clean.join(w, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("lw").alias("logweight"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("logweight"), 6).alias("mean_logweight"),
+        F.sum(F.when(F.col("logweight") > 0, 1).otherwise(0)).cast("long").alias("n_target_like"),
+    )
