@@ -830,3 +830,54 @@ def timeseries_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("gap_s"), 0).cast("long").alias("mean_gap_s"),
         F.max_by("prev_t", F.struct("gap_s", "t")).alias("silence_start"),
     )
+
+
+_TWAP_ORACLE = """
+WITH seq AS (
+  SELECT event_type, value, date_trunc('second', ts) AS t,
+         lead(date_trunc('second', ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+held AS (
+  SELECT event_type, value,
+         date_diff('second', t, nxt) AS held_s
+  FROM seq WHERE nxt IS NOT NULL AND date_diff('second', t, nxt) > 0
+)
+SELECT event_type,
+       CAST(SUM(held_s) AS BIGINT) AS total_held_s,
+       round(SUM(value * held_s) / SUM(held_s), 6) AS twap,
+       round(AVG(value), 6) AS plain_avg
+FROM held GROUP BY event_type
+"""
+
+
+@register("timeseries_twap", "G", oracle=_TWAP_ORACLE,
+          doc="Time-weighted average value per event type: each "
+              "observation weighted by how long it was the latest one "
+              "(lead-gap seconds) — the TWAP/duration-weighted mean that "
+              "corrects the plain average's bias toward bursty periods; "
+              "both averages emitted for contrast")
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A plain AVG over irregular samples overweights whatever fires
+    often; weighting by holding duration integrates the step function
+    instead. One lead window per type then a weighted aggregate — the
+    same cost as any lag/lead pass. Zero-duration holds (same-second
+    repeats) are excluded on both engines so the weight sum is exact
+    integer seconds."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = F.date_trunc("second", "ts")
+    seq = ev.select(
+        "event_type", "value", t.alias("t"),
+        F.lead(t).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    held = seq.select(
+        "event_type", "value",
+        (F.unix_timestamp("nxt") - F.unix_timestamp("t")).alias("held_s"),
+    ).where(F.col("held_s") > 0)
+    return held.groupBy("event_type").agg(
+        F.sum("held_s").cast("long").alias("total_held_s"),
+        F.round(F.sum(F.col("value") * F.col("held_s")) / F.sum("held_s"), 6).alias("twap"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )
