@@ -611,3 +611,68 @@ def meta_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("lineitem_scan", m["n_rows"], float(m["sum_price"]), m["n_discounted"])],
         "observation string, n_rows long, sum_price double, n_discounted long",
     )
+
+
+_LATEST_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT MAX(day) AS latest FROM daily),
+base AS (
+  SELECT d.event_type,
+         AVG(d.n) AS mu, stddev_samp(d.n) AS sigma, COUNT(*) AS n_days
+  FROM daily d CROSS JOIN mx WHERE d.day < mx.latest
+  GROUP BY d.event_type
+)
+SELECT b.event_type,
+       CAST(l.n AS BIGINT) AS latest_count,
+       round(b.mu, 4) AS baseline_mean,
+       round((l.n - b.mu) / b.sigma, 6) AS z,
+       abs((l.n - b.mu) / b.sigma) > 3 AS anomalous
+FROM base b
+JOIN daily l ON l.event_type = b.event_type
+CROSS JOIN mx
+WHERE l.day = mx.latest AND b.sigma > 0
+"""
+
+
+@register("timeseries_latest_anomaly", "G", oracle=_LATEST_ANOMALY_ORACLE,
+          doc="Freshest-day anomaly screen: the latest day's volume per "
+              "event type z-scored against the trailing baseline "
+              "(baseline EXCLUDES the day under test — including it "
+              "shrinks z and masks the very spike being tested), |z| > 3 "
+              "flagged — the daily canary a monitoring pipeline pages on")
+def timeseries_latest_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exclusion rule is the statistically load-bearing part: a
+    10× spike folded into its own baseline inflates sigma and deflates
+    its z — classic self-masking. Mechanically: one daily rollup, one
+    broadcast latest-day scalar, baseline stats from the strict-past
+    slice, and the verdict compares the UNROUNDED statistic (same rule
+    as events_ab_srm)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mx = daily.agg(F.max("day").alias("latest"))
+    tagged = daily.crossJoin(F.broadcast(mx))
+    base = (
+        tagged.where(F.col("day") < F.col("latest"))
+        .groupBy("event_type")
+        .agg(F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma"))
+    )
+    latest = tagged.where(F.col("day") == F.col("latest")).select(
+        "event_type", F.col("n").alias("latest_count")
+    )
+    z = (F.col("latest_count") - F.col("mu")) / F.col("sigma")
+    return (
+        base.join(latest, "event_type")
+        .where(F.col("sigma") > 0)
+        .select(
+            "event_type",
+            F.col("latest_count").cast("long").alias("latest_count"),
+            F.round("mu", 4).alias("baseline_mean"),
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 3).alias("anomalous"),
+        )
+    )
