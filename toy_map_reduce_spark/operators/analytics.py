@@ -1740,3 +1740,65 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_dupes") > 1)
     )
+
+
+_WATERFALL_ORACLE = """
+WITH monthly AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         SUM(o.o_totalprice) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+mx AS (
+  SELECT MAX(month) AS m1, MAX(month) - INTERVAL 1 MONTH AS m0 FROM monthly
+)
+SELECT cur.segment,
+       round(COALESCE(prev.rev, 0), 2) AS rev_prior,
+       round(cur.rev, 2) AS rev_latest,
+       round(cur.rev - COALESCE(prev.rev, 0), 2) AS delta
+FROM mx
+JOIN monthly cur ON cur.month = CAST(mx.m1 AS DATE)
+LEFT JOIN monthly prev
+  ON prev.segment = cur.segment AND prev.month = CAST(mx.m0 AS DATE)
+"""
+
+
+@register("orders_waterfall", "G", oracle=_WATERFALL_ORACLE,
+          doc="Month-over-month revenue waterfall: the latest month's "
+              "per-segment revenue against the prior month with signed "
+              "deltas — the decomposition that explains WHICH segments "
+              "moved a topline change; segments absent a month contribute "
+              "their full swing")
+def orders_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fact aggregation to (segment, month) grain through a keyed
+    dimension join; the waterfall itself is two filters of that tiny
+    rollup against a broadcast (latest, prior) month pair — by
+    construction the per-segment deltas sum to the topline move, which
+    is the whole point of a waterfall."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.trunc("o_orderdate", "month").alias("month"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    mx = monthly.agg(
+        F.max("month").alias("m1"),
+        F.add_months(F.max("month"), -1).alias("m0"),
+    )
+    t = monthly.crossJoin(F.broadcast(mx))
+    cur = t.where(F.col("month") == F.col("m1")).select("segment", F.col("rev").alias("rev_latest"))
+    prev = t.where(F.col("month") == F.col("m0")).select("segment", F.col("rev").alias("rev_prior"))
+    return (
+        cur.join(prev, "segment", "left")
+        .select(
+            "segment",
+            F.round(F.coalesce("rev_prior", F.lit(0.0)), 2).alias("rev_prior"),
+            F.round("rev_latest", 2).alias("rev_latest"),
+            F.round(F.col("rev_latest") - F.coalesce("rev_prior", F.lit(0.0)), 2).alias("delta"),
+        )
+    )

@@ -349,3 +349,86 @@ def substring_report(docs: DataFrame) -> DataFrame:
             (F.col("longest") + SUBSTR_W - 1).cast("long").alias("longest_tokens"),
         )
     )
+
+
+_CROSS_SOURCE_ORACLE = f"""
+WITH toks AS (
+  SELECT source, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+    FROM toks
+  ) WHERE shingle <> ''
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b,
+       CAST(i.shared AS BIGINT) AS shared_shingles,
+       round(i.shared / CAST(sa.n AS DOUBLE), 6) AS containment_a,
+       round(i.shared / CAST(sb.n AS DOUBLE), 6) AS containment_b
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+"""
+
+
+@register("text_cross_source_overlap", "X", oracle=_CROSS_SOURCE_ORACLE,
+          doc="Source-pair overlap matrix: distinct 3-gram shingles shared "
+              "between every pair of sources with containment in each "
+              "direction — the corpus-forensics view that shows which "
+              "feeds mirror or scrape each other before per-document "
+              "dedup even runs")
+def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle table collapses to SOURCE grain before any join — a
+    few rows per distinct (source, shingle), so the self-join is keyed
+    on the shingle with fan-out bounded by the number of SOURCES sharing
+    it (handfuls), not documents: no df cap needed at this grain. The
+    directional containments tell ingest which feed is the subset
+    (drop it) vs a genuine sibling (dedup at document grain)."""
+    docs = load(spark, sf_dir, "documents")
+    from toy_map_reduce_spark.functions.text import norm_text
+
+    toks = docs.select("source", F.split(norm_text(F.col("text")), " ").alias("t")).where(
+        F.size("t") >= 3
+    )
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", (i + 1).cast("int")),
+                    F.element_at("t", (i + 2).cast("int")),
+                    F.element_at("t", (i + 3).cast("int")),
+                ),
+            )
+        ).alias("shingle"),
+    ).where(F.col("shingle") != "").distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.col("shared").cast("long").alias("shared_shingles"),
+            F.round(F.col("shared") / F.col("n_a").cast("double"), 6).alias("containment_a"),
+            F.round(F.col("shared") / F.col("n_b").cast("double"), 6).alias("containment_b"),
+        )
+    )
