@@ -929,3 +929,62 @@ def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "doc_id", "bbit_sig", F.bit_count("bbit_sig").cast("int").alias("popcount")
     )
+
+
+_DEDUP_SCOPE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, source,
+         sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash
+  FROM documents
+),
+grp AS (
+  SELECT text_hash, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+  FROM h GROUP BY text_hash
+  HAVING COUNT(*) > 1
+)
+SELECT CASE WHEN n_sources = 1 THEN 'within_source' ELSE 'cross_source' END AS scope,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_docs - 1) AS BIGINT) AS n_removable
+FROM grp GROUP BY 1
+"""
+
+
+@register("dedup_exact_by_scope", "X", oracle=_DEDUP_SCOPE_ORACLE,
+          doc="Duplicate-scope triage: exact-dup groups classified "
+              "within-source vs cross-source with removable-copy counts — "
+              "the measurement that decides whether dedup can run "
+              "per-source partition (cheap, embarrassingly parallel) or "
+              "must shuffle globally")
+def dedup_exact_by_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational question behind the report: if nearly all
+    duplication is within-source, dedup runs inside each source's
+    partition with NO global shuffle (hash-partition by source, dedup
+    locally); a material cross-source share forces the global
+    content-hash shuffle dedup_exact performs. One digest groupBy
+    carrying a distinct-source count — same cost as dedup_exact
+    itself."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "source", F.sha2(_norm_text(F.col("text")), 256).alias("text_hash")
+    )
+    grp = (
+        h.groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+    return (
+        grp.groupBy(
+            F.when(F.col("n_sources") == 1, "within_source")
+            .otherwise("cross_source")
+            .alias("scope")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum(F.col("n_docs") - 1).cast("long").alias("n_removable"),
+        )
+    )
