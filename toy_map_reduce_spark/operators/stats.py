@@ -1050,3 +1050,125 @@ def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841).alias("srm_detected"),
     )
+
+
+_KAPPA_ORACLE = """
+WITH rated AS (
+  SELECT CASE WHEN len(string_split(text, ' ')) > 100 THEN 1 ELSE 0 END AS a,
+         CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+         SUM(a) AS a_pos, SUM(b) AS b_pos
+  FROM rated
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(agree / CAST(n AS DOUBLE), 6) AS po,
+       round((a_pos * b_pos + (n - a_pos) * (n - b_pos))
+             / CAST(n AS DOUBLE) / n, 6) AS pe,
+       round((agree / CAST(n AS DOUBLE)
+              - (a_pos * b_pos + (n - a_pos) * (n - b_pos)) / CAST(n AS DOUBLE) / n)
+             / (1 - (a_pos * b_pos + (n - a_pos) * (n - b_pos)) / CAST(n AS DOUBLE) / n),
+             6) AS kappa
+FROM s
+"""
+
+
+@register("stat_cohens_kappa", "X", oracle=_KAPPA_ORACLE,
+          doc="Cohen's kappa between two deterministic binary raters "
+              "(token-count > 100 vs char-count > 500 — correlated "
+              "through document length): observed vs chance agreement — "
+              "the inter-annotator / classifier-agreement metric raw "
+              "percent-agreement overstates")
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kappa is four counts and arithmetic: one conditional-aggregate
+    scan yields n, agreements, and each rater's positive rate; chance
+    agreement pe falls out of the marginals. The raters here are cheap
+    length heuristics standing in for two labeling models — the point
+    is the execution shape (agreement measurement as ONE pass over the
+    co-rated corpus, no join between rater outputs)."""
+    docs = load(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.when(F.size(F.split("text", " ")) > 100, 1).otherwise(0).alias("a"),
+        F.when(F.col("n_chars") > 500, 1).otherwise(0).alias("b"),
+    )
+    s = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("agree"),
+        F.sum("a").alias("a_pos"),
+        F.sum("b").alias("b_pos"),
+    )
+    n = F.col("n").cast("double")
+    po = F.col("agree") / n
+    pe = (F.col("a_pos") * F.col("b_pos") + (F.col("n") - F.col("a_pos")) * (F.col("n") - F.col("b_pos"))) / n / F.col("n")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+def _midrank_cte(col: str) -> str:
+    """DuckDB CTE body producing (v, mr): the average (mid)rank of each
+    distinct value of ``col`` over lineitem — cumulative-count
+    formulation, no per-row rank window."""
+    return f"""
+  SELECT v, cum_before + (cnt + 1) / 2.0 AS mr FROM (
+    SELECT {col} AS v, COUNT(*) AS cnt,
+           COALESCE(SUM(COUNT(*)) OVER (ORDER BY {col}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+    FROM lineitem GROUP BY {col}
+  )"""
+
+
+_SPEARMAN_ORACLE = f"""
+WITH rq AS ({_midrank_cte("l_quantity")}),
+rp AS ({_midrank_cte("l_extendedprice")})
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       round(corr(rq.mr, rp.mr), 6) AS spearman_rho,
+       round(corr(l.l_quantity, l.l_extendedprice), 6) AS pearson_r
+FROM lineitem l
+JOIN rq ON rq.v = l.l_quantity
+JOIN rp ON rp.v = l.l_extendedprice
+"""
+
+
+@register("stat_spearman", "G", oracle=_SPEARMAN_ORACLE,
+          doc="Spearman rank correlation with midrank ties, computed "
+              "WITHOUT per-row rank windows: distinct-value midranks from "
+              "cumulative counts join back onto the facts, then Pearson "
+              "on the ranks — beside agg_corr_pairs' raw-value Pearson "
+              "for monotone-but-nonlinear relationships")
+def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The naive Spearman ranks every row with a GLOBAL sort window —
+    single-task at scale. The aggregate formulation (same trick as
+    stat_auc / stat_mann_whitney): ranks are a property of the DISTINCT
+    value, so build the (value → midrank) table via grouped cumulative
+    counts (|distinct| rows) and join it back keyed on the value —
+    uniform keys, broadcast-sized for low-cardinality columns. The
+    final correlation is one co-moment pass."""
+    li = load(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+
+    def midranks(col):
+        byv = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return byv.select(
+            "v",
+            (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + (F.col("cnt") + 1) / 2.0).alias("mr"),
+        )
+
+    rq = midranks("l_quantity").select(F.col("v").alias("qv"), F.col("mr").alias("q_mr"))
+    rp = midranks("l_extendedprice").select(F.col("v").alias("pv"), F.col("mr").alias("p_mr"))
+    joined = (
+        li.join(F.broadcast(rq), F.col("l_quantity") == F.col("qv"))
+        .join(rp, F.col("l_extendedprice") == F.col("pv"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("q_mr", "p_mr"), 6).alias("spearman_rho"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("pearson_r"),
+    )
