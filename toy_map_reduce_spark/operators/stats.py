@@ -1172,3 +1172,100 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("q_mr", "p_mr"), 6).alias("spearman_rho"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("pearson_r"),
     )
+
+
+_GAINS_ORACLE = """
+WITH lab AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+byv AS (
+  SELECT score, COUNT(*) AS cnt, SUM(label) AS pos FROM lab GROUP BY score
+),
+mr AS (
+  SELECT score, cnt, pos,
+         COALESCE(SUM(cnt) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         SUM(cnt) OVER () AS n
+  FROM byv
+),
+dec AS (
+  -- decile of the MIDRANK (score desc): window-free, tie-consistent
+  SELECT LEAST(CAST(ceil((cum_before + (cnt + 1) / 2.0) * 10 / n) AS INTEGER), 10)
+           AS decile,
+         cnt, pos
+  FROM mr
+),
+g AS (
+  SELECT decile, SUM(cnt) AS n_rows, SUM(pos) AS n_pos FROM dec GROUP BY decile
+),
+tot AS (SELECT SUM(n_pos) AS all_pos FROM g)
+SELECT g.decile,
+       CAST(g.n_rows AS BIGINT) AS n_rows,
+       CAST(g.n_pos AS BIGINT) AS n_pos,
+       round(SUM(g.n_pos) OVER (ORDER BY g.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(tot.all_pos AS DOUBLE), 6) AS cum_gain
+FROM g CROSS JOIN tot
+"""
+
+
+@register("stat_gains_table", "X", oracle=_GAINS_ORACLE,
+          doc="Cumulative-gains table: score deciles (best first) with "
+              "positive counts and the cumulative share of all positives "
+              "captured — the targeting readout behind 'the top 20% of "
+              "scores capture X% of conversions'; deciles assigned from "
+              "grouped midranks, never a per-row ntile window")
+def stat_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deciles are a rank property, and ranks are a property of the
+    DISTINCT score — so the decile of every row falls out of the grouped
+    midrank table (the stat_spearman trick applied to binning). Ties
+    share a midrank and so land in ONE decile instead of splitting
+    engine-dependently; the final cumulative window runs over ten
+    rows."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    lab = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    byv = lab.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("pos")
+    )
+    w_desc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mr = byv.select(
+        "cnt", "pos",
+        F.coalesce(F.sum("cnt").over(w_desc), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    dec = mr.select(
+        F.least(
+            F.ceil((F.col("cum_before") + (F.col("cnt") + 1) / 2.0) * 10 / F.col("n")).cast("int"),
+            F.lit(10),
+        ).alias("decile"),
+        "cnt", "pos",
+    )
+    g = dec.groupBy("decile").agg(
+        F.sum("cnt").alias("n_rows"), F.sum("pos").alias("n_pos")
+    )
+    tot = g.agg(F.sum("n_pos").alias("all_pos"))
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(
+                F.sum("n_pos").over(w_cum) / F.col("all_pos").cast("double"), 6
+            ).alias("cum_gain"),
+        )
+    )
