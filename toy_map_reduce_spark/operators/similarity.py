@@ -1141,3 +1141,80 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("sim"), 6).alias("keep_sim"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_pruned"),
     )
+
+
+_QUANTIZE_ERROR_ORACLE = """
+WITH d AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, e,
+         [x * (greatest(list_aggregate([abs(y) FOR y IN e], 'max'), 1e-12) / 127.0)
+          FOR x IN [CAST(floor(z * (127.0 / greatest(list_aggregate([abs(y) FOR y IN e], 'max'), 1e-12)) + 0.5) AS BIGINT)
+                    FOR z IN e]] AS de
+  FROM d
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         list_reduce([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)], (x, y) -> x + y)
+           / (sqrt(list_reduce([x * x FOR x IN a.e], (x, y) -> x + y))
+              * sqrt(list_reduce([x * x FOR x IN b.e], (x, y) -> x + y))) AS cos_full,
+         list_reduce([a.de[i] * b.de[i] FOR i IN range(1, len(a.de) + 1)], (x, y) -> x + y)
+           / (sqrt(list_reduce([x * x FOR x IN a.de], (x, y) -> x + y))
+              * sqrt(list_reduce([x * x FOR x IN b.de], (x, y) -> x + y))) AS cos_q
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(floor(AVG(abs(cos_full - cos_q)) * 1000000 + 0.5) AS BIGINT)
+         AS mean_abs_err_micro,
+       CAST(floor(MAX(abs(cos_full - cos_q)) * 1000000 + 0.5) AS BIGINT)
+         AS max_abs_err_micro
+FROM pairs
+"""
+
+
+@register("embedding_quantize_error", "X", oracle=_QUANTIZE_ERROR_ORACLE,
+          bench=False,
+          doc="Int8 quantization fidelity on the SIMILARITY metric itself: "
+              "label-blocked pair cosines computed at full precision and "
+              "on dequantized int8 vectors, mean/max absolute error in "
+              "micro units — the acceptance test before shipping a "
+              "quantized index (embedding_quantize reports per-vector "
+              "reconstruction; this reports what search actually feels)")
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction error understates what matters: search ranks by
+    pairwise similarity, so the acceptance metric is the cosine delta
+    distribution over candidate pairs. Pairs are label-blocked (the
+    same bounded-quadratic contract as dedup_embedding, bench=False);
+    quantize/dequantize is the exact floor(x·127/s + 0.5) rule the
+    embedding_quantize oracle pins, so the two reports stay in
+    lock-step."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _as_double(F.col("embedding"))
+    max_abs = F.greatest(
+        F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    de = F.transform(
+        F.transform(e, lambda x: F.floor(x * (127.0 / max_abs) + 0.5)),
+        lambda qx: qx * (max_abs / 127.0),
+    )
+    d = emb.select("vec_id", "label", e.alias("e"), de.alias("de"))
+
+    def cos(ca, cb):
+        dot = F.aggregate(F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+        na = F.sqrt(F.aggregate(F.transform(ca, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+        nb = F.sqrt(F.aggregate(F.transform(cb, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+        return dot / (na * nb)
+
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        (cos(F.col("a.e"), F.col("b.e")) - cos(F.col("a.de"), F.col("b.de"))).alias("delta")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.floor(F.avg(F.abs("delta")) * 1000000 + 0.5).cast("long").alias("mean_abs_err_micro"),
+        F.floor(F.max(F.abs("delta")) * 1000000 + 0.5).cast("long").alias("max_abs_err_micro"),
+    )
