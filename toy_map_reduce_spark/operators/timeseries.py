@@ -881,3 +881,67 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") * F.col("held_s")) / F.sum("held_s"), 6).alias("twap"),
         F.round(F.avg("value"), 6).alias("plain_avg"),
     )
+
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT day, rev,
+         SUM(rev) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
+  FROM daily
+),
+dd AS (
+  SELECT day, equity,
+         MAX(equity) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM cum
+),
+scored AS (
+  SELECT day, equity, peak,
+         (peak - equity) / peak AS drawdown,
+         row_number() OVER (ORDER BY (peak - equity) / peak DESC, day ASC) AS rn
+  FROM dd
+)
+SELECT CAST((SELECT COUNT(*) FROM scored) AS BIGINT) AS n_days,
+       round(drawdown, 6) AS max_drawdown,
+       day AS trough_day,
+       round(peak, 2) AS peak_equity
+FROM scored WHERE rn = 1
+"""
+
+
+@register("timeseries_drawdown", "G", oracle=_DRAWDOWN_ORACLE,
+          doc="Maximum drawdown of the cumulative daily revenue curve: "
+              "running peak vs equity, worst relative dip with its trough "
+              "date — the risk statistic a running-max window computes in "
+              "one ordered pass over the day-grain rollup")
+def timeseries_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two nested running frames (cumulative sum, then running max of it)
+    over the DAILY rollup — calendar-sized, the documented bounded-
+    window contract — and an argmax with an explicit (drawdown desc,
+    day asc) total order. Drawdown needs the running peak, which no
+    plain aggregate provides: this is the case where an ordered window
+    IS the right tool, quarantined to the reduced series."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select("day", F.sum("rev").over(w_run).alias("equity"))
+    dd = cum.select(
+        "day", "equity", F.max("equity").over(w_run).alias("peak")
+    ).withColumn("drawdown", (F.col("peak") - F.col("equity")) / F.col("peak"))
+    w_rank = Window.orderBy(F.col("drawdown").desc(), F.col("day").asc())
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    best = dd.withColumn("rn", F.row_number().over(w_rank)).where(F.col("rn") == 1)
+    return best.crossJoin(F.broadcast(n)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round("drawdown", 6).alias("max_drawdown"),
+        F.col("day").alias("trough_day"),
+        F.round("peak", 2).alias("peak_equity"),
+    )
