@@ -676,3 +676,49 @@ def timeseries_latest_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3).alias("anomalous"),
         )
     )
+
+
+FRESHNESS_STALE_DAYS = 3
+
+_FRESHNESS_ORACLE = f"""
+WITH per_type AS (
+  SELECT event_type, MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY event_type
+),
+mx AS (SELECT MAX(last_day) AS corpus_max FROM per_type)
+SELECT p.event_type, p.last_day,
+       CAST(p.n_events AS BIGINT) AS n_events,
+       CAST(date_diff('day', p.last_day, mx.corpus_max) AS INTEGER) AS lag_days,
+       date_diff('day', p.last_day, mx.corpus_max) > {FRESHNESS_STALE_DAYS}
+         AS stale
+FROM per_type p CROSS JOIN mx
+"""
+
+
+@register("monitoring_freshness", "G", oracle=_FRESHNESS_ORACLE,
+          doc=f"Feed-freshness report: each event type's last-seen day "
+              f"lagged against the corpus high-water mark, stale flag at "
+              f"> {FRESHNESS_STALE_DAYS} days — the silent-feed detector; "
+              "the reference point is the data's own max (deterministic), "
+              "not wall-clock now()")
+def monitoring_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness against the corpus's own high-water mark rather than
+    now() keeps the report reproducible (rerun tomorrow, same answer
+    for the same data) and catches the real failure — one feed lagging
+    the others — without paging on a globally quiet day. One partial-
+    aggregated max per type plus a broadcast scalar."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    mx = per_type.agg(F.max("last_day").alias("corpus_max"))
+    lag = F.datediff("corpus_max", "last_day")
+    return per_type.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "last_day",
+        F.col("n_events").cast("long").alias("n_events"),
+        lag.cast("int").alias("lag_days"),
+        (lag > FRESHNESS_STALE_DAYS).alias("stale"),
+    )
