@@ -1802,3 +1802,85 @@ def orders_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rev_latest") - F.coalesce("rev_prior", F.lit(0.0)), 2).alias("delta"),
         )
     )
+
+
+_COPRESENCE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                   OR date_diff('second',
+                                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+tagged AS (
+  SELECT user_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM seq
+),
+present AS (SELECT DISTINCT user_id, session_no, event_type FROM tagged),
+n_sessions AS (SELECT COUNT(DISTINCT (user_id, session_no)) AS total FROM present)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions_together,
+       round(COUNT(*) / CAST(ns.total AS DOUBLE), 6) AS support
+FROM present a
+JOIN present b
+  ON a.user_id = b.user_id AND a.session_no = b.session_no
+ AND a.event_type < b.event_type
+CROSS JOIN n_sessions ns
+GROUP BY a.event_type, b.event_type, ns.total
+"""
+
+
+@register("events_session_copresence", "G", oracle=_COPRESENCE_ORACLE,
+          doc="Within-session event-type co-presence: type pairs appearing "
+              "in the same 30-minute-gap session with session support — "
+              "market-basket mining where the basket is a computed "
+              "session, not a given order")
+def events_session_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assembly is the gaps-and-islands pass (per-user windows,
+    bounded state); the basket join then runs on the DISTINCT
+    (session, type) presence table — a session with 500 clicks
+    contributes each type once, so pair fan-out is bounded by the TYPE
+    count squared per session, never event count. The same cap logic as
+    itemsets_copurchase, earned by the distinct instead of a threshold."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    present = (
+        seq.select("user_id", "event_type", F.sum("new_s").over(w_run).alias("session_no"))
+        .distinct()
+    )
+    total = present.select("user_id", "session_no").distinct().agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    a, b = present.alias("a"), present.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_no") == F.col("b.session_no"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_sessions_together"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a", "type_b",
+            F.col("n_sessions_together").cast("long").alias("n_sessions_together"),
+            F.round(F.col("n_sessions_together") / F.col("total").cast("double"), 6).alias("support"),
+        )
+    )

@@ -988,3 +988,74 @@ def dedup_exact_by_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_docs") - 1).cast("long").alias("n_removable"),
         )
     )
+
+
+_COST_MODEL_ORACLE = f"""
+WITH stats AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(greatest(len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) - 2, 0))
+           AS n_shingles
+  FROM documents
+)
+SELECT method, shuffle_rows, bytes_per_doc FROM (
+  SELECT 'exact_hash' AS method,
+         CAST(n_docs AS BIGINT) AS shuffle_rows,
+         CAST(32 AS BIGINT) AS bytes_per_doc, 1 AS ord FROM stats
+  UNION ALL
+  SELECT 'minhash_lsh', CAST(n_docs * {NUM_BANDS} AS BIGINT),
+         CAST({NUM_HASHES} * 8 AS BIGINT), 2 FROM stats
+  UNION ALL
+  SELECT 'bbit_minhash', CAST(n_docs * {NUM_BANDS} AS BIGINT),
+         CAST(8 AS BIGINT), 3 FROM stats
+  UNION ALL
+  SELECT 'simhash_pigeonhole', CAST(n_docs * {SIMHASH_BLOCKS} AS BIGINT),
+         CAST(8 AS BIGINT), 4 FROM stats
+  UNION ALL
+  SELECT 'exact_jaccard_index', CAST(n_shingles AS BIGINT),
+         CAST(NULL AS BIGINT), 5 FROM stats
+) ORDER BY ord
+"""
+
+
+@register("dedup_cost_model", "X", oracle=_COST_MODEL_ORACLE, bench=False,
+          doc="Analytic shuffle-cost model for the dedup strategies, "
+              "evaluated against THIS corpus's stats: rows shuffled and "
+              "per-doc index bytes for exact hash, MinHash-LSH, 1-bit "
+              "minhash, SimHash pigeonhole, and the exact inverted index "
+              "— the planning table that picks a strategy before running "
+              "one (dedup_lsh_scurve's cost-side companion)")
+def dedup_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable design rationale, like dedup_lsh_scurve: shuffle volume
+    is the dominant dedup cost, and each strategy's volume is a closed
+    form of corpus stats — n docs (exact: one digest row each; LSH:
+    NUM_BANDS rows; pigeonhole: SIMHASH_BLOCKS rows) or total shingles
+    (the inverted index ships every posting). Index bytes/doc shows
+    the b-bit trade: 8 bytes vs 256 for full signatures. The stats come
+    from one aggregate; the table is constants × two numbers."""
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.greatest(F.size(F.split(_norm_text(F.col("text")), " ")) - 2, F.lit(0))
+        ).alias("n_shingles"),
+    )
+    rows = F.array(
+        F.struct(F.lit("exact_hash").alias("method"),
+                 F.col("n_docs").cast("long").alias("shuffle_rows"),
+                 F.lit(32).cast("long").alias("bytes_per_doc")),
+        F.struct(F.lit("minhash_lsh").alias("method"),
+                 (F.col("n_docs") * NUM_BANDS).cast("long").alias("shuffle_rows"),
+                 F.lit(NUM_HASHES * 8).cast("long").alias("bytes_per_doc")),
+        F.struct(F.lit("bbit_minhash").alias("method"),
+                 (F.col("n_docs") * NUM_BANDS).cast("long").alias("shuffle_rows"),
+                 F.lit(8).cast("long").alias("bytes_per_doc")),
+        F.struct(F.lit("simhash_pigeonhole").alias("method"),
+                 (F.col("n_docs") * SIMHASH_BLOCKS).cast("long").alias("shuffle_rows"),
+                 F.lit(8).cast("long").alias("bytes_per_doc")),
+        F.struct(F.lit("exact_jaccard_index").alias("method"),
+                 F.col("n_shingles").cast("long").alias("shuffle_rows"),
+                 F.lit(None).cast("long").alias("bytes_per_doc")),
+    )
+    return stats.select(F.explode(rows).alias("r")).select(
+        "r.method", "r.shuffle_rows", "r.bytes_per_doc"
+    )
