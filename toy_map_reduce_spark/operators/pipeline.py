@@ -1338,3 +1338,84 @@ def data_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("logweight"), 6).alias("mean_logweight"),
         F.sum(F.when(F.col("logweight") > 0, 1).otherwise(0)).cast("long").alias("n_target_like"),
     )
+
+
+_HEALTH_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dup AS (
+  SELECT SUM(c - 1) AS removable FROM (
+    SELECT COUNT(*) AS c
+    FROM documents
+    GROUP BY sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+  )
+),
+langs AS (
+  SELECT -SUM(p * ln(p) / ln(2)) AS lang_entropy FROM (
+    SELECT COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS p
+    FROM documents GROUP BY lang
+  )
+),
+toks AS (
+  SELECT AVG(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS mean_tokens
+  FROM documents
+)
+SELECT metric, round(value, 6) AS value FROM (
+  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value, 1 AS ord FROM n
+  UNION ALL
+  SELECT 'exact_dup_rate', dup.removable / CAST(n.n_docs AS DOUBLE), 2
+  FROM dup CROSS JOIN n
+  UNION ALL
+  SELECT 'lang_entropy_bits', lang_entropy, 3 FROM langs
+  UNION ALL
+  SELECT 'mean_doc_tokens', mean_tokens, 4 FROM toks
+) ORDER BY ord
+"""
+
+
+@register("pipeline_health_dashboard", "X", oracle=_HEALTH_ORACLE,
+          doc="One-query corpus health scorecard: document count, exact-"
+              "duplicate rate, language-balance entropy (bits), and mean "
+              "document length as metric/value rows — the at-a-glance "
+              "panel a curation run opens and closes with, each metric "
+              "the same formula its dedicated operator uses")
+def pipeline_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four independent aggregates over one table, each dimension-sized
+    before it reaches the union — the scorecard costs a handful of
+    scans (Catalyst shares none of them across a union, so a production
+    variant would cache the base scan; at this metric count the
+    simplicity wins). Values share formulas with dedup_exact,
+    data_mix_rebalance's histogram, and text_tokens, so the dashboard
+    can never drift from the operators it summarizes."""
+    from toy_map_reduce_spark.operators.dedup import _norm_text
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = (
+        docs.groupBy(F.sha2(_norm_text(F.col("text")), 256))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") - 1).alias("removable"))
+    )
+    lang_p = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    lang_e = (
+        lang_p.crossJoin(F.broadcast(lang_p.agg(F.sum("c").alias("t"))))
+        .select((F.col("c") / F.col("t").cast("double")).alias("p"))
+        .agg((-F.sum(F.col("p") * F.log("p") / F.log(F.lit(2.0)))).alias("lang_entropy"))
+    )
+    toks = docs.agg(
+        F.avg(F.size(F.filter(F.split("text", " "), lambda t: t != ""))).alias("mean_tokens")
+    )
+    row = (
+        n.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(lang_e))
+        .crossJoin(F.broadcast(toks))
+    )
+    metrics = F.array(
+        F.struct(F.lit("n_docs").alias("metric"), F.col("n_docs").cast("double").alias("value")),
+        F.struct(F.lit("exact_dup_rate").alias("metric"),
+                 (F.col("removable") / F.col("n_docs").cast("double")).alias("value")),
+        F.struct(F.lit("lang_entropy_bits").alias("metric"), F.col("lang_entropy").alias("value")),
+        F.struct(F.lit("mean_doc_tokens").alias("metric"), F.col("mean_tokens").alias("value")),
+    )
+    return row.select(F.explode(metrics).alias("m")).select(
+        "m.metric", F.round("m.value", 6).alias("value")
+    )
