@@ -375,3 +375,57 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("local_cc"),
         )
     )
+
+
+_DEGREE_DIST_ORACLE = f"""
+WITH und AS (
+  SELECT DISTINCT least(o_custkey % {PR_NODES_MOD}, o_orderkey % {PR_NODES_MOD}) AS a,
+                  greatest(o_custkey % {PR_NODES_MOD}, o_orderkey % {PR_NODES_MOD}) AS b
+  FROM orders
+  WHERE o_custkey % {PR_NODES_MOD} <> o_orderkey % {PR_NODES_MOD}
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+)
+SELECT CAST(d AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       round(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS frac
+FROM deg GROUP BY d
+"""
+
+
+@register("graph_degree_distribution", "G", oracle=_DEGREE_DIST_ORACLE,
+          doc="Degree distribution of the undirected graph: node counts "
+              "and fractions per degree — the first diagnostic read on "
+              "any graph (skew here predicts hot keys in every "
+              "downstream graph join)")
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two partial-aggregated counts (per-node degree, then per-degree
+    node count). Operationally this is the SKEW FORECAST for the graph
+    family: a heavy-tailed distribution here is exactly what makes the
+    triangle join's fan-out uneven and what the compact-forward
+    orientation in graph_triangles exists to bound."""
+    orders = load(spark, sf_dir, "orders")
+    src = F.col("o_custkey") % PR_NODES_MOD
+    dst = F.col("o_orderkey") % PR_NODES_MOD
+    und = (
+        orders.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    )
+    byd = deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    tot = byd.agg(F.sum("n_nodes").alias("t"))
+    return byd.crossJoin(F.broadcast(tot)).select(
+        "degree",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.round(F.col("n_nodes") / F.col("t").cast("double"), 6).alias("frac"),
+    )
