@@ -1884,3 +1884,72 @@ def events_session_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_sessions_together") / F.col("total").cast("double"), 6).alias("support"),
         )
     )
+
+
+_HALFLIFE_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_diff('day', f.d0, CAST(date_trunc('day', e.ts) AS DATE)) // 7 AS INTEGER) AS wk
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+),
+cohort AS (SELECT COUNT(*) AS n0 FROM first_seen),
+ret AS (
+  SELECT wk, COUNT(*) / CAST(c.n0 AS DOUBLE) AS rate
+  FROM activity CROSS JOIN cohort c
+  WHERE wk >= 1
+  GROUP BY wk, c.n0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       round(regr_slope(ln(rate), wk), 6) AS log_slope,
+       round(CASE WHEN regr_slope(ln(rate), wk) < 0
+                  THEN -ln(2) / regr_slope(ln(rate), wk) END, 4) AS half_life_weeks,
+       round(exp(regr_intercept(ln(rate), wk)), 6) AS fitted_week0
+FROM ret
+"""
+
+
+@register("events_retention_halflife", "X", oracle=_HALFLIFE_ORACLE,
+          doc="Retention half-life: weekly return rates (weeks since each "
+              "user's first day) fitted to exponential decay by linear "
+              "regression on the log — the single number that summarizes "
+              "the retention curve events_retention tabulates; NULL "
+              "half-life when the slope isn't negative")
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curve fitting as an aggregate: ln(rate) ~ week through
+    regr_slope/regr_intercept (streaming co-moments, one pass over the
+    weeks-sized table). The heavy work is the per-user first-day join
+    and the distinct (user, week) reduction — both keyed on user_id.
+    Week 0 is excluded from the fit (it is 1.0 by construction and
+    would bias the slope)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    activity = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.floor(F.datediff(day, F.col("d0")) / 7).cast("int").alias("wk"),
+        )
+        .distinct()
+    )
+    n0 = first.agg(F.count(F.lit(1)).alias("n0"))
+    ret = (
+        activity.where(F.col("wk") >= 1)
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(n0))
+        .select("wk", (F.col("n") / F.col("n0").cast("double")).alias("rate"))
+    )
+    slope = F.regr_slope(F.log("rate"), F.col("wk").cast("double"))
+    icept = F.regr_intercept(F.log("rate"), F.col("wk").cast("double"))
+    return ret.agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.round(slope, 6).alias("log_slope"),
+        F.round(
+            F.when(slope < 0, -F.log(F.lit(2.0)) / slope), 4
+        ).alias("half_life_weeks"),
+        F.round(F.exp(icept), 6).alias("fitted_week0"),
+    )

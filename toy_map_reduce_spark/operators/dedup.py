@@ -1059,3 +1059,78 @@ def dedup_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(F.explode(rows).alias("r")).select(
         "r.method", "r.shuffle_rows", "r.bytes_per_doc"
     )
+
+
+_THRESHOLD_SWEEP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh_all AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+    FROM toks
+  ) WHERE shingle <> ''
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_all
+  ) WHERE df <= {DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT CAST(i.both_cnt AS DOUBLE) / (sa.n + sb.n - i.both_cnt) AS j
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+),
+grid AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS thr)
+SELECT g.thr AS threshold,
+       CAST(SUM(CASE WHEN j.j >= g.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+FROM grid g CROSS JOIN jac j
+GROUP BY g.thr
+"""
+
+
+@register("dedup_threshold_sweep", "X", oracle=_THRESHOLD_SWEEP_ORACLE,
+          doc="Jaccard-threshold operating curve: near-dup pair counts at "
+              "seven thresholds from ONE df-capped pair computation — the "
+              "tuning sweep that picks the dedup cutoff (and the LSH "
+              "banding target via dedup_lsh_scurve) without re-running "
+              "the join per candidate threshold")
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expensive object is the scored pair table; every threshold is
+    just a predicate over it, so the sweep costs ONE inverted-index
+    join plus a broadcast of seven literals. Operationally this is how
+    the 0.5 default in dedup_ngram_jaccard gets justified — or
+    revisited per-corpus."""
+    docs = load(spark, sf_dir, "documents")
+    sh = capped_shingles(docs, sh_all=shingle_stage(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            (F.col("both_cnt").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("both_cnt"))).alias("j")
+        )
+    )
+    grid = F.explode(F.array(*[F.lit(t) for t in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)])).alias("threshold")
+    return (
+        jac.select("j", grid)
+        .groupBy("threshold")
+        .agg(F.sum(F.when(F.col("j") >= F.col("threshold"), 1).otherwise(0)).cast("long").alias("n_pairs"))
+    )
