@@ -659,3 +659,27 @@ def test_bbit_minhash_estimator_separates_pairs(spark, planted):
     assert agree(0, 1) >= 56, agree(0, 1)
     assert agree(2, 3) >= 50, agree(2, 3)
     assert agree(0, 2) <= 48, agree(0, 2)
+
+
+def test_gk_accuracy_sweep_bounds(spark, sf_dir):
+    """Check the GK guarantee in RANK space (value-space bands are
+    ill-posed where adjacent ranks jump): the fraction of rows at or
+    below the approx value must sit within a few rank-errors of p —
+    tolerance max(5/accuracy, 5/n) to absorb small-n edge effects."""
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.registry import get_spec
+    from toy_map_reduce_spark.tables import load
+
+    rows = {r.accuracy: r for r in get_spec("agg_gk_accuracy_sweep").builder(spark, sf_dir).collect()}
+    o = load(spark, sf_dir, "orders")
+    n = o.count()
+    for acc, r in rows.items():
+        tol = max(5.0 / acc, 5.0 / n)
+        for p, approx in ((0.5, r.approx_p50), (0.99, r.approx_p99)):
+            frac = (
+                o.agg(
+                    F.avg(F.when(F.col("o_totalprice") <= approx, 1.0).otherwise(0.0))
+                ).first()[0]
+            )
+            assert abs(frac - p) <= tol, (acc, p, approx, frac, tol)
