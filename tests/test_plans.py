@@ -439,3 +439,16 @@ def test_meta_plan_report_invariants(spark, sf_dir):
     assert rows["wordcount"].n_hash_aggregates >= 2  # partial + final
     assert not rows["sql_tpch_q5"].python_udf
     assert not rows["dedup_exact"].python_udf
+
+
+def test_meta_registry_report_matches_registry(spark, sf_dir):
+    from toy_map_reduce_spark.registry import all_specs, get_spec
+
+    rows = {r.tier: r for r in get_spec("meta_registry_report").builder(spark, sf_dir).collect()}
+    specs = all_specs().values()
+    for tier in {s.tier for s in specs}:
+        subset = [s for s in specs if s.tier == tier]
+        assert rows[tier].n_queries == len(subset)
+        assert rows[tier].n_oracle_backed == sum(1 for s in subset if s.oracle)
+        assert rows[tier].n_bench_eligible == sum(1 for s in subset if s.bench)
+    assert sum(r.n_queries for r in rows.values()) == len(list(specs))

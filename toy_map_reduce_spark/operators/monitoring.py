@@ -722,3 +722,31 @@ def monitoring_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.cast("int").alias("lag_days"),
         (lag > FRESHNESS_STALE_DAYS).alias("stale"),
     )
+
+
+@register("meta_registry_report", "G", oracle=None, bench=False,
+          doc="The operator registry as a query: per-tier counts with "
+              "oracle-backed and bench-eligible splits — the engine's "
+              "coverage contract (SURVEY.md §2.E) made self-describing. "
+              "Rows-only (the registry is engine-side state); counts "
+              "pinned against the registry in pytest")
+def meta_registry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complements meta_plan_report (plan discipline) with coverage
+    discipline: a monitoring job diffs this against yesterday's to catch
+    accidental deregistration, and the per-tier oracle share is the
+    correctness-surface metric the parity gate enforces."""
+    from toy_map_reduce_spark.registry import all_specs
+
+    tiers = {}
+    for spec in all_specs().values():
+        t = tiers.setdefault(spec.tier, [0, 0, 0])
+        t[0] += 1
+        t[1] += 1 if spec.oracle else 0
+        t[2] += 1 if spec.bench else 0
+    rows = [
+        (tier, n, oracled, benched)
+        for tier, (n, oracled, benched) in sorted(tiers.items())
+    ]
+    return spark.createDataFrame(
+        rows, "tier string, n_queries long, n_oracle_backed long, n_bench_eligible long"
+    )
