@@ -1953,3 +1953,68 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("half_life_weeks"),
         F.round(F.exp(icept), 6).alias("fitted_week0"),
     )
+
+
+_TEMPORAL_SIM_ORACLE = """
+WITH how AS (
+  SELECT event_type,
+         (isodow(ts) - 1) * 24 + hour(ts) AS hw,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+norm AS (
+  SELECT event_type, hw, n,
+         sqrt(SUM(n * n) OVER (PARTITION BY event_type)) AS nrm
+  FROM how
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       round(SUM(a.n * b.n / (a.nrm * b.nrm)), 6) AS cosine
+FROM norm a
+JOIN norm b ON a.hw = b.hw AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
+@register("events_temporal_similarity", "G", oracle=_TEMPORAL_SIM_ORACLE,
+          doc="Behavioral-fingerprint similarity: each event type's "
+              "168-bin hour-of-week activity profile compared pairwise by "
+              "cosine — types that co-move temporally (bot traffic, "
+              "batch jobs) cluster near 1.0; the join is keyed on the "
+              "hour bin, never a profile cross product")
+def events_temporal_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profile table is |types| × 168 rows after one rollup — the
+    pairwise cosine then decomposes into a sum over the SHARED hour
+    bins (sparse dot product via the hw equi-join), so no profile
+    vectors ever materialize as arrays and no pair loop exists. ISO
+    day-of-week is derived with the pinned (dayofweek+5)%7+1
+    convention; all arithmetic is exact-integer until the final
+    normalized sum."""
+    ev = load(spark, sf_dir, "events")
+    iso_dow = (F.dayofweek("ts") + 5) % 7 + 1
+    how = ev.groupBy(
+        "event_type",
+        ((iso_dow - 1) * 24 + F.hour("ts")).alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    norm = how.select(
+        "event_type", "hw", "n",
+        F.sqrt(F.sum(F.col("n") * F.col("n")).over(w)).alias("nrm"),
+    )
+    a, b = norm.alias("a"), norm.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hw") == F.col("b.hw"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("a.n") * F.col("b.n") / (F.col("a.nrm") * F.col("b.nrm"))),
+                6,
+            ).alias("cosine")
+        )
+    )

@@ -945,3 +945,56 @@ def timeseries_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("trough_day"),
         F.round("peak", 2).alias("peak_equity"),
     )
+
+
+_FORECAST_EVAL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+pred AS (
+  SELECT day, n AS actual,
+         lag(n) OVER (ORDER BY day) AS naive_pred
+  FROM daily
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+       round(AVG(abs(actual - naive_pred) / actual), 6) AS mape,
+       round(AVG(2.0 * abs(actual - naive_pred) / (actual + naive_pred)), 6) AS smape,
+       round(MAX(abs(actual - naive_pred) / CAST(actual AS DOUBLE)), 6) AS worst_ape
+FROM pred WHERE naive_pred IS NOT NULL
+"""
+
+
+@register("timeseries_forecast_eval", "G", oracle=_FORECAST_EVAL_ORACLE,
+          doc="Forecast evaluation loop: the naive (persistence) forecast "
+              "scored in-corpus with MAPE, sMAPE, and worst-day error — "
+              "the baseline error bar any model forecast "
+              "(timeseries_holt's linear trend) must beat to earn its "
+              "complexity")
+def timeseries_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtesting as one lag window over the daily rollup: persistence
+    (tomorrow = today) is the canonical hard-to-beat baseline for short
+    series, and sMAPE is emitted beside MAPE because MAPE rewards
+    under-forecasting (asymmetric denominator) — publishing both keeps
+    the comparison honest."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day")
+    pred = daily.select(
+        F.col("n").alias("actual"), F.lag("n").over(w).alias("naive_pred")
+    ).where(F.col("naive_pred").isNotNull())
+    ape = F.abs(F.col("actual") - F.col("naive_pred")) / F.col("actual")
+    return pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        F.round(F.avg(ape), 6).alias("mape"),
+        F.round(
+            F.avg(
+                2.0 * F.abs(F.col("actual") - F.col("naive_pred"))
+                / (F.col("actual") + F.col("naive_pred"))
+            ),
+            6,
+        ).alias("smape"),
+        F.round(F.max(F.abs(F.col("actual") - F.col("naive_pred")) / F.col("actual").cast("double")), 6).alias("worst_ape"),
+    )
