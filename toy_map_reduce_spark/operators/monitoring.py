@@ -750,3 +750,64 @@ def meta_registry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "tier string, n_queries long, n_oracle_backed long, n_bench_eligible long"
     )
+
+
+_JOIN_KEY_SKEW_ORACLE = """
+WITH ok AS (
+  SELECT 'orders.o_custkey' AS key_name, COUNT(*) AS freq
+  FROM orders GROUP BY o_custkey
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', COUNT(*) FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey', COUNT(*) FROM lineitem GROUP BY l_partkey
+),
+s AS (
+  SELECT key_name,
+         COUNT(*) AS n_keys,
+         SUM(freq) AS n_rows,
+         MAX(freq) AS max_freq,
+         AVG(freq) AS mean_freq,
+         quantile_cont(freq, 0.99) AS p99_freq
+  FROM ok GROUP BY key_name
+)
+SELECT key_name,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(max_freq AS BIGINT) AS max_freq,
+       round(max_freq / mean_freq, 4) AS skew_factor,
+       round(p99_freq / mean_freq, 4) AS p99_over_mean
+FROM s
+"""
+
+
+@register("profile_join_keys", "G", oracle=_JOIN_KEY_SKEW_ORACLE,
+          doc="Join-key skew diagnostic: per key column, the hottest key's "
+              "frequency over the mean (the straggler-task multiplier a "
+              "plain hash join would suffer) and the p99/mean ratio — the "
+              "measurement that decides between plain join, AQE skew "
+              "split, and explicit salting (join_skew_salted)")
+def profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew_factor IS the worst-case task imbalance of a hash join on
+    that key: a factor of 40 means the hot key's task runs 40× the
+    average. Each key profiles in one partial-aggregated count (the
+    profiling is immune to the skew it measures — a hot key is one
+    combiner row per task); the union is three dimension-sized stat
+    rows. Run this BEFORE the join, not after the straggler."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def prof(df, col, name):
+        freq = df.groupBy(col).agg(F.count(F.lit(1)).alias("freq"))
+        return freq.agg(
+            F.lit(name).alias("key_name"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("freq").cast("long").alias("n_rows"),
+            F.max("freq").cast("long").alias("max_freq"),
+            F.round(F.max("freq") / F.avg("freq"), 4).alias("skew_factor"),
+            F.round(F.percentile("freq", 0.99) / F.avg("freq"), 4).alias("p99_over_mean"),
+        )
+    return (
+        prof(o, "o_custkey", "orders.o_custkey")
+        .unionByName(prof(li, "l_orderkey", "lineitem.l_orderkey"))
+        .unionByName(prof(li, "l_partkey", "lineitem.l_partkey"))
+    )

@@ -998,3 +998,55 @@ def timeseries_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("smape"),
         F.round(F.max(F.abs(F.col("actual") - F.col("naive_pred")) / F.col("actual").cast("double")), 6).alias("worst_ape"),
     )
+
+
+CROSS_CORR_MAX_LAG = 3
+
+_CROSS_CORR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range({CROSS_CORR_MAX_LAG} + 1)) AS lag)
+SELECT CAST(l.lag AS INTEGER) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(corr(a.x, b.y), 6) AS cross_corr
+FROM lags l
+JOIN daily a ON TRUE
+JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+GROUP BY l.lag
+"""
+
+
+@register("timeseries_cross_corr", "G", oracle=_CROSS_CORR_ORACLE,
+          doc=f"Lagged cross-correlation between purchase and click daily "
+              f"volumes (lags 0..{CROSS_CORR_MAX_LAG}): does one series "
+              "LEAD the other — the leading-indicator scan behind "
+              "'clicks today predict purchases in k days'")
+def timeseries_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both series come from one conditional rollup; the lag grid is a
+    literal explode joined on shifted calendar days (same robustness
+    argument as timeseries_yoy — a missing day drops the pair rather
+    than silently misaligning a row offset), and each lag's correlation
+    is a streaming co-moment over the days-sized table."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("y"),
+    )
+    lags = spark.range(CROSS_CORR_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("day", "x")
+    b = daily.select(F.col("day").alias("day_b"), "y")
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("day_b = date_add(day, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.corr("x", "y"), 6).alias("cross_corr"),
+        )
+    )
