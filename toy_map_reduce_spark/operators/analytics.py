@@ -2018,3 +2018,37 @@ def events_temporal_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine")
         )
     )
+
+
+_DISCOUNT_BANDS_ORACLE = """
+SELECT CAST(round(l_discount * 100) AS INTEGER) AS discount_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       round(AVG(l_quantity), 4) AS avg_qty,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+       round(SUM(l_extendedprice * l_discount), 2) AS discount_given
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("orders_discount_bands", "G", oracle=_DISCOUNT_BANDS_ORACLE,
+          doc="Discount-band effectiveness: per discount percentage point, "
+              "line volume, average quantity, net revenue, and the margin "
+              "given away — the pricing table behind 'does a deeper "
+              "discount actually move quantity'")
+def orders_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash aggregate on an integer-rounded band key (rounding BEFORE
+    grouping, the same float-key discipline as
+    orders_duplicate_payments). Reading across rows answers the pricing
+    question directly: if avg_qty barely rises with the band while
+    discount_given grows linearly, the discount is charity."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("net_revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("discount_given"),
+        )
+    )
