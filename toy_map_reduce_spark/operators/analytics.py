@@ -2052,3 +2052,51 @@ def orders_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("discount_given"),
         )
     )
+
+
+_NEW_RETURNING_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', e.ts) AS DATE) AS day, e.user_id, f.d0
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+)
+SELECT day,
+       CAST(SUM(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN day > d0 THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+       round(SUM(CASE WHEN day > d0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS returning_share
+FROM daily GROUP BY day
+"""
+
+
+@register("events_new_vs_returning", "G", oracle=_NEW_RETURNING_ORACLE,
+          doc="Daily new-vs-returning user mix: each active user tagged by "
+              "whether today is their first-seen day — the growth-"
+              "composition curve (a rising DAU that is all 'new' churns; "
+              "all 'returning' stalls)")
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen is one min-aggregate per user (the same spine
+    feature_churn_labels and events_retention build); tagging is a
+    keyed join back and the mix is a per-day conditional count over the
+    DISTINCT (day, user) presence table, so heavy users count once per
+    day. All keys uniform, no windows."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    daily = (
+        ev.select(day.alias("day"), "user_id")
+        .distinct()
+        .join(first, "user_id")
+    )
+    return daily.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0)).cast("long").alias("new_users"),
+        F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0)).cast("long").alias("returning_users"),
+        F.round(
+            F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("returning_share"),
+    )

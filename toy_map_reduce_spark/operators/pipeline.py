@@ -1419,3 +1419,73 @@ def pipeline_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(F.explode(metrics).alias("m")).select(
         "m.metric", F.round("m.value", 6).alias("value")
     )
+
+
+_SPLIT_BY_SOURCE_ORACLE = f"""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN {_FP_SQL} % 100 < 80 THEN 'train'
+              WHEN {_FP_SQL} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+obs AS (SELECT source, split, COUNT(*) AS o FROM assigned GROUP BY 1, 2),
+rt AS (SELECT source, SUM(o) AS row_total FROM obs GROUP BY source),
+ct AS (SELECT split, SUM(o) AS col_total FROM obs GROUP BY split),
+g AS (SELECT SUM(o) AS grand FROM obs),
+grid AS (
+  SELECT rt.source, ct.split, rt.row_total, ct.col_total, g.grand,
+         COALESCE(obs.o, 0) AS o
+  FROM rt CROSS JOIN ct CROSS JOIN g
+  LEFT JOIN obs ON obs.source = rt.source AND obs.split = ct.split
+)
+SELECT source, split,
+       CAST(o AS BIGINT) AS n_docs,
+       round(o / CAST(row_total AS DOUBLE), 6) AS share_of_source,
+       round(o - row_total * col_total / CAST(grand AS DOUBLE), 4) AS dev_from_expected
+FROM grid
+"""
+
+
+@register("pipeline_split_by_source", "X", oracle=_SPLIT_BY_SOURCE_ORACLE,
+          doc="Split-fairness audit: the train/val/test assignment crossed "
+              "with source, each cell's deviation from independence — a "
+              "content-hash split must NOT correlate with source, and "
+              "this is the table that proves (or catches) it")
+def pipeline_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The failure this catches: a split keyed on anything correlated
+    with provenance (URLs, ids assigned per-feed) silently gives one
+    source a different train share, and per-source eval numbers stop
+    being comparable. Same fingerprint expression as dataset_split (one
+    source of truth); the audit is the chi-square grid shape of
+    stat_chi_square with deviations left unsquared so the DIRECTION of
+    any bias is visible."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = _fingerprint() % 100
+    assigned = docs.select(
+        "source",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    obs = assigned.groupBy("source", "split").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("source").agg(F.sum("o").alias("row_total"))
+    ct = obs.groupBy("split").agg(F.sum("o").alias("col_total"))
+    g = obs.agg(F.sum("o").alias("grand"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(g))
+        .join(obs, ["source", "split"], "left")
+        .select(
+            "source", "split",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "row_total", "col_total", "grand",
+        )
+    )
+    return grid.select(
+        "source", "split",
+        F.col("o").cast("long").alias("n_docs"),
+        F.round(F.col("o") / F.col("row_total").cast("double"), 6).alias("share_of_source"),
+        F.round(
+            F.col("o") - F.col("row_total") * F.col("col_total") / F.col("grand").cast("double"),
+            4,
+        ).alias("dev_from_expected"),
+    )
