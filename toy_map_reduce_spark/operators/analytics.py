@@ -2100,3 +2100,87 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("returning_share"),
     )
+
+
+_WHALE_CURVE_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, SUM(value) AS v FROM events GROUP BY user_id
+),
+byv AS (
+  SELECT v, COUNT(*) AS cnt, SUM(v) AS tot_v FROM per_user GROUP BY v
+),
+mr AS (
+  SELECT v, cnt, tot_v,
+         COALESCE(SUM(cnt) OVER (ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         SUM(cnt) OVER () AS n
+  FROM byv
+),
+dec AS (
+  SELECT LEAST(CAST(ceil((cum_before + (cnt + 1) / 2.0) * 10 / n) AS INTEGER), 10)
+           AS decile,
+         cnt, tot_v
+  FROM mr
+),
+g AS (SELECT decile, SUM(cnt) AS n_users, SUM(tot_v) AS rev FROM dec GROUP BY decile),
+tot AS (SELECT SUM(rev) AS grand FROM g)
+SELECT g.decile,
+       CAST(g.n_users AS BIGINT) AS n_users,
+       round(g.rev, 2) AS revenue,
+       round(g.rev / tot.grand, 6) AS revenue_share,
+       round(SUM(g.rev) OVER (ORDER BY g.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.grand, 6)
+         AS cum_share
+FROM g CROSS JOIN tot
+"""
+
+
+@register("events_whale_curve", "G", oracle=_WHALE_CURVE_ORACLE,
+          doc="Whale curve: users bucketed into value deciles (biggest "
+              "spenders first) with revenue shares and the cumulative "
+              "concentration curve — 'the top 10% of users drive X% of "
+              "value'; deciles from grouped midranks, the same window-"
+              "free binning as stat_gains_table")
+def events_whale_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals are one partial-aggregated pass; deciles fall out
+    of the distinct-total midrank table (users with EQUAL totals share a
+    decile — the property that keeps the cut deterministic cross-
+    engine); the curve itself windows over ten rows. Reading cum_share
+    at decile 1 against orders_pareto_abc's customer version shows
+    whether event value concentrates harder than order revenue."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("v"))
+    byv = per_user.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("tot_v")
+    )
+    w_desc = Window.orderBy(F.col("v").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mr = byv.select(
+        "cnt", "tot_v",
+        F.coalesce(F.sum("cnt").over(w_desc), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    dec = mr.select(
+        F.least(
+            F.ceil((F.col("cum_before") + (F.col("cnt") + 1) / 2.0) * 10 / F.col("n")).cast("int"),
+            F.lit(10),
+        ).alias("decile"),
+        "cnt", "tot_v",
+    )
+    g = dec.groupBy("decile").agg(
+        F.sum("cnt").alias("n_users"), F.sum("tot_v").alias("rev")
+    )
+    tot = g.agg(F.sum("rev").alias("grand"))
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.col("grand"), 6).alias("revenue_share"),
+            F.round(F.sum("rev").over(w_cum) / F.col("grand"), 6).alias("cum_share"),
+        )
+    )
