@@ -432,3 +432,72 @@ def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("shared") / F.col("n_b").cast("double"), 6).alias("containment_b"),
         )
     )
+
+
+_SOURCE_DIVERGENCE_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+clean AS (SELECT source, tok FROM toks WHERE tok <> ''),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM clean),
+corpus AS (SELECT tok, COUNT(*) AS n FROM clean GROUP BY tok),
+ctot AS (SELECT SUM(n) AS t FROM corpus),
+per_src AS (SELECT source, tok, COUNT(*) AS n FROM clean GROUP BY source, tok),
+stot AS (SELECT source, SUM(n) AS t FROM per_src GROUP BY source),
+kl AS (
+  SELECT s.source,
+         SUM(((s.n + 1) / CAST(stot.t + vocab.v AS DOUBLE))
+             * ln(((s.n + 1) / CAST(stot.t + vocab.v AS DOUBLE))
+                  / ((c.n + 1) / CAST(ctot.t + vocab.v AS DOUBLE)))) AS kl_partial,
+         SUM((s.n + 1) / CAST(stot.t + vocab.v AS DOUBLE)) AS mass
+  FROM per_src s
+  JOIN corpus c ON c.tok = s.tok
+  JOIN stot ON stot.source = s.source
+  CROSS JOIN ctot CROSS JOIN vocab
+  GROUP BY s.source
+)
+SELECT k.source,
+       CAST(st.t AS BIGINT) AS n_tokens,
+       round(k.kl_partial, 6) AS kl_vs_corpus_nats
+FROM kl k JOIN stot st ON st.source = k.source
+"""
+
+
+@register("text_source_divergence", "X", oracle=_SOURCE_DIVERGENCE_ORACLE,
+          doc="Per-source KL divergence from the corpus unigram "
+              "distribution (add-1 smoothed, nats, over each source's "
+              "observed vocabulary) — the outlier-feed detector: a source "
+              "whose language diverges hard from the pool is machine "
+              "noise, another language, or a scrape gone wrong")
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LM machinery as data_importance_weights pointed the other
+    way: instead of scoring documents against a target, score each
+    SOURCE against the pooled corpus. Both distributions come from one
+    exploded scan (per-source counts roll up to corpus counts); the KL
+    sum runs over each source's observed vocabulary (absent types
+    contribute ~zero mass under add-1 at these sizes — documented
+    truncation, identical on both engines)."""
+    docs = load(spark, sf_dir, "documents")
+    clean = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    per_src = clean.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    corpus = per_src.groupBy("tok").agg(F.sum("n").alias("cn"))
+    stot = per_src.groupBy("source").agg(F.sum("n").alias("st"))
+    ctot = corpus.agg(F.sum("cn").alias("ct"))
+    vocab = corpus.agg(F.count(F.lit(1)).alias("v"))
+    joined = (
+        per_src.join(corpus, "tok")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(vocab))
+    )
+    ps = (F.col("n") + 1) / (F.col("st") + F.col("v")).cast("double")
+    pc = (F.col("cn") + 1) / (F.col("ct") + F.col("v")).cast("double")
+    kl = joined.groupBy("source").agg(
+        F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl_vs_corpus_nats"),
+        F.max("st").alias("st"),
+    )
+    return kl.select(
+        "source", F.col("st").cast("long").alias("n_tokens"), "kl_vs_corpus_nats"
+    )

@@ -983,3 +983,63 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(ttr), 6).alias("min_ttr"),
         F.sum(F.when(ttr < 0.3, 1).otherwise(0)).cast("long").alias("n_low_diversity"),
     )
+
+
+_VOCAB_STATS_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+clean AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+freq AS (SELECT lang, tok, COUNT(*) AS n FROM clean GROUP BY lang, tok),
+lt AS (SELECT lang, SUM(n) AS t FROM freq GROUP BY lang),
+per_lang AS (
+  SELECT f.lang,
+         SUM(f.n) AS n_tokens,
+         COUNT(*) AS n_types,
+         SUM(CASE WHEN f.n = 1 THEN 1 ELSE 0 END) AS n_hapax,
+         -SUM((f.n / CAST(lt.t AS DOUBLE)) * ln(f.n / CAST(lt.t AS DOUBLE))) AS h
+  FROM freq f JOIN lt ON lt.lang = f.lang
+  GROUP BY f.lang
+)
+SELECT lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       round(n_hapax / CAST(n_types AS DOUBLE), 6) AS hapax_rate,
+       round(exp(h), 4) AS unigram_perplexity
+FROM per_lang
+"""
+
+
+@register("text_vocab_stats", "X", oracle=_VOCAB_STATS_ORACLE,
+          doc="Vocabulary statistics per language: token/type counts, "
+              "hapax-legomena rate (share of once-seen types — the "
+              "long-tail/noise indicator), and unigram perplexity "
+              "exp(H) — the effective vocabulary size a uniform corpus "
+              "of the same entropy would have")
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four statistics fall out of ONE (lang, token) frequency
+    aggregate: hapax is a conditional count, entropy is a sum over the
+    frequency rows with the per-lang total as a window over the
+    lang-keyed (bounded) partition. High hapax + low perplexity says
+    'a few stopwords plus typo noise'; both high says genuine lexical
+    richness — the pair reads together, which is why one operator
+    emits both."""
+    docs = load(spark, sf_dir, "documents")
+    clean = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    from pyspark.sql import Window
+
+    freq = clean.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    p = F.col("n") / F.sum("n").over(w).cast("double")
+    per = freq.select("lang", "n", (-p * F.log(p)).alias("h_term"))
+    return per.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_rate"),
+        F.round(F.exp(F.sum("h_term")), 4).alias("unigram_perplexity"),
+    )
