@@ -683,3 +683,80 @@ def test_gk_accuracy_sweep_bounds(spark, sf_dir):
                 ).first()[0]
             )
             assert abs(frac - p) <= tol, (acc, p, approx, frac, tol)
+
+
+def test_knn_graph_bounded_on_skewed_corpus(spark):
+    """One label holding 50% of all vectors must (a) split into hash
+    sub-blocks (the enforced per-task cap), (b) stay a keyed join — no
+    cartesian/nested-loop — and (c) return EXACTLY the same graph as the
+    unsplit plain self-join (cap=∞): the sub-block pairing is a physical
+    rewrite, never a semantic one."""
+    import math
+
+    from toy_map_reduce_spark.operators.similarity import (
+        _norm,
+        knn_graph_blocked,
+    )
+
+    # 100 vectors in label 0 (half the corpus), 100 spread over labels 1-10
+    rows = []
+    for vid in range(200):
+        label = 0 if vid < 100 else 1 + (vid % 10)
+        e = [math.sin(vid * 31 + j) + 2.0 for j in range(8)]
+        rows.append((vid, label, e))
+    d = spark.createDataFrame(
+        rows, "vec_id long, label int, e array<double>"
+    ).withColumn("nrm", _norm(F.col("e")))
+
+    from toy_map_reduce_spark.plans import explain_str
+
+    bounded = knn_graph_blocked(d, cap=16)
+    plan = explain_str(bounded, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {(r.src, r.rnk): (r.dst, r.sim) for r in bounded.collect()}
+    want = {
+        (r.src, r.rnk): (r.dst, r.sim)
+        for r in knn_graph_blocked(d, cap=10**9).collect()
+    }
+    assert got == want
+    assert len({s for s, _ in got}) == 200  # every vector has neighbors
+
+
+def test_rolling_distinct_hll_honors_calendar_gaps(spark, tmp_path):
+    """A feed with a 14-day hole: the 7-day rolling distinct after the
+    gap must cover ONLY the trailing 7 calendar days (i.e. just the new
+    day), not reach back across the hole the way a 7-ROW frame would."""
+    from datetime import datetime
+
+    from toy_map_reduce_spark.registry import get_spec
+
+    rows = []
+    eid = 0
+    # days 1-5: users 0..14 (3 new users per day)
+    for day in range(1, 6):
+        for u in range(3 * (day - 1), 3 * day):
+            rows.append((eid, datetime(2024, 1, day, 12, 0, 0), u, "view", 1.0, "{}"))
+            eid += 1
+    # 14-day gap, then day 20: users 100..102
+    for u in (100, 101, 102):
+        rows.append((eid, datetime(2024, 1, 20, 12, 0, 0), u, "view", 1.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    est = {
+        str(r.day): r.rolling_users_est
+        for r in get_spec("timeseries_rolling_distinct_hll")
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    # day 5: all 15 users from days 1-5 are inside the 7-day window
+    assert est["2024-01-05"] == 15, est
+    # day 20: the window [Jan 14, Jan 20] holds only the 3 new users —
+    # a ROWS(-6,0) frame would have returned 18 here
+    assert est["2024-01-20"] == 3, est

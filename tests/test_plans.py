@@ -159,6 +159,19 @@ def test_jaccard_df_cap_is_aggregate_not_window(spark, sf_dir):
         )
 
 
+def test_dedup_incremental_first_wins_is_aggregate_not_window(spark, sf_dir):
+    # within-batch first-wins must be a partial-aggregated argmin
+    # (groupBy(h).agg(min_by)) — a row_number window partitioned by the
+    # content hash would funnel every replica of a hot hash into one task,
+    # the same skew the jaccard df cap defuses
+    plan = plan_of(spark, sf_dir, "dedup_incremental")
+    assert "Window" not in plan, "first-wins regressed to a Window"
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, (
+        "first-wins must be an aggregate"
+    )
+    assert "LeftAnti" in plan, "corpus screen must stay an anti-join"
+
+
 def test_dpp_join_prunes_partitions_dynamically(spark, sf_dir):
     # the fact scan must carry a runtime dynamicpruning subquery on the
     # partition column — without it the join reads every partition and DPP

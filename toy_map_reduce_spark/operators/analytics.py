@@ -1752,15 +1752,18 @@ WITH monthly AS (
 ),
 mx AS (
   SELECT MAX(month) AS m1, MAX(month) - INTERVAL 1 MONTH AS m0 FROM monthly
+),
+cur AS (
+  SELECT segment, rev FROM monthly, mx WHERE month = CAST(mx.m1 AS DATE)
+),
+prev AS (
+  SELECT segment, rev FROM monthly, mx WHERE month = CAST(mx.m0 AS DATE)
 )
-SELECT cur.segment,
+SELECT COALESCE(cur.segment, prev.segment) AS segment,
        round(COALESCE(prev.rev, 0), 2) AS rev_prior,
-       round(cur.rev, 2) AS rev_latest,
-       round(cur.rev - COALESCE(prev.rev, 0), 2) AS delta
-FROM mx
-JOIN monthly cur ON cur.month = CAST(mx.m1 AS DATE)
-LEFT JOIN monthly prev
-  ON prev.segment = cur.segment AND prev.month = CAST(mx.m0 AS DATE)
+       round(COALESCE(cur.rev, 0), 2) AS rev_latest,
+       round(COALESCE(cur.rev, 0) - COALESCE(prev.rev, 0), 2) AS delta
+FROM cur FULL OUTER JOIN prev ON prev.segment = cur.segment
 """
 
 
@@ -1773,9 +1776,12 @@ LEFT JOIN monthly prev
 def orders_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One fact aggregation to (segment, month) grain through a keyed
     dimension join; the waterfall itself is two filters of that tiny
-    rollup against a broadcast (latest, prior) month pair — by
-    construction the per-segment deltas sum to the topline move, which
-    is the whole point of a waterfall."""
+    rollup against a broadcast (latest, prior) month pair. The spine is
+    the FULL OUTER union of segments present in EITHER month (revenue
+    coalesced to 0 on the absent side): a segment with prior-month
+    revenue but none in the latest month still contributes its full
+    negative swing, which is what makes the per-segment deltas sum to
+    the topline move — the whole point of a waterfall."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     monthly = (
@@ -1794,12 +1800,16 @@ def orders_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = t.where(F.col("month") == F.col("m1")).select("segment", F.col("rev").alias("rev_latest"))
     prev = t.where(F.col("month") == F.col("m0")).select("segment", F.col("rev").alias("rev_prior"))
     return (
-        cur.join(prev, "segment", "left")
+        cur.join(prev, "segment", "full_outer")
         .select(
             "segment",
             F.round(F.coalesce("rev_prior", F.lit(0.0)), 2).alias("rev_prior"),
-            F.round("rev_latest", 2).alias("rev_latest"),
-            F.round(F.col("rev_latest") - F.coalesce("rev_prior", F.lit(0.0)), 2).alias("delta"),
+            F.round(F.coalesce("rev_latest", F.lit(0.0)), 2).alias("rev_latest"),
+            F.round(
+                F.coalesce("rev_latest", F.lit(0.0))
+                - F.coalesce("rev_prior", F.lit(0.0)),
+                2,
+            ).alias("delta"),
         )
     )
 
@@ -2104,7 +2114,7 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WHALE_CURVE_ORACLE = """
 WITH per_user AS (
-  SELECT user_id, SUM(value) AS v FROM events GROUP BY user_id
+  SELECT user_id, round(SUM(value), 2) AS v FROM events GROUP BY user_id
 ),
 byv AS (
   SELECT v, COUNT(*) AS cnt, SUM(v) AS tot_v FROM per_user GROUP BY v
@@ -2147,9 +2157,17 @@ def events_whale_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile — the property that keeps the cut deterministic cross-
     engine); the curve itself windows over ten rows. Reading cum_share
     at decile 1 against orders_pareto_abc's customer version shows
-    whether event value concentrates harder than order revenue."""
+    whether event value concentrates harder than order revenue.
+
+    The per-user total is rounded to cents BEFORE it becomes the midrank
+    grouping key: float accumulation order differs between Spark partial
+    aggregation and any other engine, so grouping on the raw double can
+    split tie groups nondeterministically and shift decile cuts. Rounding
+    the key (mirrored in the oracle) makes the tie structure — and hence
+    the deciles — engine- and partitioning-independent, the same guard
+    orders_duplicate_payments applies to its float key."""
     ev = load(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("v"))
+    per_user = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("v"))
     byv = per_user.groupBy("v").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("tot_v")
     )

@@ -655,21 +655,26 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production shape for continuous ingestion: the corpus side
     reduces to its hash set (in practice a bloom/hash index you maintain,
     not a rescan), the anti-join is keyed on the digest (uniform, no
-    skew), and within-batch dedup is a window over the same key — the
-    batch shuffles once. Splitting one fixture table by doc_id parity
-    stands in for corpus vs. new-crawl."""
+    skew), and within-batch first-wins is a partial-aggregated argmin
+    (min_by over the content hash), NOT a row_number window: a window
+    partitioned by h must hash every replica of a hot content-hash into
+    one task, while the aggregate combines map-side so a batch holding
+    one document duplicated N times costs one combiner row per task —
+    the same aggregate-not-window house rule capped_shingles documents
+    and dedup_keep_longest already follows. The batch still shuffles
+    once. Splitting one fixture table by doc_id parity stands in for
+    corpus vs. new-crawl."""
     docs = load(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id", "lang", F.sha2(_norm_text(F.col("text")), 256).alias("h")
     )
     corpus = hashed.where(F.col("doc_id") % 2 == 0).select("h")
     incoming = hashed.where(F.col("doc_id") % 2 == 1)
-    from pyspark.sql import Window
 
     fresh = (
         incoming.join(corpus, "h", "left_anti")
-        .withColumn("rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id")))
-        .where(F.col("rn") == 1)
+        .groupBy("h")
+        .agg(F.min_by("lang", "doc_id").alias("lang"))
     )
     n_incoming = incoming.agg(F.count(F.lit(1)).alias("incoming_total"))
     return (

@@ -327,36 +327,83 @@ SELECT src, dst, CAST(rn AS INTEGER) AS rnk, round(sim, 6) AS sim FROM (
 """
 
 
-@register("sim_knn_graph", "X", oracle=_KNN_GRAPH_ORACLE,
-          doc="k-NN graph over embeddings, blocked by label (the coarse ANN "
-              "cell): top-3 neighbors per vector within its block, exact "
-              "within-cell scoring — the IVF refine stage run for EVERY "
-              "vector, which is how embedding-dedup clusters and curriculum "
-              "graphs get built")
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs only WITHIN a label block (~n/k² of the full quadratic),
-    the same blocking dedup_embedding uses; per-src top-k via window over
-    the block key. At 100 TB the label comes from an IVF coarse quantizer
-    and each cell's pairs fit one task by construction."""
-    emb = load(spark, sf_dir, "embeddings")
-    d = emb.select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("nrm", _norm(F.col("e")))
-    a, b = d.alias("a"), d.alias("b")
+KNN_BLOCK_CAP = 128  # max rows per sub-block; per-task pairs ≤ CAP²
+
+
+def knn_graph_blocked(d: DataFrame, k: int = KNN_K, cap: int = KNN_BLOCK_CAP) -> DataFrame:
+    """Exact within-block k-NN with an ENFORCED per-task size bound.
+
+    ``d`` carries (vec_id, label, e, nrm). A label block of n rows has
+    n(n-1) pairs; a naive self-join on label puts ALL of them in one
+    task, so one degenerate block holding half the corpus goes quadratic
+    in a single task. The bound: per-label counts (one tiny aggregate,
+    broadcast back) derive n_sub = ceil(n / cap) sub-blocks; row x gets a
+    deterministic sub-block id h(x) = xxhash64(vec_id) mod n_sub, and the
+    pair (x, y) is scored in exactly the (label, ga=h(x), gb=h(y)) bucket
+    — the left side replicates x across every gb, the right side
+    replicates y across every ga, so coverage is exact (each pair lands
+    in precisely one bucket) while no bucket ever holds more than ~cap
+    rows per side: per-task work ≤ cap² pairs regardless of skew, and a
+    skewed corpus gets n_sub² tasks of bounded size instead of one
+    unbounded one. Replication cost is n_sub× per side — linear in
+    total-pairs/cap, the price of bounding the quadratic. Uniform small
+    blocks get n_sub = 1 and the plan degenerates to the plain keyed
+    self-join."""
+    sizes = d.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / cap).cast("int").alias("n_sub")
+    )
+    d2 = d.join(F.broadcast(sizes), "label")
+    sub = F.pmod(F.xxhash64("vec_id"), F.col("n_sub")).cast("int")
+    reps = F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1))
+    a = d2.select(
+        "label", "vec_id", "e", "nrm",
+        sub.alias("ga"), reps.alias("gb"),
+    )
+    b = d2.select(
+        F.col("label").alias("b_label"),
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("e").alias("b_e"),
+        F.col("nrm").alias("b_nrm"),
+        reps.alias("b_ga"), sub.alias("b_gb"),
+    )
     scored = a.join(
         b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+        (F.col("label") == F.col("b_label"))
+        & (F.col("ga") == F.col("b_ga"))
+        & (F.col("gb") == F.col("b_gb"))
+        & (F.col("vec_id") != F.col("b_vec_id")),
     ).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        (_dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("sim"),
+        F.col("vec_id").alias("src"),
+        F.col("b_vec_id").alias("dst"),
+        (_dot(F.col("e"), F.col("b_e")) / (F.col("nrm") * F.col("b_nrm"))).alias("sim"),
     )
     w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= KNN_K)
+        .where(F.col("rn") <= k)
         .select("src", "dst", F.col("rn").cast("int").alias("rnk"), F.round("sim", 6).alias("sim"))
     )
+
+
+@register("sim_knn_graph", "X", oracle=_KNN_GRAPH_ORACLE,
+          doc="k-NN graph over embeddings, blocked by label (the coarse ANN "
+              "cell): top-3 neighbors per vector within its block, exact "
+              "within-cell scoring with a hash-sub-block size bound — the "
+              "IVF refine stage run for EVERY vector, which is how "
+              "embedding-dedup clusters and curriculum graphs get built")
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs only WITHIN a label block, and within a block only
+    inside hash sub-block pairs of ≤ KNN_BLOCK_CAP rows per side (see
+    knn_graph_blocked): the per-task quadratic is capped by construction,
+    not by hoping the coarse quantizer balanced its cells. At 100 TB the
+    label comes from an IVF coarse quantizer; an oversized cell costs
+    n_sub² bounded tasks, never one unbounded task (skew pytest:
+    tests/test_llm_ops.py::test_knn_graph_bounded_on_skewed_corpus)."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", _norm(F.col("e")))
+    return knn_graph_blocked(d)
 
 
 _KMEANS_ASSIGN_ORACLE = f"""

@@ -273,12 +273,22 @@ def timeseries_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFra
     and each rolling value is a union of w tiny sketches — the window
     operates over |days| rows regardless of event volume. The same
     sketches also roll up to weekly/monthly for free (agg_hll_merge
-    shows the re-aggregation path)."""
+    shows the re-aggregation path).
+
+    The frame is a RANGE over a day ordinal (days since epoch), not a
+    ROWS frame over the daily rollup: on a feed with missing calendar
+    days a 7-ROW frame silently spans more than 7 calendar days, while
+    rangeBetween(-(w-1), 0) on the ordinal keeps exactly the trailing
+    w-day calendar window regardless of gaps (gapped-feed pytest in
+    tests/test_llm_ops.py pins this)."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    w = Window.orderBy("day").rowsBetween(-(ROLLING_DAYS - 1), 0)
+    daily = daily.withColumn(
+        "day_ord", F.datediff("day", F.lit("1970-01-01"))
+    )
+    w = Window.orderBy("day_ord").rangeBetween(-(ROLLING_DAYS - 1), 0)
     rolled = daily.select(
         "day",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))

@@ -339,7 +339,7 @@ SESSION_GAP_MIN = 30
 
 _SESSION_NATIVE_ORACLE = f"""
 WITH seq AS (
-  SELECT user_id, date_trunc('second', ts) AS t,
+  SELECT user_id, ts, event_id, date_trunc('second', ts) AS t,
          CASE WHEN date_diff('second',
                              lag(date_trunc('second', ts))
                                OVER (PARTITION BY user_id ORDER BY ts, event_id),
@@ -349,8 +349,12 @@ WITH seq AS (
   FROM events
 ),
 tagged AS (
+  -- the running sum MUST use the same total order (ts, event_id) as the
+  -- lag that computed new_session: ordering by t alone leaves same-second
+  -- ties in unspecified ROWS-frame order, so a tied boundary row could be
+  -- assigned to the previous session nondeterministically
   SELECT user_id, t,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_no
   FROM seq
