@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Per-query bench regression gate between two BENCH_DETAIL.json files.
+
+bench.py records, per query, the min across passes (``queries``) and the
+[min, max] spread (``queries_minmax``). The spread IS the measured noise
+band for that query on this machine, so the regression test is:
+
+    new_min > NOISE_FACTOR * old_max        (steady-state growth beyond
+                                             anything noise ever produced)
+
+with a small absolute floor so sub-100ms queries can't trip on scheduler
+jitter. Queries present on only one side are reported (added/removed) but
+never fail the gate — coverage changes are a SURVEY concern, not a perf
+one.
+
+Usage:
+    python scripts/bench_regress.py BENCH_DETAIL_r3.json BENCH_DETAIL.json
+Exit 1 on any regression; prints one JSON summary line either way.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+NOISE_FACTOR = 2.0  # fail only on >2x growth beyond the old noise ceiling
+ABS_FLOOR_SEC = 0.15  # ignore regressions smaller than this in absolute terms
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    old = json.load(open(sys.argv[1]))
+    new = json.load(open(sys.argv[2]))
+    if old.get("sf") != new.get("sf"):
+        print(json.dumps({
+            "comparable": False,
+            "reason": f"sf mismatch old={old.get('sf')} new={new.get('sf')}",
+        }))
+        return 0  # not comparable, not a failure
+
+    old_mm = old.get("queries_minmax", {})
+    new_q = new.get("queries", {})
+    regressions = {}
+    for name, new_min in new_q.items():
+        if name not in old_mm:
+            continue
+        old_max = old_mm[name][1]
+        if new_min > NOISE_FACTOR * old_max and new_min - old_max > ABS_FLOOR_SEC:
+            regressions[name] = {"old_minmax": old_mm[name], "new_min": new_min}
+
+    summary = {
+        "comparable": True,
+        "sf": new.get("sf"),
+        "n_compared": len(set(new_q) & set(old_mm)),
+        "added": sorted(set(new_q) - set(old_mm)),
+        "removed": sorted(set(old_mm) - set(new_q)),
+        "n_regressions": len(regressions),
+        "regressions": regressions,
+        "total_old": old.get("value"),
+        "total_new": new.get("value"),
+    }
+    print(json.dumps(summary))
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

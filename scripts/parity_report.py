@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Machine-readable all-query parity artifact (PARITY_r{N}.json).
+
+The external driver's CORRECTNESS_r{N}.json is alphabetically capped at 50
+keys, so 300+ registered queries never appear in it. This script is the
+compensating control: it runs EVERY registered query at the driver's scale
+factor (sf0.01) against its DuckDB oracle with the same comparison shape
+(row count, column names, order-insensitive canonical value multiset) and
+writes one JSON object per query:
+
+    {"rows_match": bool, "schema_match": bool, "hash_match": bool,
+     "spark_rows": int, "oracle_rows": int | null, "err": null | "no_oracle" | str}
+
+Usage:
+    python scripts/parity_report.py PARITY_r4.json           # sf0.01
+    SF=/root/testdata/sf0.1 python scripts/parity_report.py out.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY.json"
+    sf_dir = os.environ.get("SF", "/root/testdata/sf0.01")
+
+    import duckdb
+
+    from parity import canonical_rows
+    from toy_map_reduce_spark.registry import all_specs
+    from toy_map_reduce_spark.session import get_spark
+    from toy_map_reduce_spark.tables import TABLES, table_path
+
+    spark = get_spark("parity-report", cores=8)
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    report: dict[str, dict] = {}
+    n_pass = n_rows_only = n_fail = 0
+    for name, spec in sorted(all_specs().items()):
+        rec: dict = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            sdf = spec.builder(spark, sf_dir).toPandas()
+            rec["spark_rows"] = int(len(sdf))
+            if spec.oracle is None:
+                rec["err"] = "no_oracle"
+                n_rows_only += 1
+            else:
+                odf = duck.sql(spec.oracle).df()
+                rec["oracle_rows"] = int(len(odf))
+                rec["rows_match"] = len(sdf) == len(odf)
+                rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+                rec["hash_match"] = (
+                    rec["rows_match"]
+                    and rec["schema_match"]
+                    and canonical_rows(sdf) == canonical_rows(odf)
+                )
+                if rec["hash_match"]:
+                    n_pass += 1
+                else:
+                    n_fail += 1
+        except Exception as exc:  # noqa: BLE001 — record, don't abort the sweep
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+            n_fail += 1
+        report[name] = rec
+
+    summary = {
+        "sf_dir": sf_dir,
+        "total": len(report),
+        "oracle_pass": n_pass,
+        "rows_only": n_rows_only,
+        "fail": n_fail,
+    }
+    with open(out_path, "w") as f:
+        json.dump({"_summary": summary, **report}, f, indent=1, sort_keys=False)
+    print(json.dumps(summary))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

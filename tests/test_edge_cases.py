@@ -228,3 +228,36 @@ def test_soundex_golden_codes(spark):
     df = spark.createDataFrame([(n,) for n in golden], ["name"])
     got = {r.name: r.code for r in df.select("name", F.soundex("name").alias("code")).collect()}
     assert got == golden, got
+
+
+def test_waterfall_deltas_sum_to_topline_with_vanishing_segment(spark, tmp_path):
+    """A segment with prior-month revenue but NO latest-month revenue must
+    still appear (full negative swing), and the per-segment deltas must sum
+    to the topline month-over-month move — the docstring's invariant."""
+    from datetime import date
+
+    orders = [
+        # (o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderstatus,
+        #  o_orderpriority, o_clerk, o_shippriority, o_comment)
+        (1, 1, 100.0, date(2024, 1, 5)),   # seg A, prior month
+        (2, 2, 50.0, date(2024, 1, 9)),    # seg B, prior month
+        (3, 1, 120.0, date(2024, 2, 3)),   # seg A, latest month
+        (4, 3, 30.0, date(2024, 2, 7)),    # seg C, latest only (new segment)
+        # seg B vanishes in February — must contribute delta -50
+    ]
+    custs = [(1, "A"), (2, "B"), (3, "C")]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate date"
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        custs, "c_custkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+
+    rows = {r.segment: r for r in get_spec("orders_waterfall").builder(spark, d).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert rows["B"].rev_prior == 50.0 and rows["B"].rev_latest == 0.0
+    assert rows["B"].delta == -50.0
+    assert rows["C"].rev_prior == 0.0 and rows["C"].delta == 30.0
+    topline = (120.0 + 30.0) - (100.0 + 50.0)
+    assert abs(sum(r.delta for r in rows.values()) - topline) < 1e-9

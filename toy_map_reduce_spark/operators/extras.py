@@ -74,16 +74,85 @@ GROUP BY l_returnflag
 """
 
 
+PCTL_GK_ACCURACY = 10_000  # GK rank error <= n/acc; candidate window ~6n/acc rows
+
+
+def _exact_percentiles_hybrid(df, group_col: str, pairs) -> DataFrame:
+    """EXACT interpolated percentiles via a GK-sketch + exact-on-boundary
+    hybrid — the distributed plan for exact quantiles at scale.
+
+    ``F.percentile`` buffers every value of a group in ONE task (an
+    ObjectHashAggregate holding the full sorted array), so a 3-group
+    100 TB fact funnels into 3 tasks. The hybrid replaces that with two
+    fully partial-aggregated scans:
+
+    1. Per group: count n plus GK sketches bracketing each target p at
+       p±eps (eps = 3/accuracy). GK guarantees the returned value's rank
+       is within n/accuracy of the target rank, so the true floor((n-1)p)
+       and floor((n-1)p)+1 order statistics both lie in [lo, hi] — a
+       window of ~6n/accuracy rows (60 ppm of the group at acc=10k).
+    2. Per group: count(value < lo) and sort_array(collect_list(value in
+       [lo, hi])) — the ONLY buffered values are the tiny candidate
+       window; everything else partial-aggregates map-side.
+
+    The exact order statistics are then array lookups: the 0-based j-th
+    value of the group is cands[j - below], and the interpolation
+    v_j + frac * (v_{j+1} - v_j) reproduces quantile_cont/percentile
+    bit-for-bit (same IEEE ops). ``pairs`` is [(out_name, col, p), ...].
+    """
+    eps = 3.0 / PCTL_GK_ACCURACY
+    agg1 = [F.count(F.lit(1)).alias("n")]
+    for name, col, p in pairs:
+        agg1 += [
+            F.percentile_approx(col, F.lit(max(0.0, p - eps)), F.lit(PCTL_GK_ACCURACY)).alias(f"{name}_lo"),
+            F.percentile_approx(col, F.lit(min(1.0, p + eps)), F.lit(PCTL_GK_ACCURACY)).alias(f"{name}_hi"),
+        ]
+    bounds = df.groupBy(group_col).agg(*agg1)
+
+    agg2 = []
+    for name, col, p in pairs:
+        c = F.col(col)
+        agg2 += [
+            F.sum(F.when(c < F.col(f"{name}_lo"), 1).otherwise(0)).alias(f"{name}_below"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(c.between(F.col(f"{name}_lo"), F.col(f"{name}_hi")), c)
+                )
+            ).alias(f"{name}_cands"),
+        ]
+    joined = df.join(F.broadcast(bounds), group_col)
+    stats = joined.groupBy(group_col).agg(F.first("n").alias("n"), *agg2)
+
+    out_cols = [group_col]
+    for name, col, p in pairs:
+        k = (F.col("n") - 1) * F.lit(p)
+        j = F.floor(k)
+        frac = k - j
+        idx1 = (j - F.col(f"{name}_below") + 1).cast("int")
+        v1 = F.element_at(F.col(f"{name}_cands"), idx1)
+        v2 = F.element_at(F.col(f"{name}_cands"), idx1 + 1)
+        exact = F.when(frac == 0, v1).otherwise(v1 + frac * (v2 - v1))
+        out_cols.append(F.round(exact, 6).alias(name))
+    return stats.select(*out_cols)
+
+
 @register("agg_percentile", "G", oracle=_AGG_PERCENTILE_ORACLE,
-          doc="Exact interpolated percentiles (median/p25/p75/p99) per group; "
-              "percentile_approx is the 100 TB path (see agg_approx_percentile)")
+          doc="Exact interpolated percentiles (median/p25/p75/p99) per group "
+              "via a GK + exact-on-boundary hybrid: two partial-aggregated "
+              "scans, never a full per-group value buffer — the 100 TB plan "
+              "for EXACT quantiles (agg_approx_percentile is the sketch-only "
+              "path)")
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_price"),
+    return _exact_percentiles_hybrid(
+        li,
+        "l_returnflag",
+        [
+            ("median_qty", "l_quantity", 0.5),
+            ("p25_price", "l_extendedprice", 0.25),
+            ("p75_price", "l_extendedprice", 0.75),
+            ("p99_price", "l_extendedprice", 0.99),
+        ],
     )
 
 

@@ -959,18 +959,11 @@ def embedding_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-quadratic, like dedup_embedding's verify stage) — the audit
     needs the distribution's shape, not every pair. Dot products are
     JVM-side zip_with/aggregate folds in signature order, IEEE-identical
-    to the oracle's list folds before the single rounding."""
-    emb = load(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") % DIST_SAMPLE_MOD == 0
-    )
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    def _norm(col):
+    to the oracle's list folds before the single rounding. Norms are
+    precomputed ONCE per row before the pair join (a row property, so
+    bit-identical to the oracle's per-pair recomputation) — folding them
+    inside the pair select would triple the per-pair array work."""
+    def _row_norm(col):
         return F.sqrt(
             F.aggregate(
                 F.transform(col, lambda x: x.cast("double") * x),
@@ -978,9 +971,28 @@ def embedding_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, v: acc + v,
             )
         )
+
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % DIST_SAMPLE_MOD == 0
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        _row_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        _row_norm(F.col("embedding")).alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     pairs = (
         a.join(b, F.col("ia") < F.col("ib"))
-        .select((dot / (_norm(F.col("ea")) * _norm(F.col("eb")))).alias("cos_sim"))
+        .select((dot / (F.col("na") * F.col("nb"))).alias("cos_sim"))
     )
     return (
         pairs.groupBy(
