@@ -77,7 +77,7 @@ GROUP BY l_returnflag
 PCTL_GK_ACCURACY = 10_000  # GK rank error <= n/acc; candidate window ~6n/acc rows
 
 
-def _exact_percentiles_hybrid(df, group_col: str, pairs) -> DataFrame:
+def _exact_percentiles_hybrid(df, group_col: str, pairs, round_to: int | None = 6) -> DataFrame:
     """EXACT interpolated percentiles via a GK-sketch + exact-on-boundary
     hybrid — the distributed plan for exact quantiles at scale.
 
@@ -86,11 +86,14 @@ def _exact_percentiles_hybrid(df, group_col: str, pairs) -> DataFrame:
     100 TB fact funnels into 3 tasks. The hybrid replaces that with two
     fully partial-aggregated scans:
 
-    1. Per group: count n plus GK sketches bracketing each target p at
-       p±eps (eps = 3/accuracy). GK guarantees the returned value's rank
-       is within n/accuracy of the target rank, so the true floor((n-1)p)
-       and floor((n-1)p)+1 order statistics both lie in [lo, hi] — a
-       window of ~6n/accuracy rows (60 ppm of the group at acc=10k).
+    1. Per group: count n plus ONE GK sketch per distinct column, probed
+       at every target's bracketing probabilities p±eps (eps =
+       3/accuracy) via the array form of percentile_approx — one sketch
+       answering many probes costs a third of per-probe sketches
+       (measured). GK guarantees each returned value's rank is within
+       n/accuracy of its target rank, so the true floor((n-1)p) and
+       floor((n-1)p)+1 order statistics both lie in [lo, hi] — a window
+       of ~6n/accuracy rows (600 ppm of the group at acc=10k).
     2. Per group: count(value < lo) and sort_array(collect_list(value in
        [lo, hi])) — the ONLY buffered values are the tiny candidate
        window; everything else partial-aggregates map-side.
@@ -98,16 +101,33 @@ def _exact_percentiles_hybrid(df, group_col: str, pairs) -> DataFrame:
     The exact order statistics are then array lookups: the 0-based j-th
     value of the group is cands[j - below], and the interpolation
     v_j + frac * (v_{j+1} - v_j) reproduces quantile_cont/percentile
-    bit-for-bit (same IEEE ops). ``pairs`` is [(out_name, col, p), ...].
+    bit-for-bit (same IEEE ops). ``pairs`` is [(out_name, col, p), ...];
+    ``round_to=None`` returns the raw exact doubles (for use as internal
+    cut points, e.g. agg_trimmed_mean).
     """
     eps = 3.0 / PCTL_GK_ACCURACY
-    agg1 = [F.count(F.lit(1)).alias("n")]
+    by_col: dict[str, list] = {}
     for name, col, p in pairs:
-        agg1 += [
-            F.percentile_approx(col, F.lit(max(0.0, p - eps)), F.lit(PCTL_GK_ACCURACY)).alias(f"{name}_lo"),
-            F.percentile_approx(col, F.lit(min(1.0, p + eps)), F.lit(PCTL_GK_ACCURACY)).alias(f"{name}_hi"),
-        ]
+        by_col.setdefault(col, []).append((name, p))
+    agg1 = [F.count(F.lit(1)).alias("n")]
+    for col, targets in by_col.items():
+        probs = []
+        for _, p in targets:
+            probs += [max(0.0, p - eps), min(1.0, p + eps)]
+        agg1.append(
+            F.percentile_approx(
+                col, F.array(*[F.lit(x) for x in probs]), F.lit(PCTL_GK_ACCURACY)
+            ).alias(f"_b_{col}")
+        )
     bounds = df.groupBy(group_col).agg(*agg1)
+    sel = [group_col, "n"]
+    for col, targets in by_col.items():
+        for i, (name, _) in enumerate(targets):
+            sel += [
+                F.element_at(f"_b_{col}", 2 * i + 1).alias(f"{name}_lo"),
+                F.element_at(f"_b_{col}", 2 * i + 2).alias(f"{name}_hi"),
+            ]
+    bounds = bounds.select(*sel)
 
     agg2 = []
     for name, col, p in pairs:
@@ -132,7 +152,9 @@ def _exact_percentiles_hybrid(df, group_col: str, pairs) -> DataFrame:
         v1 = F.element_at(F.col(f"{name}_cands"), idx1)
         v2 = F.element_at(F.col(f"{name}_cands"), idx1 + 1)
         exact = F.when(frac == 0, v1).otherwise(v1 + frac * (v2 - v1))
-        out_cols.append(F.round(exact, 6).alias(name))
+        out_cols.append(
+            exact.alias(name) if round_to is None else F.round(exact, round_to).alias(name)
+        )
     return stats.select(*out_cols)
 
 
@@ -728,15 +750,19 @@ ORDER BY l.l_returnflag
               "scan, conditional average inside the cuts — the robust "
               "mean that survives fat-fingered outliers")
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cut points come from the exact interpolated percentile aggregate
-    (the agg_percentile parity contract) in a per-key fit table that
-    broadcasts back — the fact rows are scanned twice but never join-
-    shuffled. At 100 TB the swap-in is approx_percentile cuts, same as
-    every exact-sort-based statistic in this file."""
+    """Cut points come from the GK + exact-on-boundary hybrid
+    (_exact_percentiles_hybrid, unrounded — bit-identical to
+    F.percentile / quantile_cont) in a per-key fit table that broadcasts
+    back — no per-group full-value buffer anywhere in the plan, and the
+    fact rows are scanned thrice but never join-shuffled. At 100 TB the
+    cheaper swap-in is approx_percentile cuts; the hybrid IS the exact
+    path at that scale."""
     li = load(spark, sf_dir, "lineitem")
-    cuts = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(TRIM_FRAC)).alias("lo"),
-        F.percentile("l_extendedprice", F.lit(1 - TRIM_FRAC)).alias("hi"),
+    cuts = _exact_percentiles_hybrid(
+        li,
+        "l_returnflag",
+        [("lo", "l_extendedprice", TRIM_FRAC), ("hi", "l_extendedprice", 1 - TRIM_FRAC)],
+        round_to=None,
     )
     inside = F.col("l_extendedprice").between(F.col("lo"), F.col("hi"))
     return (
