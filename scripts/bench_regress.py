@@ -15,7 +15,9 @@ one.
 
 Usage:
     python scripts/bench_regress.py BENCH_DETAIL_r3.json BENCH_DETAIL.json
-Exit 1 on any regression; prints one JSON summary line either way.
+Exit 0 = compared and clean; 1 = regression(s); 2 = NOTHING WAS COMPARED
+(sf mismatch, missing queries_minmax, zero key overlap) so CI can tell
+"no regression" apart from "the gate never looked".
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ def main() -> int:
             "comparable": False,
             "reason": f"sf mismatch old={old.get('sf')} new={new.get('sf')}",
         }))
-        return 0  # not comparable, not a failure
+        return 2  # incomparable — distinct from "compared, no regression"
 
     old_mm = old.get("queries_minmax", {})
     new_q = new.get("queries", {})
@@ -62,7 +64,9 @@ def main() -> int:
         "total_new": new.get("value"),
     }
     print(json.dumps(summary))
-    return 1 if regressions else 0
+    if regressions:
+        return 1
+    return 2 if summary["n_compared"] == 0 else 0
 
 
 if __name__ == "__main__":

@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# THE pre-commit/pre-handoff gate — round 4 shipped a red test because the
+# last commit ran only sf0.01 parity; this script is the process fix
+# (VERDICT r4 item 2). It runs, in order:
+#
+#   1. the FULL pytest suite at the fixture scale (sf0.001)
+#   2. the all-query oracle parity sweep at BOTH sf0.001 and sf0.01
+#   3. the per-query bench regression gate (only if a fresh
+#      BENCH_DETAIL.json exists next to a prior round's file)
+#
+# Exit non-zero if anything is red. Cite the one-line result in the round's
+# closing commit message.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+fail=0
+
+echo "== handoff gate 1/3: full pytest (sf0.001) =="
+python -m pytest tests/ -q || fail=1
+
+echo "== handoff gate 2/3: parity sweep (sf0.001 + sf0.01) =="
+./scripts/parity_gate.sh || fail=1
+
+echo "== handoff gate 3/3: bench regression =="
+prev=$(ls -t BENCH_DETAIL_r*.json 2>/dev/null | head -1)
+if [[ -n "${prev}" && -f BENCH_DETAIL.json ]]; then
+  python scripts/bench_regress.py "${prev}" BENCH_DETAIL.json
+  rc=$?
+  if [[ $rc -eq 1 ]]; then fail=1
+  elif [[ $rc -eq 2 ]]; then echo "bench_regress: INCOMPARABLE (rc=2)"; fail=1
+  fi
+else
+  echo "bench_regress: skipped (need ${prev:-BENCH_DETAIL_r*.json} + BENCH_DETAIL.json)"
+fi
+
+if [[ $fail -eq 0 ]]; then
+  echo "HANDOFF GATE: GREEN"
+else
+  echo "HANDOFF GATE: RED"
+fi
+exit $fail

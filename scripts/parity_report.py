@@ -3,17 +3,19 @@
 
 The external driver's CORRECTNESS_r{N}.json is alphabetically capped at 50
 keys, so 300+ registered queries never appear in it. This script is the
-compensating control: it runs EVERY registered query at the driver's scale
-factor (sf0.01) against its DuckDB oracle with the same comparison shape
-(row count, column names, order-insensitive canonical value multiset) and
-writes one JSON object per query:
+compensating control: it runs EVERY registered query against its DuckDB
+oracle with the same comparison shape (row count, column names,
+order-insensitive canonical value multiset) at EACH requested scale factor
+(round 4 proved one SF is not enough: a query can be green at sf0.01 and
+crash at sf0.001), and writes per SF one JSON object per query:
 
     {"rows_match": bool, "schema_match": bool, "hash_match": bool,
      "spark_rows": int, "oracle_rows": int | null, "err": null | "no_oracle" | str}
 
 Usage:
-    python scripts/parity_report.py PARITY_r4.json           # sf0.01
+    python scripts/parity_report.py PARITY_r5.json    # sf0.001 + sf0.01
     SF=/root/testdata/sf0.1 python scripts/parity_report.py out.json
+    SF=/root/testdata/sf0.001,/root/testdata/sf0.01 python scripts/parity_report.py out.json
 """
 
 from __future__ import annotations
@@ -25,19 +27,16 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
+DEFAULT_SFS = "/root/testdata/sf0.001,/root/testdata/sf0.01"
 
-def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY.json"
-    sf_dir = os.environ.get("SF", "/root/testdata/sf0.01")
 
+def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
     import duckdb
 
     from parity import canonical_rows
     from toy_map_reduce_spark.registry import all_specs
-    from toy_map_reduce_spark.session import get_spark
     from toy_map_reduce_spark.tables import TABLES, table_path
 
-    spark = get_spark("parity-report", cores=8)
     duck = duckdb.connect()
     for t in TABLES:
         duck.sql(
@@ -79,6 +78,7 @@ def main() -> int:
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
             n_fail += 1
         report[name] = rec
+    duck.close()
 
     summary = {
         "sf_dir": sf_dir,
@@ -87,10 +87,28 @@ def main() -> int:
         "rows_only": n_rows_only,
         "fail": n_fail,
     }
+    return summary, report
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY.json"
+    sf_dirs = os.environ.get("SF", DEFAULT_SFS).split(",")
+
+    from toy_map_reduce_spark.session import get_spark
+
+    spark = get_spark("parity-report", cores=8)
+    out: dict = {"_summary": []}
+    any_fail = False
+    for sf_dir in sf_dirs:
+        summary, report = run_sweep(spark, sf_dir)
+        out["_summary"].append(summary)
+        out[os.path.basename(sf_dir.rstrip("/"))] = report
+        any_fail = any_fail or summary["fail"] > 0
+        print(json.dumps(summary))
+
     with open(out_path, "w") as f:
-        json.dump({"_summary": summary, **report}, f, indent=1, sort_keys=False)
-    print(json.dumps(summary))
-    return 1 if n_fail else 0
+        json.dump(out, f, indent=1, sort_keys=False)
+    return 1 if any_fail else 0
 
 
 if __name__ == "__main__":

@@ -261,3 +261,63 @@ def test_waterfall_deltas_sum_to_topline_with_vanishing_segment(spark, tmp_path)
     assert rows["C"].rev_prior == 0.0 and rows["C"].delta == 30.0
     topline = (120.0 + 30.0) - (100.0 + 50.0)
     assert abs(sum(r.delta for r in rows.values()) - topline) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# _exact_percentiles_hybrid stress sweep (round-5 regression for the GK
+# candidate-window off-by-one that crashed agg_trimmed_mean at sf0.001):
+# small groups, distinct values, heavy duplicates, and one group large
+# enough to exercise the true GK bracketing path — every probability must
+# reproduce F.percentile bit-for-bit, never crash, never go null.
+# ---------------------------------------------------------------------------
+
+PCTL_STRESS_PROBS = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def _pctl_stress_rows():
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    # tiny groups with distinct doubles (the crashing regime)
+    for g, n in [("n1", 1), ("n2", 2), ("n3", 3), ("n5", 5), ("n20", 20),
+                 ("n150", 150)]:
+        for _ in range(n):
+            rows.append((g, rng.uniform(-1e3, 1e3)))
+    # heavy duplicates: 500 rows over 3 distinct values
+    for _ in range(500):
+        rows.append(("dups", float(rng.choice([7.0, 7.0, 7.0, 42.0, -1.5]))))
+    # all-identical group
+    rows += [("const", 13.25)] * 97
+    # large group past PCTL_SMALL_N -> real GK bracket + ext-statistic path
+    for _ in range(10_500):
+        rows.append(("big", rng.gauss(0.0, 100.0)))
+    # large + low cardinality (tie-class path on the GK branch)
+    for _ in range(10_500):
+        rows.append(("bigdup", float(rng.randint(0, 49))))
+    return rows
+
+
+def test_exact_percentiles_hybrid_stress(spark):
+    from toy_map_reduce_spark.operators.extras import _exact_percentiles_hybrid
+
+    df = spark.createDataFrame(_pctl_stress_rows(), "g string, v double").cache()
+    pairs = [(f"q{i}", "v", p) for i, p in enumerate(PCTL_STRESS_PROBS)]
+    got = {
+        r["g"]: r
+        for r in _exact_percentiles_hybrid(df, "g", pairs, round_to=None).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(p)).alias(f"q{i}")
+               for i, p in enumerate(PCTL_STRESS_PROBS)])
+        .collect()
+    }
+    df.unpersist()
+    assert set(got) == set(want)
+    for g in want:
+        for i in range(len(PCTL_STRESS_PROBS)):
+            w, h = want[g][f"q{i}"], got[g][f"q{i}"]
+            assert h is not None, (g, i)
+            assert w == h, (g, PCTL_STRESS_PROBS[i], w, h)

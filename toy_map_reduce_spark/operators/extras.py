@@ -75,6 +75,11 @@ GROUP BY l_returnflag
 
 
 PCTL_GK_ACCURACY = 10_000  # GK rank error <= n/acc; candidate window ~6n/acc rows
+# Groups at or below this size skip the GK bracketing and buffer all their
+# values — the same O(accuracy) per-group state the sketch itself holds, and
+# it removes the small-n regime where the probe offsets (p +/- 3/acc) round
+# to fewer than one rank and the bracket can miss the needed order statistic.
+PCTL_SMALL_N = PCTL_GK_ACCURACY
 
 
 def _exact_percentiles_hybrid(df, group_col: str, pairs, round_to: int | None = 6) -> DataFrame:
@@ -96,14 +101,34 @@ def _exact_percentiles_hybrid(df, group_col: str, pairs, round_to: int | None = 
        of ~6n/accuracy rows (600 ppm of the group at acc=10k).
     2. Per group: count(value < lo) and sort_array(collect_list(value in
        [lo, hi])) — the ONLY buffered values are the tiny candidate
-       window; everything else partial-aggregates map-side.
+       window; everything else partial-aggregates map-side. Two
+       safeguards make the bracket airtight: (a) groups of n <=
+       PCTL_SMALL_N widen the window to the whole group (same
+       O(accuracy) state the GK sketch already holds — this kills the
+       small-n regime where p±eps spans under one rank and the bracket
+       can miss), and (b) ONE order statistic beyond each bound
+       (max(v<lo), min(v>hi)) is folded into the candidate array with
+       the below-count shifted accordingly, absorbing the boundary
+       rank-error of the probes themselves.
 
     The exact order statistics are then array lookups: the 0-based j-th
     value of the group is cands[j - below], and the interpolation
-    v_j + frac * (v_{j+1} - v_j) reproduces quantile_cont/percentile
-    bit-for-bit (same IEEE ops). ``pairs`` is [(out_name, col, p), ...];
-    ``round_to=None`` returns the raw exact doubles (for use as internal
-    cut points, e.g. agg_trimmed_mean).
+    v_j * (j+1-k) + v_{j+1} * (k-j) reproduces F.percentile /
+    quantile_cont bit-for-bit (same IEEE op sequence as Spark's
+    Percentile; stress-pinned in tests/test_edge_cases.py). Lookups use try_element_at with a
+    null-guard (frac == 0 OR v2 IS NULL -> v1), so a violated bracket
+    degrades to a null cell a parity test catches — never a crash.
+    ``pairs`` is [(out_name, col, p), ...]; ``round_to=None`` returns
+    the raw exact doubles (for use as internal cut points, e.g.
+    agg_trimmed_mean).
+
+    Tie-class caveat: the window holds RAW values, so on a
+    low-cardinality column (e.g. l_quantity's ~50 distinct values) the
+    entire tie class of lo/hi is buffered — memory is bounded by
+    6n/accuracy OR the largest tie class, whichever is bigger. For
+    heavy-tie columns at 100 TB, swap the collect_list for per-(group,
+    value) pre-aggregated (value, count) pairs to bound state by
+    cardinality instead.
     """
     eps = 3.0 / PCTL_GK_ACCURACY
     by_col: dict[str, list] = {}
@@ -129,29 +154,45 @@ def _exact_percentiles_hybrid(df, group_col: str, pairs, round_to: int | None = 
             ]
     bounds = bounds.select(*sel)
 
+    small = F.col("n") <= F.lit(PCTL_SMALL_N)
     agg2 = []
     for name, col, p in pairs:
-        c = F.col(col)
+        c = F.col(col).cast("double")
+        lo = F.when(small, F.lit(float("-inf"))).otherwise(F.col(f"{name}_lo"))
+        hi = F.when(small, F.lit(float("inf"))).otherwise(F.col(f"{name}_hi"))
         agg2 += [
-            F.sum(F.when(c < F.col(f"{name}_lo"), 1).otherwise(0)).alias(f"{name}_below"),
+            F.sum(F.when(c < lo, 1).otherwise(0)).alias(f"{name}_below"),
             F.sort_array(
-                F.collect_list(
-                    F.when(c.between(F.col(f"{name}_lo"), F.col(f"{name}_hi")), c)
-                )
+                F.collect_list(F.when(c.between(lo, hi), c))
             ).alias(f"{name}_cands"),
+            F.max(F.when(c < lo, c)).alias(f"{name}_extlo"),
+            F.min(F.when(c > hi, c)).alias(f"{name}_exthi"),
         ]
     joined = df.join(F.broadcast(bounds), group_col)
     stats = joined.groupBy(group_col).agg(F.first("n").alias("n"), *agg2)
 
     out_cols = [group_col]
     for name, col, p in pairs:
+        ext_lo, ext_hi = F.col(f"{name}_extlo"), F.col(f"{name}_exthi")
+        cands = F.concat(
+            F.array_compact(F.array(ext_lo)),
+            F.col(f"{name}_cands"),
+            F.array_compact(F.array(ext_hi)),
+        )
+        below = F.col(f"{name}_below") - F.when(ext_lo.isNotNull(), 1).otherwise(0)
         k = (F.col("n") - 1) * F.lit(p)
         j = F.floor(k)
         frac = k - j
-        idx1 = (j - F.col(f"{name}_below") + 1).cast("int")
-        v1 = F.element_at(F.col(f"{name}_cands"), idx1)
-        v2 = F.element_at(F.col(f"{name}_cands"), idx1 + 1)
-        exact = F.when(frac == 0, v1).otherwise(v1 + frac * (v2 - v1))
+        idx1 = (j - below + 1).cast("int")
+        v1 = F.when(idx1 >= 1, F.try_element_at(cands, F.greatest(idx1, F.lit(1))))
+        v2 = F.when(
+            idx1 >= 0, F.try_element_at(cands, F.greatest(idx1 + 1, F.lit(1)))
+        )
+        # Spark's Percentile interpolates v1*(ceil(k)-k) + v2*(k-floor(k));
+        # use the identical op sequence so results are bit-for-bit equal.
+        exact = F.when((frac == 0) | v2.isNull(), v1).otherwise(
+            v1 * ((j + 1) - k) + v2 * frac
+        )
         out_cols.append(
             exact.alias(name) if round_to is None else F.round(exact, round_to).alias(name)
         )
