@@ -321,3 +321,50 @@ def test_exact_percentiles_hybrid_stress(spark):
             w, h = want[g][f"q{i}"], got[g][f"q{i}"]
             assert h is not None, (g, i)
             assert w == h, (g, PCTL_STRESS_PROBS[i], w, h)
+
+
+def test_exact_order_stats_gk_branch(spark):
+    """_exact_order_stats on a 25k-row skewed feed (past PCTL_SMALL_N, so
+    the true GK bracket + ext-statistic path runs): ntile bucket
+    boundaries and fixed ranks must equal the sorted-order truth."""
+    import random
+
+    from toy_map_reduce_spark.operators.extras import (
+        PCTL_SMALL_N,
+        _exact_order_stats,
+        ntile_size,
+        ntile_start,
+    )
+
+    rng = random.Random(7)
+    n = 25_000
+    assert n > PCTL_SMALL_N
+    # mix of continuous values and heavy tie classes
+    vals = [rng.gauss(0, 50.0) for _ in range(n - 6000)] + [
+        float(rng.choice([1.0, 2.5, 99.0])) for _ in range(6000)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    nb = 7
+    targets = []
+    for i in range(1, nb + 1):
+        targets.append((f"s{i}", (i - 1) / nb, lambda nn, i=i: ntile_start(i, nn, nb)))
+    targets += [
+        ("first", 0.0, lambda nn: F.lit(0)),
+        ("last", 1.0, lambda nn: nn - 1),
+        ("mid", 0.5, lambda nn: F.floor(nn / 2).cast("long")),
+    ]
+    row = _exact_order_stats(df, "v", targets, extra_eps=(nb + 2) / PCTL_SMALL_N).first()
+    s = sorted(vals)
+    assert row["n"] == n
+    base, rem = n // nb, n % nb
+    starts = [(i - 1) * base + min(i - 1, rem) for i in range(1, nb + 1)]
+    for i in range(1, nb + 1):
+        assert row[f"s{i}"] == s[starts[i - 1]], (i, starts[i - 1])
+    assert row["first"] == s[0] and row["last"] == s[-1]
+    assert row["mid"] == s[n // 2]
+    # size arithmetic must sum to n and match the SQL-standard split
+    sizes = [
+        spark.range(1).select(ntile_size(i, F.lit(n), nb)).first()[0]
+        for i in range(1, nb + 1)
+    ]
+    assert sum(sizes) == n and sizes == sorted(sizes, reverse=True)

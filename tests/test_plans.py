@@ -465,3 +465,24 @@ def test_meta_registry_report_matches_registry(spark, sf_dir):
         assert rows[tier].n_oracle_backed == sum(1 for s in subset if s.oracle)
         assert rows[tier].n_bench_eligible == sum(1 for s in subset if s.bench)
     assert sum(r.n_queries for r in rows.values()) == len(list(specs))
+
+
+def test_ntile_family_has_no_global_window(spark, sf_dir):
+    # r4 verdict item 3: no fact scan may feed a Window with an empty
+    # partition spec (the single-task global sort). The two equi-depth
+    # histograms need no Window at all (pure order statistics); the
+    # calibration bins may keep one Window but ONLY hash-partitioned by
+    # the score tie class.
+    for name in ("feature_quantile_bucket", "agg_histogram_equidepth"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Window" not in plan, f"{name}: regressed to a Window plan"
+        assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, (
+            f"{name}: boundaries must come from partial aggregates"
+        )
+    plan = plan_of(spark, sf_dir, "stat_calibration_bins", mode="simple")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "score" in line, (
+                "stat_calibration_bins: Window must be partitioned by the "
+                f"score tie class, got: {line.strip()}"
+            )

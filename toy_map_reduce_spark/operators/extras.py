@@ -199,6 +199,92 @@ def _exact_percentiles_hybrid(df, group_col: str, pairs, round_to: int | None = 
     return stats.select(*out_cols)
 
 
+def _exact_order_stats(df: DataFrame, col: str, targets, extra_eps: float = 0.0) -> DataFrame:
+    """Global EXACT order statistics of ``col`` at data-dependent integer
+    ranks, WITHOUT a global sort — the building block that retires the
+    row-grain ntile windows (feature_quantile_bucket, stat_calibration_bins,
+    agg_histogram_equidepth).
+
+    ``targets`` is ``[(name, probe_p, rank_fn)]``: ``probe_p`` is the
+    literal probability the GK sketch is probed around, ``rank_fn(n)`` a
+    Column expression for the 0-based target rank given the total count
+    (e.g. an ntile bucket's start rank). ``extra_eps`` widens the probes
+    to absorb |rank_fn(n)/n - probe_p| (for N-bucket ntile boundaries
+    pass ~(N+2)/PCTL_SMALL_N: groups at or below PCTL_SMALL_N take the
+    exact full-window path, so the GK bracket only has to hold for
+    n > PCTL_SMALL_N where the rank offset is at most (N+1)/n).
+
+    Same safeguards as _exact_percentiles_hybrid: small-n full window,
+    one extra order statistic folded beyond each bound, try_element_at.
+    Returns ONE row: ``n`` plus one exact double per target. Two scans of
+    ``df``, both fully partial-aggregated — at 100 TB this replaces a
+    single-task global sort with two map-side-combined passes.
+    """
+    eps = 3.0 / PCTL_GK_ACCURACY + extra_eps
+    probs = []
+    for _, p, _ in targets:
+        probs += [max(0.0, p - eps), min(1.0, p + eps)]
+    bounds = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            col, F.array(*[F.lit(x) for x in probs]), F.lit(PCTL_GK_ACCURACY)
+        ).alias("_b"),
+    )
+    sel = [F.col("n")]
+    for i, (name, _, _) in enumerate(targets):
+        sel += [
+            F.element_at("_b", 2 * i + 1).alias(f"{name}_lo"),
+            F.element_at("_b", 2 * i + 2).alias(f"{name}_hi"),
+        ]
+    bounds = bounds.select(*sel)
+
+    small = F.col("n") <= F.lit(PCTL_SMALL_N)
+    agg2 = []
+    for name, _, _ in targets:
+        c = F.col(col).cast("double")
+        lo = F.when(small, F.lit(float("-inf"))).otherwise(F.col(f"{name}_lo"))
+        hi = F.when(small, F.lit(float("inf"))).otherwise(F.col(f"{name}_hi"))
+        agg2 += [
+            F.sum(F.when(c < lo, 1).otherwise(0)).alias(f"{name}_below"),
+            F.sort_array(F.collect_list(F.when(c.between(lo, hi), c))).alias(
+                f"{name}_cands"
+            ),
+            F.max(F.when(c < lo, c)).alias(f"{name}_extlo"),
+            F.min(F.when(c > hi, c)).alias(f"{name}_exthi"),
+        ]
+    stats = df.crossJoin(F.broadcast(bounds)).agg(F.first("n").alias("n"), *agg2)
+
+    out = [F.col("n").cast("long").alias("n")]
+    for name, _, rank_fn in targets:
+        ext_lo, ext_hi = F.col(f"{name}_extlo"), F.col(f"{name}_exthi")
+        cands = F.concat(
+            F.array_compact(F.array(ext_lo)),
+            F.col(f"{name}_cands"),
+            F.array_compact(F.array(ext_hi)),
+        )
+        below = F.col(f"{name}_below") - F.when(ext_lo.isNotNull(), 1).otherwise(0)
+        idx = (rank_fn(F.col("n")) - below + 1).cast("int")
+        v = F.when(idx >= 1, F.try_element_at(cands, F.greatest(idx, F.lit(1))))
+        out.append(v.alias(name))
+    return stats.select(*out)
+
+
+def ntile_start(i: int, n, n_buckets: int):
+    """0-based start rank of 1-based bucket ``i`` of ntile(n_buckets) over
+    ``n`` rows (SQL-standard: the first n % n_buckets buckets get the
+    extra row). ``n`` is a Column."""
+    base = F.floor(n / n_buckets).cast("long")
+    rem = (n % n_buckets).cast("long")
+    return F.lit(i - 1) * base + F.least(F.lit(i - 1), rem)
+
+
+def ntile_size(i: int, n, n_buckets: int):
+    """Row count of 1-based bucket ``i`` of ntile(n_buckets) over ``n`` rows."""
+    base = F.floor(n / n_buckets).cast("long")
+    rem = (n % n_buckets).cast("long")
+    return base + F.when(F.lit(i) <= rem, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
 @register("agg_percentile", "G", oracle=_AGG_PERCENTILE_ORACLE,
           doc="Exact interpolated percentiles (median/p25/p75/p99) per group "
               "via a GK + exact-on-boundary hybrid: two partial-aggregated "

@@ -9,6 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from toy_map_reduce_spark.operators.extras import (
+    PCTL_SMALL_N,
+    _exact_order_stats,
+    ntile_size,
+    ntile_start,
+)
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
 
@@ -709,18 +715,41 @@ FROM t GROUP BY bucket
               "skewed data leaves most equi-width buckets empty")
 def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth is what engine statistics actually store (selectivity
-    per bucket is uniform by construction). ntile needs a global order;
-    at 100 TB the production path derives the same bounds from
-    approx_percentile's mergeable sketch (agg_approx_percentile) — the
-    exact ntile here is the verifiable small-scale form, tie-broken on
-    o_orderkey so bucket assignment is total."""
+    per bucket is uniform by construction). The exact ntile output is
+    derived WITHOUT a global sort (r4 verdict item 3): bucket sizes are
+    arithmetic on n, and since o_totalprice is the primary sort key each
+    bucket's lo/hi are the exact order statistics at the bucket's start/
+    end ranks — two partial-aggregated scans via _exact_order_stats, the
+    same machinery as agg_percentile. The o_orderkey tie-break only
+    permutes rows WITHIN equal prices, so it cannot change any bucket's
+    min/max/count. This is the exact 100 TB plan; approx_percentile
+    (agg_approx_percentile) remains the sketch-only variant."""
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    t = o.select(
-        "o_totalprice", F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket")
+    nb = EQUIDEPTH_BUCKETS
+    targets = []
+    for i in range(1, nb + 1):
+        targets.append(
+            (f"lo_{i}", (i - 1) / nb, lambda n, i=i: ntile_start(i, n, nb))
+        )
+        if i < nb:
+            targets.append(
+                (f"hi_{i}", i / nb, lambda n, i=i: ntile_start(i + 1, n, nb) - 1)
+            )
+        else:
+            targets.append((f"hi_{i}", 1.0, lambda n: n - 1))
+    one = _exact_order_stats(
+        o, "o_totalprice", targets, extra_eps=(nb + 2) / PCTL_SMALL_N
     )
-    return t.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.round(F.min("o_totalprice"), 2).alias("lo"),
-        F.round(F.max("o_totalprice"), 2).alias("hi"),
-    )
+    return one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bucket"),
+                    ntile_size(i, F.col("n"), nb).alias("cnt"),
+                    F.round(F.col(f"lo_{i}"), 2).alias("lo"),
+                    F.round(F.col(f"hi_{i}"), 2).alias("hi"),
+                )
+                for i in range(1, nb + 1)
+            ])
+        ).alias("b")
+    ).select("b.*")

@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from toy_map_reduce_spark.operators.extras import (
+    PCTL_SMALL_N,
+    _exact_order_stats,
+    ntile_start,
+)
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
 
@@ -504,10 +509,29 @@ ORDER BY bin
               "reliability diagram behind every 'is this score a "
               "probability' review")
 def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile is a global sort, tie-broken deterministically on event_id
-    (same honesty note as feature_quantile_bucket — the 100 TB swap-in
-    is approx_percentile bin edges broadcast over the scan); everything
-    after the binning is a 10-row aggregate."""
+    """Exact ntile(10) deciles WITHOUT the global sort (r4 verdict item
+    3). Unlike the equi-depth histograms, this output aggregates per-ROW
+    facts (positive rate, mean score) so rows genuinely need bin labels:
+
+    1. The 9 interior bin boundaries are exact order statistics at the
+       ntile start ranks (_exact_order_stats — two partial-agg scans).
+    2. One more partial-agg pass counts rows strictly below each
+       boundary value (the below-count that positions each tie class).
+    3. Assignment is a broadcast range join: a row whose score equals no
+       boundary is binned by comparing against the 9 broadcast values;
+       rows ON a boundary value (a tie class ntile may split) get their
+       exact global rank = below-count + row_number within the tie
+       class ordered by event_id — a window hash-PARTITIONED by score,
+       never a global sort — and are binned by rank arithmetic.
+
+    Every stage partial-aggregates or hash-partitions; nothing funnels
+    into one task. Skew note: a single score value dominating the data
+    would make one tie-class partition large; that is the inherent cost
+    of ntile's split-the-ties contract, and it is isolated to the tie
+    branch (typically ~0 rows on continuous scores)."""
+    from functools import reduce
+    from operator import add, or_
+
     lab = (
         load(spark, sf_dir, "events")
         .where(F.col("event_type").isin("purchase", "click"))
@@ -517,10 +541,52 @@ def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
         )
     )
-    w = Window.orderBy("score", "event_id")
-    binned = lab.select("label", "score", F.ntile(10).over(w).alias("bin"))
+    nb = 10
+    targets = [
+        (f"b{i}", i / nb, lambda n, i=i: ntile_start(i + 1, n, nb))
+        for i in range(1, nb)
+    ]
+    bnd = _exact_order_stats(lab, "score", targets, extra_eps=(nb + 2) / PCTL_SMALL_N)
+    info = lab.crossJoin(F.broadcast(bnd)).agg(
+        F.first("n").alias("n"),
+        *[F.first(f"b{i}").alias(f"b{i}") for i in range(1, nb)],
+        *[
+            F.sum(F.when(F.col("score") < F.col(f"b{i}"), 1).otherwise(0))
+            .alias(f"lt{i}")
+            for i in range(1, nb)
+        ],
+    )
+    jj = lab.crossJoin(F.broadcast(info))
+    is_tie = reduce(or_, [F.col("score") == F.col(f"b{i}") for i in range(1, nb)])
+    nontie = jj.where(~is_tie).select(
+        "label",
+        "score",
+        reduce(
+            add,
+            [F.when(F.col("score") > F.col(f"b{i}"), 1).otherwise(0) for i in range(1, nb)],
+            F.lit(1),
+        ).alias("bin"),
+    )
+    w_tie = Window.partitionBy("score").orderBy("event_id")
+    lt_here = F.coalesce(
+        *[F.when(F.col("score") == F.col(f"b{i}"), F.col(f"lt{i}")) for i in range(1, nb)]
+    )
+    rank = lt_here + F.row_number().over(w_tie) - 1
+    tie = jj.where(is_tie).select(
+        "label",
+        "score",
+        reduce(
+            add,
+            [
+                F.when(rank >= ntile_start(i, F.col("n"), nb), 1).otherwise(0)
+                for i in range(2, nb + 1)
+            ],
+            F.lit(1),
+        ).alias("bin"),
+    )
     return (
-        binned.groupBy("bin")
+        nontie.unionByName(tie)
+        .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.round(F.avg(F.col("label").cast("double")), 6).alias("frac_positive"),
