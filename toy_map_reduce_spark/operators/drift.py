@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from toy_map_reduce_spark.operators.stats import SCORE_QUANT
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
 
@@ -123,13 +124,13 @@ def stat_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KS_ORACLE = """
+_KS_ORACLE = f"""
 WITH tagged AS (
-  SELECT value,
+  SELECT round(value, {SCORE_QUANT}) AS value,
          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS da,
          SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS db
   FROM events WHERE event_type IN ('purchase', 'click')
-  GROUP BY value
+  GROUP BY round(value, {SCORE_QUANT})
 ),
 cum AS (
   SELECT SUM(da) OVER (ORDER BY value
@@ -155,14 +156,18 @@ FROM cum
               "row out")
 def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw events reduce to one row per distinct value (map-side
-    combined groupBy) BEFORE the cumulative window — the ordered scan
-    runs over |distinct values| rows, not |events|. Because every value
-    in the frame is distinct, ROWS and RANGE cumulative frames agree, so
-    the tie semantics of F(x) = P(X <= x) are exact on both engines."""
+    combined groupBy) BEFORE the cumulative window, and values are
+    quantized to SCORE_QUANT decimals first — the ordered scan runs over
+    at most range*10^4 rows, a cardinality bounded by the value RANGE
+    rather than the row count (continuous values at 100x would otherwise
+    make |distinct| ~ |events|). Because every value in the frame is
+    distinct, ROWS and RANGE cumulative frames agree, so the tie
+    semantics of F(x) = P(X <= x) are exact on both engines."""
     ev = load(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "click")
     )
-    tagged = ev.groupBy("value").agg(
+    tagged = ev.select(F.round("value", SCORE_QUANT).alias("value"), "event_type")
+    tagged = tagged.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("da"),
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("db"),
     )

@@ -411,9 +411,18 @@ def stat_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AUC_ORACLE = """
+# Score quantization for the distinct-value cumulative passes (stat_auc,
+# stat_gains_table, stat_ks_test): on a continuous score at 100x,
+# |distinct| ~= |rows| and the ordered pass over distinct values
+# degenerates back toward a row-grain sort. Rounding scores to this many
+# decimals bounds the distinct count by the score RANGE (range * 10^4
+# values) INDEPENDENT of row count — the same float-key guard
+# events_whale_curve adopted in r4. Mirrored in every oracle.
+SCORE_QUANT = 4
+
+_AUC_ORACLE = f"""
 WITH lab AS (
-  SELECT value AS score,
+  SELECT round(value, {SCORE_QUANT}) AS score,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
   FROM events WHERE event_type IN ('purchase', 'click')
 ),
@@ -449,13 +458,16 @@ def stat_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly-lower negative fully and tied negatives at half weight.
     Same scale shape as stat_ks_test: raw rows reduce to one row per
     distinct score (map-side combined) BEFORE the single ordered
-    cumulative pass, so the sort touches |distinct scores| rows. The
-    arithmetic stays integer-exact until the final division."""
+    cumulative pass, and scores are quantized to SCORE_QUANT decimals
+    first, so the ordered pass touches at most range*10^4 rows — a
+    cardinality bounded by the score RANGE, not the row count, even on
+    continuous scores at 100x. Arithmetic stays integer-exact until the
+    final division."""
     lab = (
         load(spark, sf_dir, "events")
         .where(F.col("event_type").isin("purchase", "click"))
         .select(
-            F.col("value").alias("score"),
+            F.round("value", SCORE_QUANT).alias("score"),
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
         )
     )
@@ -1240,9 +1252,9 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GAINS_ORACLE = """
+_GAINS_ORACLE = f"""
 WITH lab AS (
-  SELECT value AS score,
+  SELECT round(value, {SCORE_QUANT}) AS score,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
   FROM events WHERE event_type IN ('purchase', 'click')
 ),
@@ -1287,15 +1299,18 @@ FROM g CROSS JOIN tot
 def stat_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deciles are a rank property, and ranks are a property of the
     DISTINCT score — so the decile of every row falls out of the grouped
-    midrank table (the stat_spearman trick applied to binning). Ties
-    share a midrank and so land in ONE decile instead of splitting
+    midrank table (the stat_spearman trick applied to binning). Scores
+    are quantized to SCORE_QUANT decimals first, bounding the midrank
+    table at range*10^4 rows regardless of row count (continuous scores
+    at 100x would otherwise make |distinct| ~ |rows|). Ties share a
+    midrank and so land in ONE decile instead of splitting
     engine-dependently; the final cumulative window runs over ten
     rows."""
     ev = load(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "click")
     )
     lab = ev.select(
-        F.col("value").alias("score"),
+        F.round("value", SCORE_QUANT).alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
     )
     byv = lab.groupBy("score").agg(
