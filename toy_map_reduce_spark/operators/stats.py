@@ -733,9 +733,10 @@ def stat_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MANN_WHITNEY_ORACLE = """
+_MANN_WHITNEY_ORACLE = f"""
 WITH lab AS (
-  SELECT value AS v, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+  SELECT round(value, {SCORE_QUANT}) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
   FROM events WHERE event_type IN ('purchase', 'click')
 ),
 byv AS (
@@ -776,7 +777,9 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped (value → per-group counts) table first — the same midrank-
     from-cumulative-counts formulation as stat_auc, so the expensive
     step is one partial+final groupBy on value plus a window over the
-    DISTINCT values only (|distinct values| rows, not |events|). The
+    DISTINCT values only — and values quantize to SCORE_QUANT decimals
+    first, so that pass is bounded by range*10^4 rows regardless of the
+    row count (same guard as stat_auc / stat_ks_test). The
     tie-correction term Σ(t³−t) falls out of the same grouped table for
     free. At 100 TB the distinct-value table is what you window over —
     never the raw events."""
@@ -784,7 +787,7 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("purchase", "click")
     )
     lab = ev.select(
-        F.col("value").alias("v"),
+        F.round("value", SCORE_QUANT).alias("v"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
     )
     byv = lab.groupBy("v").agg(
@@ -1228,7 +1231,11 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, so build the (value → midrank) table via grouped cumulative
     counts (|distinct| rows) and join it back keyed on the value —
     uniform keys, broadcast-sized for low-cardinality columns. The
-    final correlation is one co-moment pass."""
+    final correlation is one co-moment pass. Cardinality bound: both
+    inputs are fixed-precision domains (l_quantity ~50 integers,
+    l_extendedprice cent-denominated money), so |distinct| is bounded
+    by the value RANGE, not the row count — a continuous input would
+    need the SCORE_QUANT rounding guard stat_auc uses."""
     li = load(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
 
     def midranks(col):
