@@ -1307,8 +1307,14 @@ def itemsets_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     never touches the quadratic candidate space. Lift needs the global
     basket count: one scalar broadcast, the same one-row pattern as
     dedup_incremental."""
+    from pyspark import StorageLevel
+
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # four consumers (basket count, supports, both join sides) — persist
+    # so the distinct shuffle runs once
+    items = li.select("l_orderkey", "l_partkey").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
     isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
     a, b = items.alias("a"), items.alias("b")
@@ -1323,6 +1329,9 @@ def itemsets_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("s_ab"))
         .where(F.col("s_ab") >= MIN_SUPPORT)
+        # both rule directions read this; persist or the basket self-join
+        # (the expensive stage) runs twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rules = pairs.select(
         F.col("part_a").alias("antecedent"), F.col("part_b").alias("consequent"), "s_ab"

@@ -315,6 +315,13 @@ def substring_report(docs: DataFrame) -> DataFrame:
             )
         ).alias("idx", "wtext"),
     ).select("doc_id", "idx", F.md5("wtext").alias("h"))
+    # win feeds both the df>=2 aggregate and the flag join; flagged feeds
+    # both the per-doc totals and the run-length pass — persist each so
+    # the fingerprint subtree and the flag join run once (staging-table
+    # pattern, same as shingle_stage)
+    from pyspark import StorageLevel
+
+    win = win.persist(StorageLevel.MEMORY_AND_DISK)
 
     dup = (
         win.select("doc_id", "h").distinct()
@@ -324,7 +331,7 @@ def substring_report(docs: DataFrame) -> DataFrame:
     )
     flagged = win.join(dup, "h", "left").select(
         "doc_id", "idx", F.coalesce("dup", F.lit(False)).alias("dup")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup"),

@@ -125,6 +125,8 @@ def capped_shingles(docs: DataFrame, df_cap: int = DF_CAP,
     ``df_cap`` docs, so ≤ n/df_cap entries), so it broadcasts, and the
     anti-join is map-side with zero shuffle of the posting lists.
     """
+    from pyspark import StorageLevel
+
     if sh_all is None:
         sh_all = _shingles(docs)
     hot = (
@@ -133,7 +135,13 @@ def capped_shingles(docs: DataFrame, df_cap: int = DF_CAP,
         .where(F.col("df") > df_cap)
         .select("shingle")
     )
-    return sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+    # Persisted for the same reason as shingle_stage: every consumer uses
+    # the capped table 2-3x (both sides of the inverted-index join plus
+    # the per-doc sizes), and without the persist each use re-runs the
+    # hot-shingle aggregate + broadcast anti-join subtree.
+    return sh_all.join(F.broadcast(hot), "shingle", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 _DEDUP_EXACT_ORACLE = """
@@ -339,6 +347,11 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Dat
         ).alias("blk"),
     ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
 
+    # both sides of the pigeonhole self-join read this table; persist so
+    # the signature aggregate (64 conditional sums) runs once, not twice
+    from pyspark import StorageLevel
+
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
     a = blocks.alias("a")
     b = blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -216,11 +216,15 @@ FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1
               "traversal shape completing the graph family (PageRank / "
               "components / triangles / BFS)")
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each level is one join (frontier × edges) plus an anti-join
-    against the visited set — the frontier is |reachable| rows, never
-    the edge table, and the loop unrolls into one DAG exactly like
-    graph_pagerank. At real scale the visited set pins to a broadcast
-    once levels saturate (most graphs: 3-4 hops)."""
+    """Each level is one join (edges × broadcast frontier) plus a
+    broadcast anti-join against the visited set — the canonical
+    iterative-graph plan: the edge list is PERSISTED so the expensive
+    derive-distinct-edges subtree runs once instead of once per level
+    (unrolled DAGs triplicate shared subtrees otherwise), the edge table
+    streams map-side through every level, and the frontier/visited sets
+    (bounded by the node universe, far below any fact table) ride as
+    broadcasts — at 100 TB nothing re-shuffles the edge list after its
+    one build."""
     orders = load(spark, sf_dir, "orders")
     src = F.col("o_custkey") % PR_NODES_MOD
     dst = F.col("o_orderkey") % PR_NODES_MOD
@@ -229,9 +233,11 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    # a<b strictly, so the two directed projections are disjoint — the
+    # union needs no second distinct (one whole shuffle saved)
     edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).distinct()
+    ).persist()
 
     frontier = load(spark, sf_dir, "orders").sparkSession.createDataFrame(
         [(0,)], "node long"
@@ -239,11 +245,15 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = frontier
     for lvl in range(1, BFS_LEVELS + 1):
         nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            edges.join(
+                frontier.select(F.col("node").alias("f_node")),
+                F.col("src") == F.col("f_node"),
+            )
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(lvl).alias("level"))
+            .persist()
         )
         visited = visited.unionAll(nxt)
         frontier = nxt

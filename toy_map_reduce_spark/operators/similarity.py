@@ -349,6 +349,11 @@ def knn_graph_blocked(d: DataFrame, k: int = KNN_K, cap: int = KNN_BLOCK_CAP) ->
     total-pairs/cap, the price of bounding the quadratic. Uniform small
     blocks get n_sub = 1 and the plan degenerates to the plain keyed
     self-join."""
+    from pyspark import StorageLevel
+
+    # three consumers (per-label sizes + both cogroup sides) would
+    # otherwise each re-run the scan -> cast-to-double -> norm subtree
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = d.groupBy("label").agg(
         F.ceil(F.count(F.lit(1)) / cap).cast("int").alias("n_sub")
     )
@@ -366,16 +371,44 @@ def knn_graph_blocked(d: DataFrame, k: int = KNN_K, cap: int = KNN_BLOCK_CAP) ->
         F.col("nrm").alias("b_nrm"),
         reps.alias("b_ga"), sub.alias("b_gb"),
     )
-    scored = a.join(
-        b,
-        (F.col("label") == F.col("b_label"))
-        & (F.col("ga") == F.col("b_ga"))
-        & (F.col("gb") == F.col("b_gb"))
-        & (F.col("vec_id") != F.col("b_vec_id")),
-    ).select(
-        F.col("vec_id").alias("src"),
-        F.col("b_vec_id").alias("dst"),
-        (_dot(F.col("e"), F.col("b_e")) / (F.col("nrm") * F.col("b_nrm"))).alias("sim"),
+
+    def score_bucket(pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized refine kernel (the GOOD pandas_udf kind, same tier as
+        # _make_signature_udf): one numpy pass per bucket instead of ~cap^2
+        # interpreted higher-order-function dot products. The accumulation
+        # is a k-ordered loop of vectorized outer products, which replays
+        # the EXACT IEEE op sequence of the JVM fold
+        # aggregate(zip_with(e, b_e, *), 0.0, +) followed by
+        # dot / (nrm * b_nrm) — results are bit-identical to the
+        # expression form (and so to the DuckDB oracle's list_reduce).
+        if len(pa) == 0 or len(pb) == 0:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        A = np.stack(pa["e"].to_numpy()).astype(np.float64)
+        B = np.stack(pb["b_e"].to_numpy()).astype(np.float64)
+        acc = np.zeros((len(pa), len(pb)), dtype=np.float64)
+        for k in range(A.shape[1]):
+            acc += np.outer(A[:, k], B[:, k])
+        sim = acc / np.outer(
+            pa["nrm"].to_numpy(dtype=np.float64),
+            pb["b_nrm"].to_numpy(dtype=np.float64),
+        )
+        src = np.repeat(pa["vec_id"].to_numpy(), len(pb))
+        dst = np.tile(pb["b_vec_id"].to_numpy(), len(pa))
+        keep = src != dst
+        return pd.DataFrame(
+            {"src": src[keep], "dst": dst[keep], "sim": sim.ravel()[keep]}
+        )
+
+    scored = (
+        a.groupBy("label", "ga", "gb")
+        .cogroup(b.groupBy("b_label", "b_ga", "b_gb"))
+        .applyInPandas(score_bucket, "src long, dst long, sim double")
     )
     w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
     return (
