@@ -28,6 +28,22 @@ import sys
 NOISE_FACTOR = 2.0  # fail only on >2x growth beyond the old noise ceiling
 ABS_FLOOR_SEC = 0.15  # ignore regressions smaller than this in absolute terms
 
+# Intentional plan changes (judge-directed rewrites): a regression vs the
+# PRIOR plan's timing is expected and documented, so these report under
+# "intentional" instead of failing the gate. Keep this list short and
+# carry each entry at most one round — next round's baseline includes the
+# new plan and the entry must be removed.
+INTENTIONAL = {
+    # r4 verdict item 3: the three row-grain global-ntile windows were
+    # replaced by exact order-statistic plans (GK brackets + broadcast
+    # boundaries; tie-class split for the per-row bins). The old plan was
+    # a single-task global sort — trivially fast at sf0.1, a scale-killer
+    # at 100x. The new multi-pass plan pays a few small jobs instead.
+    "stat_calibration_bins": "global-sort ntile -> exact multi-pass plan (r4 item 3)",
+    "feature_quantile_bucket": "global-sort ntile -> exact multi-pass plan (r4 item 3)",
+    "agg_histogram_equidepth": "global-sort ntile -> exact multi-pass plan (r4 item 3)",
+}
+
 
 def main() -> int:
     if len(sys.argv) != 3:
@@ -45,12 +61,18 @@ def main() -> int:
     old_mm = old.get("queries_minmax", {})
     new_q = new.get("queries", {})
     regressions = {}
+    intentional = {}
     for name, new_min in new_q.items():
         if name not in old_mm:
             continue
         old_max = old_mm[name][1]
         if new_min > NOISE_FACTOR * old_max and new_min - old_max > ABS_FLOOR_SEC:
-            regressions[name] = {"old_minmax": old_mm[name], "new_min": new_min}
+            rec = {"old_minmax": old_mm[name], "new_min": new_min}
+            if name in INTENTIONAL:
+                rec["reason"] = INTENTIONAL[name]
+                intentional[name] = rec
+            else:
+                regressions[name] = rec
 
     summary = {
         "comparable": True,
@@ -60,6 +82,8 @@ def main() -> int:
         "removed": sorted(set(old_mm) - set(new_q)),
         "n_regressions": len(regressions),
         "regressions": regressions,
+        "n_intentional": len(intentional),
+        "intentional": intentional,
         "total_old": old.get("value"),
         "total_new": new.get("value"),
     }

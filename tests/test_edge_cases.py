@@ -345,22 +345,34 @@ def test_exact_order_stats_gk_branch(spark):
     ]
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     nb = 7
-    targets = []
-    for i in range(1, nb + 1):
-        targets.append((f"s{i}", (i - 1) / nb, lambda nn, i=i: ntile_start(i, nn, nb)))
-    targets += [
-        ("first", 0.0, lambda nn: F.lit(0)),
-        ("last", 1.0, lambda nn: nn - 1),
-        ("mid", 0.5, lambda nn: F.floor(nn / 2).cast("long")),
+    windows = [
+        (
+            (i - 1) / nb,
+            [
+                (f"s{i}", lambda nn, i=i: ntile_start(i, nn, nb)),
+                # adjacent lookup sharing the window (the hi_i/lo_{i+1} trick)
+                (f"s{i}m1", lambda nn, i=i: ntile_start(i, nn, nb) - 1),
+            ],
+        )
+        for i in range(2, nb + 1)
     ]
-    row = _exact_order_stats(df, "v", targets, extra_eps=(nb + 2) / PCTL_SMALL_N).first()
+    windows += [
+        (0.0, [("first", lambda nn: F.lit(0))]),
+        (1.0, [("last", lambda nn: nn - 1)]),
+        (0.5, [("mid", lambda nn: F.floor(nn / 2).cast("long"))]),
+    ]
+    row = _exact_order_stats(
+        df, "v", windows, extra_eps=(nb + 2) / PCTL_SMALL_N, with_minmax=True
+    ).first()
     s = sorted(vals)
     assert row["n"] == n
     base, rem = n // nb, n % nb
     starts = [(i - 1) * base + min(i - 1, rem) for i in range(1, nb + 1)]
-    for i in range(1, nb + 1):
+    for i in range(2, nb + 1):
         assert row[f"s{i}"] == s[starts[i - 1]], (i, starts[i - 1])
+        assert row[f"s{i}m1"] == s[starts[i - 1] - 1], (i, starts[i - 1] - 1)
     assert row["first"] == s[0] and row["last"] == s[-1]
+    assert row["vmin"] == s[0] and row["vmax"] == s[-1]
     assert row["mid"] == s[n // 2]
     # size arithmetic must sum to n and match the SQL-standard split
     sizes = [

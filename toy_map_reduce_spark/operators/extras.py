@@ -82,6 +82,167 @@ PCTL_GK_ACCURACY = 10_000  # GK rank error <= n/acc; candidate window ~6n/acc ro
 PCTL_SMALL_N = PCTL_GK_ACCURACY
 
 
+def _bracketed_stats(df, group_cols: list[str], targets, extra_agg2a=()) -> DataFrame:
+    """Shared core of _exact_percentiles_hybrid / _exact_order_stats: per
+    group, the GK-bracketed candidate windows for each target.
+
+    ``targets`` is [(name, col, p_lo, p_hi)] with literal probe
+    probabilities. Three fully partial-aggregated passes:
+
+    1. GK bounds: count n + ONE percentile_approx sketch per distinct
+       column answering all probes.
+    2a. Codegen'd HashAggregate full scan: per target the below-count
+        plus ONE order statistic beyond each bound (max(v<lo), min(v>hi))
+        — simple-typed aggregates only, so this stays in whole-stage
+        codegen (an earlier shape put the collect_lists here too, which
+        forced the whole scan through ObjectHashAggregate and tripled
+        the query time).
+    2b. Candidate collection over ONLY the rows inside any bracket
+        window (~6n/accuracy per target): the one ObjectHashAggregate,
+        fed a thousandth of the scan.
+
+    Small-group safeguard: groups of n <= PCTL_SMALL_N widen their
+    windows to the whole group (same O(accuracy) state the sketch holds),
+    killing the regime where p±eps spans under one rank.
+    Returns per group: n plus {name}_below / {name}_cands / {name}_extlo
+    / {name}_exthi.
+    """
+    by_col: dict[str, list] = {}
+    for name, col, plo, phi in targets:
+        by_col.setdefault(col, []).append((name, plo, phi))
+    agg1 = [F.count(F.lit(1)).alias("n")]
+    for col, tgts in by_col.items():
+        probs = []
+        for _, plo, phi in tgts:
+            probs += [plo, phi]
+        agg1.append(
+            F.percentile_approx(
+                col, F.array(*[F.lit(x) for x in probs]), F.lit(PCTL_GK_ACCURACY)
+            ).alias(f"_b_{col}")
+        )
+    bounds = df.groupBy(*group_cols).agg(*agg1) if group_cols else df.agg(*agg1)
+    # The small-group widening depends only on n, so it folds into the
+    # (tiny) broadcast side: the row-level predicates below stay plain
+    # column-vs-column comparisons. Materializing lo/hi as conditional
+    # expressions per row instead blew the per-row expression trees up
+    # enough to fall out of whole-stage codegen (measured 6x slower at
+    # 20 targets).
+    small = F.col("n") <= F.lit(PCTL_SMALL_N)
+    sel = [F.col(c) for c in group_cols] + [F.col("n")]
+    for col, tgts in by_col.items():
+        for i, (name, _, _) in enumerate(tgts):
+            lo = F.element_at(f"_b_{col}", 2 * i + 1).cast("double")
+            hi = F.element_at(f"_b_{col}", 2 * i + 2).cast("double")
+            sel += [
+                F.when(small, F.lit(float("-inf"))).otherwise(lo).alias(f"{name}_lo"),
+                F.when(small, F.lit(float("inf"))).otherwise(hi).alias(f"{name}_hi"),
+            ]
+    bounds = bounds.select(*sel)
+
+    # Stage-2 expressions are built as SQL STRINGS (one F.expr each): the
+    # Column-object form crossed py4j hundreds of times per target set and
+    # cost ~3 s of pure driver build time at 20 targets.
+    # Attach the (tiny) bounds to every row through a BroadcastHashJoin.
+    # For the global case the join key is a dummy constant: a plain
+    # crossJoin(broadcast(one_row)) plans as a BroadcastNestedLoopJoin
+    # whose condition/projections run INTERPRETED outside whole-stage
+    # codegen (measured 4x slower at 20 targets); the constant-key
+    # equi-join keeps every window predicate inside codegen, and AQE's
+    # exchange reuse evaluates the GK subtree once for both stage-2
+    # consumers.
+    if group_cols:
+        joined = df.join(F.broadcast(bounds), group_cols)
+    else:
+        joined = df.withColumn("_k", F.lit(1)).join(
+            F.broadcast(bounds.withColumn("_k", F.lit(1))), "_k"
+        )
+    lo_of = {name: f"`{name}_lo`" for name, _, _, _ in targets}
+    hi_of = {name: f"`{name}_hi`" for name, _, _, _ in targets}
+    n_expr = "first(n) AS n"
+
+    cexpr = {name: f"CAST(`{col}` AS DOUBLE)" for name, col, _, _ in targets}
+    agg2a = [F.expr(n_expr)] + [F.expr(e) for e in extra_agg2a]
+    for name, _, _, _ in targets:
+        c, lo, hi = cexpr[name], lo_of[name], hi_of[name]
+        agg2a += [
+            F.expr(
+                f"SUM(CASE WHEN {c} < {lo} THEN 1 ELSE 0 END) AS `{name}_below`"
+            ),
+            F.expr(f"MAX(CASE WHEN {c} < {lo} THEN {c} END) AS `{name}_extlo`"),
+            F.expr(f"MIN(CASE WHEN {c} > {hi} THEN {c} END) AS `{name}_exthi`"),
+        ]
+    flat = (
+        joined.groupBy(*group_cols).agg(*agg2a) if group_cols else joined.agg(*agg2a)
+    )
+
+    win_sql = {
+        name: f"{cexpr[name]} BETWEEN {lo_of[name]} AND {hi_of[name]}"
+        for name, _, _, _ in targets
+    }
+    any_win = " OR ".join(win_sql.values())
+    win_cols = [
+        F.expr(f"CASE WHEN {win_sql[name]} THEN {cexpr[name]} END AS `_w_{name}`")
+        for name, _, _, _ in targets
+    ]
+    filtered = joined.where(F.expr(any_win)).select(
+        *([F.col(c) for c in group_cols] + win_cols)
+    )
+    agg2b = [
+        F.expr(f"sort_array(collect_list(`_w_{name}`)) AS `{name}_cands`")
+        for name, _, _, _ in targets
+    ]
+    cands = (
+        filtered.groupBy(*group_cols).agg(*agg2b) if group_cols else filtered.agg(*agg2b)
+    )
+    return flat.join(cands, group_cols) if group_cols else flat.crossJoin(cands)
+
+
+def _bracket_lookup(name: str):
+    """Candidate array + adjusted below-count for a target, with the
+    one-beyond ext statistics folded in (see _bracketed_stats)."""
+    ext_lo, ext_hi = F.col(f"{name}_extlo"), F.col(f"{name}_exthi")
+    cands = F.concat(
+        F.array_compact(F.array(ext_lo)),
+        F.coalesce(F.col(f"{name}_cands"), F.array().cast("array<double>")),
+        F.array_compact(F.array(ext_hi)),
+    )
+    below = F.col(f"{name}_below") - F.when(ext_lo.isNotNull(), 1).otherwise(0)
+    return cands, below
+
+
+def _bracket_lookup_sql(name: str, rank_sql: str, out: str) -> str:
+    """SQL-string form of a candidate-array order-statistic lookup (one
+    F.expr instead of ~15 py4j Column calls — the driver-side build time
+    of a 10-bucket query was dominated by py4j round-trips)."""
+    cands = (
+        f"concat(array_compact(array(`{name}_extlo`)), "
+        f"coalesce(`{name}_cands`, CAST(array() AS ARRAY<DOUBLE>)), "
+        f"array_compact(array(`{name}_exthi`)))"
+    )
+    below = f"(`{name}_below` - (CASE WHEN `{name}_extlo` IS NOT NULL THEN 1 ELSE 0 END))"
+    idx = f"CAST(({rank_sql}) - {below} + 1 AS INT)"
+    return (
+        f"CASE WHEN {idx} >= 1 "
+        f"THEN try_element_at({cands}, GREATEST({idx}, 1)) END AS `{out}`"
+    )
+
+
+def ntile_start_sql(i: int, nb: int, n: str = "n") -> str:
+    """SQL-string twin of ntile_start (0-based start rank of bucket i)."""
+    return (
+        f"({i - 1} * CAST(FLOOR(`{n}` / {nb}) AS BIGINT)"
+        f" + LEAST({i - 1}, CAST(`{n}` % {nb} AS BIGINT)))"
+    )
+
+
+def ntile_size_sql(i: int, nb: int, n: str = "n") -> str:
+    """SQL-string twin of ntile_size (row count of bucket i)."""
+    return (
+        f"(CAST(FLOOR(`{n}` / {nb}) AS BIGINT)"
+        f" + (CASE WHEN {i} <= CAST(`{n}` % {nb} AS BIGINT) THEN 1 ELSE 0 END))"
+    )
+
+
 def _exact_percentiles_hybrid(df, group_col: str, pairs, round_to: int | None = 6) -> DataFrame:
     """EXACT interpolated percentiles via a GK-sketch + exact-on-boundary
     hybrid — the distributed plan for exact quantiles at scale.
@@ -99,17 +260,11 @@ def _exact_percentiles_hybrid(df, group_col: str, pairs, round_to: int | None = 
        n/accuracy of its target rank, so the true floor((n-1)p) and
        floor((n-1)p)+1 order statistics both lie in [lo, hi] — a window
        of ~6n/accuracy rows (600 ppm of the group at acc=10k).
-    2. Per group: count(value < lo) and sort_array(collect_list(value in
-       [lo, hi])) — the ONLY buffered values are the tiny candidate
-       window; everything else partial-aggregates map-side. Two
-       safeguards make the bracket airtight: (a) groups of n <=
-       PCTL_SMALL_N widen the window to the whole group (same
-       O(accuracy) state the GK sketch already holds — this kills the
-       small-n regime where p±eps spans under one rank and the bracket
-       can miss), and (b) ONE order statistic beyond each bound
-       (max(v<lo), min(v>hi)) is folded into the candidate array with
-       the below-count shifted accordingly, absorbing the boundary
-       rank-error of the probes themselves.
+    2. Per group: below-counts/ext-statistics on a codegen'd full scan,
+       then candidate collection over only the in-window rows (see
+       _bracketed_stats for the 3-pass shape and both bracketing
+       safeguards: small-group full windows + one order statistic
+       folded in beyond each bound).
 
     The exact order statistics are then array lookups: the 0-based j-th
     value of the group is cands[j - below], and the interpolation
@@ -131,55 +286,18 @@ def _exact_percentiles_hybrid(df, group_col: str, pairs, round_to: int | None = 
     cardinality instead.
     """
     eps = 3.0 / PCTL_GK_ACCURACY
-    by_col: dict[str, list] = {}
-    for name, col, p in pairs:
-        by_col.setdefault(col, []).append((name, p))
-    agg1 = [F.count(F.lit(1)).alias("n")]
-    for col, targets in by_col.items():
-        probs = []
-        for _, p in targets:
-            probs += [max(0.0, p - eps), min(1.0, p + eps)]
-        agg1.append(
-            F.percentile_approx(
-                col, F.array(*[F.lit(x) for x in probs]), F.lit(PCTL_GK_ACCURACY)
-            ).alias(f"_b_{col}")
-        )
-    bounds = df.groupBy(group_col).agg(*agg1)
-    sel = [group_col, "n"]
-    for col, targets in by_col.items():
-        for i, (name, _) in enumerate(targets):
-            sel += [
-                F.element_at(f"_b_{col}", 2 * i + 1).alias(f"{name}_lo"),
-                F.element_at(f"_b_{col}", 2 * i + 2).alias(f"{name}_hi"),
-            ]
-    bounds = bounds.select(*sel)
-
-    small = F.col("n") <= F.lit(PCTL_SMALL_N)
-    agg2 = []
-    for name, col, p in pairs:
-        c = F.col(col).cast("double")
-        lo = F.when(small, F.lit(float("-inf"))).otherwise(F.col(f"{name}_lo"))
-        hi = F.when(small, F.lit(float("inf"))).otherwise(F.col(f"{name}_hi"))
-        agg2 += [
-            F.sum(F.when(c < lo, 1).otherwise(0)).alias(f"{name}_below"),
-            F.sort_array(
-                F.collect_list(F.when(c.between(lo, hi), c))
-            ).alias(f"{name}_cands"),
-            F.max(F.when(c < lo, c)).alias(f"{name}_extlo"),
-            F.min(F.when(c > hi, c)).alias(f"{name}_exthi"),
-        ]
-    joined = df.join(F.broadcast(bounds), group_col)
-    stats = joined.groupBy(group_col).agg(F.first("n").alias("n"), *agg2)
+    stats = _bracketed_stats(
+        df,
+        [group_col],
+        [
+            (name, col, max(0.0, p - eps), min(1.0, p + eps))
+            for name, col, p in pairs
+        ],
+    )
 
     out_cols = [group_col]
     for name, col, p in pairs:
-        ext_lo, ext_hi = F.col(f"{name}_extlo"), F.col(f"{name}_exthi")
-        cands = F.concat(
-            F.array_compact(F.array(ext_lo)),
-            F.col(f"{name}_cands"),
-            F.array_compact(F.array(ext_hi)),
-        )
-        below = F.col(f"{name}_below") - F.when(ext_lo.isNotNull(), 1).otherwise(0)
+        cands, below = _bracket_lookup(name)
         k = (F.col("n") - 1) * F.lit(p)
         j = F.floor(k)
         frac = k - j
@@ -199,73 +317,71 @@ def _exact_percentiles_hybrid(df, group_col: str, pairs, round_to: int | None = 
     return stats.select(*out_cols)
 
 
-def _exact_order_stats(df: DataFrame, col: str, targets, extra_eps: float = 0.0) -> DataFrame:
+def _exact_order_stats(
+    df: DataFrame, col: str, windows, extra_eps: float = 0.0,
+    with_minmax: bool = False,
+) -> DataFrame:
     """Global EXACT order statistics of ``col`` at data-dependent integer
     ranks, WITHOUT a global sort — the building block that retires the
     row-grain ntile windows (feature_quantile_bucket, stat_calibration_bins,
     agg_histogram_equidepth).
 
-    ``targets`` is ``[(name, probe_p, rank_fn)]``: ``probe_p`` is the
-    literal probability the GK sketch is probed around, ``rank_fn(n)`` a
-    Column expression for the 0-based target rank given the total count
-    (e.g. an ntile bucket's start rank). ``extra_eps`` widens the probes
-    to absorb |rank_fn(n)/n - probe_p| (for N-bucket ntile boundaries
-    pass ~(N+2)/PCTL_SMALL_N: groups at or below PCTL_SMALL_N take the
-    exact full-window path, so the GK bracket only has to hold for
-    n > PCTL_SMALL_N where the rank offset is at most (N+1)/n).
+    ``windows`` is ``[(probe_p, [(out_name, rank_fn), ...])]``: one GK
+    bracket window probed around ``probe_p``, serving every listed
+    lookup. ``rank_fn(n)`` is a Column expression for the 0-based target
+    rank given the total count. ADJACENT ranks share one window — an
+    ntile boundary's (hi_i = start-1, lo_{i+1} = start) pair costs one
+    bracket, not two, which keeps the per-pass aggregate count inside
+    whole-stage codegen's method-size budget (past ~10 windows the
+    generated code falls out of codegen and the scan goes interpreted —
+    measured 6x slower). ``with_minmax`` adds plain vmin/vmax columns
+    (rank 0 / n-1 need no GK bracket at all).
 
-    Same safeguards as _exact_percentiles_hybrid: small-n full window,
-    one extra order statistic folded beyond each bound, try_element_at.
-    Returns ONE row: ``n`` plus one exact double per target. Two scans of
-    ``df``, both fully partial-aggregated — at 100 TB this replaces a
-    single-task global sort with two map-side-combined passes.
+    ``extra_eps`` widens the probes to absorb |rank/n - probe_p| (for
+    N-bucket ntile boundaries pass ~(N+2)/PCTL_SMALL_N: groups at or
+    below PCTL_SMALL_N take the exact full-window path, so the GK
+    bracket only has to hold for n > PCTL_SMALL_N where the rank offset
+    is at most (N+1)/n).
+
+    Same safeguards and 3-pass plan as _exact_percentiles_hybrid (see
+    _bracketed_stats). Returns ONE row: ``n`` plus one exact double per
+    lookup — at 100 TB this replaces a single-task global sort with
+    map-side-combined passes.
     """
     eps = 3.0 / PCTL_GK_ACCURACY + extra_eps
-    probs = []
-    for _, p, _ in targets:
-        probs += [max(0.0, p - eps), min(1.0, p + eps)]
-    bounds = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.percentile_approx(
-            col, F.array(*[F.lit(x) for x in probs]), F.lit(PCTL_GK_ACCURACY)
-        ).alias("_b"),
+    extra = (
+        [
+            f"MIN(CAST(`{col}` AS DOUBLE)) AS vmin",
+            f"MAX(CAST(`{col}` AS DOUBLE)) AS vmax",
+        ]
+        if with_minmax
+        else []
     )
-    sel = [F.col("n")]
-    for i, (name, _, _) in enumerate(targets):
-        sel += [
-            F.element_at("_b", 2 * i + 1).alias(f"{name}_lo"),
-            F.element_at("_b", 2 * i + 2).alias(f"{name}_hi"),
-        ]
-    bounds = bounds.select(*sel)
-
-    small = F.col("n") <= F.lit(PCTL_SMALL_N)
-    agg2 = []
-    for name, _, _ in targets:
-        c = F.col(col).cast("double")
-        lo = F.when(small, F.lit(float("-inf"))).otherwise(F.col(f"{name}_lo"))
-        hi = F.when(small, F.lit(float("inf"))).otherwise(F.col(f"{name}_hi"))
-        agg2 += [
-            F.sum(F.when(c < lo, 1).otherwise(0)).alias(f"{name}_below"),
-            F.sort_array(F.collect_list(F.when(c.between(lo, hi), c))).alias(
-                f"{name}_cands"
-            ),
-            F.max(F.when(c < lo, c)).alias(f"{name}_extlo"),
-            F.min(F.when(c > hi, c)).alias(f"{name}_exthi"),
-        ]
-    stats = df.crossJoin(F.broadcast(bounds)).agg(F.first("n").alias("n"), *agg2)
+    stats = _bracketed_stats(
+        df,
+        [],
+        [
+            (f"w{i}", col, max(0.0, p - eps), min(1.0, p + eps))
+            for i, (p, _) in enumerate(windows)
+        ],
+        extra_agg2a=extra,
+    )
 
     out = [F.col("n").cast("long").alias("n")]
-    for name, _, rank_fn in targets:
-        ext_lo, ext_hi = F.col(f"{name}_extlo"), F.col(f"{name}_exthi")
-        cands = F.concat(
-            F.array_compact(F.array(ext_lo)),
-            F.col(f"{name}_cands"),
-            F.array_compact(F.array(ext_hi)),
-        )
-        below = F.col(f"{name}_below") - F.when(ext_lo.isNotNull(), 1).otherwise(0)
-        idx = (rank_fn(F.col("n")) - below + 1).cast("int")
-        v = F.when(idx >= 1, F.try_element_at(cands, F.greatest(idx, F.lit(1))))
-        out.append(v.alias(name))
+    if with_minmax:
+        out += [F.col("vmin"), F.col("vmax")]
+    for i, (_, lookups) in enumerate(windows):
+        for name, rank in lookups:
+            if isinstance(rank, str):
+                # SQL-string rank -> one F.expr for the whole lookup
+                out.append(F.expr(_bracket_lookup_sql(f"w{i}", rank, name)))
+            else:
+                cands, below = _bracket_lookup(f"w{i}")
+                idx = (rank(F.col("n")) - below + 1).cast("int")
+                v = F.when(
+                    idx >= 1, F.try_element_at(cands, F.greatest(idx, F.lit(1)))
+                )
+                out.append(v.alias(name))
     return stats.select(*out)
 
 

@@ -12,8 +12,8 @@ from pyspark.sql import functions as F
 from toy_map_reduce_spark.operators.extras import (
     PCTL_SMALL_N,
     _exact_order_stats,
-    ntile_size,
-    ntile_start,
+    ntile_size_sql,
+    ntile_start_sql,
 )
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
@@ -726,30 +726,26 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agg_approx_percentile) remains the sketch-only variant."""
     o = load(spark, sf_dir, "orders")
     nb = EQUIDEPTH_BUCKETS
-    targets = []
-    for i in range(1, nb + 1):
-        targets.append(
-            (f"lo_{i}", (i - 1) / nb, lambda n, i=i: ntile_start(i, n, nb))
+    windows = [
+        (
+            i / nb,
+            [
+                (f"hi_{i}", f"{ntile_start_sql(i + 1, nb)} - 1"),
+                (f"lo_{i + 1}", ntile_start_sql(i + 1, nb)),
+            ],
         )
-        if i < nb:
-            targets.append(
-                (f"hi_{i}", i / nb, lambda n, i=i: ntile_start(i + 1, n, nb) - 1)
-            )
-        else:
-            targets.append((f"hi_{i}", 1.0, lambda n: n - 1))
+        for i in range(1, nb)
+    ]
     one = _exact_order_stats(
-        o, "o_totalprice", targets, extra_eps=(nb + 2) / PCTL_SMALL_N
+        o, "o_totalprice", windows, extra_eps=(nb + 2) / PCTL_SMALL_N,
+        with_minmax=True,
     )
-    return one.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("bucket"),
-                    ntile_size(i, F.col("n"), nb).alias("cnt"),
-                    F.round(F.col(f"lo_{i}"), 2).alias("lo"),
-                    F.round(F.col(f"hi_{i}"), 2).alias("hi"),
-                )
-                for i in range(1, nb + 1)
-            ])
-        ).alias("b")
-    ).select("b.*")
+    lo = {i: f"`lo_{i}`" for i in range(2, nb + 1)}
+    hi = {i: f"`hi_{i}`" for i in range(1, nb)}
+    lo[1], hi[nb] = "vmin", "vmax"
+    structs = ", ".join(
+        f"named_struct('bucket', {i}, 'cnt', {ntile_size_sql(i, nb)}, "
+        f"'lo', round({lo[i]}, 2), 'hi', round({hi[i]}, 2))"
+        for i in range(1, nb + 1)
+    )
+    return one.selectExpr(f"inline(array({structs}))")

@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 from toy_map_reduce_spark.operators.extras import (
     PCTL_SMALL_N,
     _exact_order_stats,
-    ntile_size,
-    ntile_start,
+    ntile_size_sql,
+    ntile_start_sql,
 )
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
@@ -105,36 +105,32 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact. The old plan's single-task global sort is gone; this is the
     100 TB plan, exactly (not approximately)."""
     li = load(spark, sf_dir, "lineitem")
-    targets = []
-    for i in range(1, N_BUCKETS + 1):
-        targets.append(
-            (f"lo_{i}", (i - 1) / N_BUCKETS,
-             lambda n, i=i: ntile_start(i, n, N_BUCKETS))
+    # N-1 interior boundary windows, each serving BOTH adjacent order
+    # statistics (hi_i at start-1, lo_{i+1} at start); the outer bounds
+    # are plain min/max
+    windows = [
+        (
+            i / N_BUCKETS,
+            [
+                (f"hi_{i}", f"{ntile_start_sql(i + 1, N_BUCKETS)} - 1"),
+                (f"lo_{i + 1}", ntile_start_sql(i + 1, N_BUCKETS)),
+            ],
         )
-        if i < N_BUCKETS:
-            targets.append(
-                (f"hi_{i}", i / N_BUCKETS,
-                 lambda n, i=i: ntile_start(i + 1, n, N_BUCKETS) - 1)
-            )
-        else:
-            targets.append((f"hi_{i}", 1.0, lambda n: n - 1))
+        for i in range(1, N_BUCKETS)
+    ]
     one = _exact_order_stats(
-        li, "l_extendedprice", targets,
-        extra_eps=(N_BUCKETS + 2) / PCTL_SMALL_N,
+        li, "l_extendedprice", windows,
+        extra_eps=(N_BUCKETS + 2) / PCTL_SMALL_N, with_minmax=True,
     )
-    return one.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("bucket"),
-                    ntile_size(i, F.col("n"), N_BUCKETS).alias("n"),
-                    F.round(F.col(f"lo_{i}"), 2).alias("lo"),
-                    F.round(F.col(f"hi_{i}"), 2).alias("hi"),
-                )
-                for i in range(1, N_BUCKETS + 1)
-            ])
-        ).alias("b")
-    ).select("b.*").orderBy("bucket")
+    lo = {i: f"`lo_{i}`" for i in range(2, N_BUCKETS + 1)}
+    hi = {i: f"`hi_{i}`" for i in range(1, N_BUCKETS)}
+    lo[1], hi[N_BUCKETS] = "vmin", "vmax"
+    structs = ", ".join(
+        f"named_struct('bucket', {i}, 'n', {ntile_size_sql(i, N_BUCKETS)}, "
+        f"'lo', round({lo[i]}, 2), 'hi', round({hi[i]}, 2))"
+        for i in range(1, N_BUCKETS + 1)
+    )
+    return one.selectExpr(f"inline(array({structs}))").orderBy("bucket")
 
 
 CHURN_HOLDOUT_DAYS = 14

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from toy_map_reduce_spark.operators.extras import (
     PCTL_SMALL_N,
     _exact_order_stats,
-    ntile_start,
+    ntile_start_sql,
 )
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
@@ -541,9 +541,6 @@ def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     would make one tie-class partition large; that is the inherent cost
     of ntile's split-the-ties contract, and it is isolated to the tie
     branch (typically ~0 rows on continuous scores)."""
-    from functools import reduce
-    from operator import add, or_
-
     lab = (
         load(spark, sf_dir, "events")
         .where(F.col("event_type").isin("purchase", "click"))
@@ -554,47 +551,50 @@ def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nb = 10
-    targets = [
-        (f"b{i}", i / nb, lambda n, i=i: ntile_start(i + 1, n, nb))
-        for i in range(1, nb)
+    windows = [
+        (i / nb, [(f"b{i}", ntile_start_sql(i + 1, nb))]) for i in range(1, nb)
     ]
-    bnd = _exact_order_stats(lab, "score", targets, extra_eps=(nb + 2) / PCTL_SMALL_N)
-    info = lab.crossJoin(F.broadcast(bnd)).agg(
-        F.first("n").alias("n"),
-        *[F.first(f"b{i}").alias(f"b{i}") for i in range(1, nb)],
-        *[
-            F.sum(F.when(F.col("score") < F.col(f"b{i}"), 1).otherwise(0))
-            .alias(f"lt{i}")
-            for i in range(1, nb)
-        ],
-    )
-    jj = lab.crossJoin(F.broadcast(info))
-    is_tie = reduce(or_, [F.col("score") == F.col(f"b{i}") for i in range(1, nb)])
-    nontie = jj.where(~is_tie).select(
-        "label",
-        "score",
-        reduce(
-            add,
-            [F.when(F.col("score") > F.col(f"b{i}"), 1).otherwise(0) for i in range(1, nb)],
-            F.lit(1),
-        ).alias("bin"),
-    )
-    w_tie = Window.partitionBy("score").orderBy("event_id")
-    lt_here = F.coalesce(
-        *[F.when(F.col("score") == F.col(f"b{i}"), F.col(f"lt{i}")) for i in range(1, nb)]
-    )
-    rank = lt_here + F.row_number().over(w_tie) - 1
-    tie = jj.where(is_tie).select(
-        "label",
-        "score",
-        reduce(
-            add,
-            [
-                F.when(rank >= ntile_start(i, F.col("n"), nb), 1).otherwise(0)
-                for i in range(2, nb + 1)
+    bnd = _exact_order_stats(lab, "score", windows, extra_eps=(nb + 2) / PCTL_SMALL_N)
+    # constant-key broadcast equi-joins (NOT crossJoin: a one-row
+    # BroadcastNestedLoopJoin evaluates every predicate interpreted,
+    # outside codegen — see _bracketed_stats)
+    info = (
+        lab.withColumn("_k", F.lit(1))
+        .join(F.broadcast(bnd.withColumn("_k", F.lit(1))), "_k")
+        .agg(
+            F.first("n").alias("n"),
+            *[F.first(f"b{i}").alias(f"b{i}") for i in range(1, nb)],
+            *[
+                F.sum(F.when(F.col("score") < F.col(f"b{i}"), 1).otherwise(0))
+                .alias(f"lt{i}")
+                for i in range(1, nb)
             ],
-            F.lit(1),
-        ).alias("bin"),
+        )
+    )
+    jj = lab.withColumn("_k", F.lit(1)).join(
+        F.broadcast(info.withColumn("_k", F.lit(1))), "_k"
+    )
+    # assignment expressions as SQL strings (py4j Column construction cost
+    # — see _bracketed_stats)
+    is_tie = " OR ".join(f"score = `b{i}`" for i in range(1, nb))
+    nontie_bin = "1 + " + " + ".join(
+        f"(CASE WHEN score > `b{i}` THEN 1 ELSE 0 END)" for i in range(1, nb)
+    )
+    nontie = jj.where(f"NOT ({is_tie})").selectExpr(
+        "label", "score", f"CAST({nontie_bin} AS INT) AS bin"
+    )
+    lt_here = "COALESCE(" + ", ".join(
+        f"CASE WHEN score = `b{i}` THEN `lt{i}` END" for i in range(1, nb)
+    ) + ")"
+    rank = f"({lt_here} + row_number() OVER (PARTITION BY score ORDER BY event_id) - 1)"
+    tie_bin = "1 + " + " + ".join(
+        f"(CASE WHEN _rank >= {ntile_start_sql(i, nb)} THEN 1 ELSE 0 END)"
+        for i in range(2, nb + 1)
+    )
+    tie = (
+        jj.where(is_tie)
+        .selectExpr("label", "score", "n", f"{rank} AS _rank")
+        .selectExpr("label", "score", f"CAST({tie_bin} AS INT) AS bin")
     )
     return (
         nontie.unionByName(tie)
