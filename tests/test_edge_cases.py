@@ -333,7 +333,7 @@ def test_exact_order_stats_gk_branch(spark):
         PCTL_SMALL_N,
         _exact_order_stats,
         ntile_size,
-        ntile_start,
+        ntile_start_sql,
     )
 
     rng = random.Random(7)
@@ -349,17 +349,17 @@ def test_exact_order_stats_gk_branch(spark):
         (
             (i - 1) / nb,
             [
-                (f"s{i}", lambda nn, i=i: ntile_start(i, nn, nb)),
+                (f"s{i}", ntile_start_sql(i, nb)),
                 # adjacent lookup sharing the window (the hi_i/lo_{i+1} trick)
-                (f"s{i}m1", lambda nn, i=i: ntile_start(i, nn, nb) - 1),
+                (f"s{i}m1", f"{ntile_start_sql(i, nb)} - 1"),
             ],
         )
         for i in range(2, nb + 1)
     ]
     windows += [
-        (0.0, [("first", lambda nn: F.lit(0))]),
-        (1.0, [("last", lambda nn: nn - 1)]),
-        (0.5, [("mid", lambda nn: F.floor(nn / 2).cast("long"))]),
+        (0.0, [("first", "0")]),
+        (1.0, [("last", "`n` - 1")]),
+        (0.5, [("mid", "CAST(FLOOR(`n` / 2) AS BIGINT)")]),
     ]
     row = _exact_order_stats(
         df, "v", windows, extra_eps=(nb + 2) / PCTL_SMALL_N, with_minmax=True

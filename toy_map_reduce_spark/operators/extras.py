@@ -187,44 +187,65 @@ def _bracketed_stats(df, group_cols: list[str], targets, extra_agg2a=()) -> Data
     filtered = joined.where(F.expr(any_win)).select(
         *([F.col(c) for c in group_cols] + win_cols)
     )
-    agg2b = [
-        F.expr(f"sort_array(collect_list(`_w_{name}`)) AS `{name}_cands`")
-        for name, _, _, _ in targets
-    ]
-    cands = (
-        filtered.groupBy(*group_cols).agg(*agg2b) if group_cols else filtered.agg(*agg2b)
+    # Candidate windows as (value, count) PAIRS, not raw values: a
+    # pre-aggregation on (group, target, value) bounds the buffered state
+    # by the window's CARDINALITY instead of its row count — on a
+    # low-cardinality column (l_quantity: ~50 distinct values) a raw
+    # window would buffer the entire tie class of lo/hi (~2% of the
+    # group), breaking the "never a full per-group buffer" contract.
+    stack_args = ", ".join(f"'{name}', `_w_{name}`" for name, _, _, _ in targets)
+    long = filtered.selectExpr(
+        *group_cols, f"stack({len(targets)}, {stack_args}) AS (_tid, _v)"
+    ).where("_v IS NOT NULL")
+    byval = long.groupBy(*(group_cols + ["_tid", "_v"])).agg(F.expr("COUNT(*) AS cnt"))
+    pairs = byval.groupBy(*(group_cols + ["_tid"])).agg(
+        F.expr("sort_array(collect_list(struct(_v AS v, cnt))) AS _ps")
     )
-    return flat.join(cands, group_cols) if group_cols else flat.crossJoin(cands)
-
-
-def _bracket_lookup(name: str):
-    """Candidate array + adjusted below-count for a target, with the
-    one-beyond ext statistics folded in (see _bracketed_stats)."""
-    ext_lo, ext_hi = F.col(f"{name}_extlo"), F.col(f"{name}_exthi")
-    cands = F.concat(
-        F.array_compact(F.array(ext_lo)),
-        F.coalesce(F.col(f"{name}_cands"), F.array().cast("array<double>")),
-        F.array_compact(F.array(ext_hi)),
+    wide = pairs.groupBy(*group_cols).agg(
+        *[
+            F.expr(f"first(CASE WHEN _tid = '{name}' THEN _ps END, true) AS `{name}_cands`")
+            for name, _, _, _ in targets
+        ]
     )
-    below = F.col(f"{name}_below") - F.when(ext_lo.isNotNull(), 1).otherwise(0)
-    return cands, below
+    return flat.join(wide, group_cols) if group_cols else flat.crossJoin(wide)
 
 
-def _bracket_lookup_sql(name: str, rank_sql: str, out: str) -> str:
-    """SQL-string form of a candidate-array order-statistic lookup (one
-    F.expr instead of ~15 py4j Column calls — the driver-side build time
-    of a 10-bucket query was dominated by py4j round-trips)."""
+_PAIR_ARR = "ARRAY<STRUCT<v: DOUBLE, cnt: BIGINT>>"
+
+
+def _bracket_walk_sql(name: str, rank_sql: str, out: str) -> str:
+    """SQL-string order-statistic lookup over a (value, count) candidate
+    window: folds the one-beyond ext statistics in as count-1 pairs, then
+    one ``aggregate`` pass walks the cumulative counts to capture the
+    values at the target rank and the rank after it (v1/v2 — v2 feeds
+    interpolation; single-rank callers read v1). Emitted as one F.expr
+    (py4j Column construction cost — see _bracketed_stats). Out-of-range
+    ranks yield NULL fields, never a crash."""
     cands = (
-        f"concat(array_compact(array(`{name}_extlo`)), "
-        f"coalesce(`{name}_cands`, CAST(array() AS ARRAY<DOUBLE>)), "
-        f"array_compact(array(`{name}_exthi`)))"
+        f"concat("
+        f"CASE WHEN `{name}_extlo` IS NOT NULL THEN array(named_struct("
+        f"'v', `{name}_extlo`, 'cnt', CAST(1 AS BIGINT))) "
+        f"ELSE CAST(array() AS {_PAIR_ARR}) END, "
+        f"coalesce(`{name}_cands`, CAST(array() AS {_PAIR_ARR})), "
+        f"CASE WHEN `{name}_exthi` IS NOT NULL THEN array(named_struct("
+        f"'v', `{name}_exthi`, 'cnt', CAST(1 AS BIGINT))) "
+        f"ELSE CAST(array() AS {_PAIR_ARR}) END)"
     )
     below = f"(`{name}_below` - (CASE WHEN `{name}_extlo` IS NOT NULL THEN 1 ELSE 0 END))"
-    idx = f"CAST(({rank_sql}) - {below} + 1 AS INT)"
-    return (
-        f"CASE WHEN {idx} >= 1 "
-        f"THEN try_element_at({cands}, GREATEST({idx}, 1)) END AS `{out}`"
+    idx0 = f"(({rank_sql}) - {below})"
+    walk = (
+        f"aggregate({cands}, "
+        f"named_struct('cum', CAST(0 AS BIGINT), 'v1', CAST(NULL AS DOUBLE), "
+        f"'v2', CAST(NULL AS DOUBLE)), "
+        f"(acc, p) -> CASE WHEN acc.v2 IS NOT NULL THEN acc ELSE named_struct("
+        f"'cum', acc.cum + p.cnt, "
+        f"'v1', CASE WHEN acc.v1 IS NOT NULL THEN acc.v1 "
+        f"WHEN acc.cum + p.cnt > {idx0} THEN p.v END, "
+        f"'v2', CASE WHEN acc.v2 IS NOT NULL THEN acc.v2 "
+        f"WHEN acc.cum + p.cnt > {idx0} + 1 THEN p.v END) END, "
+        f"acc -> named_struct('v1', acc.v1, 'v2', acc.v2))"
     )
+    return f"CASE WHEN {idx0} >= 0 THEN {walk} END AS `{out}`"
 
 
 def ntile_start_sql(i: int, nb: int, n: str = "n") -> str:
@@ -266,24 +287,21 @@ def _exact_percentiles_hybrid(df, group_col: str, pairs, round_to: int | None = 
        safeguards: small-group full windows + one order statistic
        folded in beyond each bound).
 
-    The exact order statistics are then array lookups: the 0-based j-th
-    value of the group is cands[j - below], and the interpolation
-    v_j * (j+1-k) + v_{j+1} * (k-j) reproduces F.percentile /
-    quantile_cont bit-for-bit (same IEEE op sequence as Spark's
-    Percentile; stress-pinned in tests/test_edge_cases.py). Lookups use try_element_at with a
-    null-guard (frac == 0 OR v2 IS NULL -> v1), so a violated bracket
-    degrades to a null cell a parity test catches — never a crash.
-    ``pairs`` is [(out_name, col, p), ...]; ``round_to=None`` returns
-    the raw exact doubles (for use as internal cut points, e.g.
-    agg_trimmed_mean).
+    The exact order statistics then come from a cumulative-count walk
+    over the (value, count) candidate pairs (_bracket_walk_sql), and the
+    interpolation v_j * (j+1-k) + v_{j+1} * (k-j) reproduces
+    F.percentile / quantile_cont bit-for-bit (same IEEE op sequence as
+    Spark's Percentile; stress-pinned in tests/test_edge_cases.py). A
+    violated bracket degrades to a null cell a parity test catches —
+    never a crash. ``pairs`` is [(out_name, col, p), ...];
+    ``round_to=None`` returns the raw exact doubles (for use as internal
+    cut points, e.g. agg_trimmed_mean).
 
-    Tie-class caveat: the window holds RAW values, so on a
-    low-cardinality column (e.g. l_quantity's ~50 distinct values) the
-    entire tie class of lo/hi is buffered — memory is bounded by
-    6n/accuracy OR the largest tie class, whichever is bigger. For
-    heavy-tie columns at 100 TB, swap the collect_list for per-(group,
-    value) pre-aggregated (value, count) pairs to bound state by
-    cardinality instead.
+    Memory bound: the buffered window state is min(~6n/accuracy rows,
+    DISTINCT values in the window) per target — heavy-tie columns (e.g.
+    l_quantity's ~50 distinct values) cost their cardinality, never the
+    tie class's row count (the pre-aggregated pair fix for the r4
+    advisor's tie-class caveat).
     """
     eps = 3.0 / PCTL_GK_ACCURACY
     stats = _bracketed_stats(
@@ -295,26 +313,29 @@ def _exact_percentiles_hybrid(df, group_col: str, pairs, round_to: int | None = 
         ],
     )
 
-    out_cols = [group_col]
+    sel1 = [f"`{group_col}`", "n"]
     for name, col, p in pairs:
-        cands, below = _bracket_lookup(name)
-        k = (F.col("n") - 1) * F.lit(p)
-        j = F.floor(k)
-        frac = k - j
-        idx1 = (j - below + 1).cast("int")
-        v1 = F.when(idx1 >= 1, F.try_element_at(cands, F.greatest(idx1, F.lit(1))))
-        v2 = F.when(
-            idx1 >= 0, F.try_element_at(cands, F.greatest(idx1 + 1, F.lit(1)))
-        )
+        k = f"((`n` - 1) * CAST('{float(p)!r}' AS DOUBLE))"
+        j = f"CAST(FLOOR({k}) AS BIGINT)"
+        sel1.append(_bracket_walk_sql(name, j, f"_s_{name}"))
+    mid = stats.selectExpr(*sel1)
+
+    sel2 = [f"`{group_col}`"]
+    for name, col, p in pairs:
+        k = f"((`n` - 1) * CAST('{float(p)!r}' AS DOUBLE))"
+        j = f"CAST(FLOOR({k}) AS BIGINT)"
+        frac = f"({k} - {j})"
+        v1, v2 = f"`_s_{name}`.v1", f"`_s_{name}`.v2"
         # Spark's Percentile interpolates v1*(ceil(k)-k) + v2*(k-floor(k));
         # use the identical op sequence so results are bit-for-bit equal.
-        exact = F.when((frac == 0) | v2.isNull(), v1).otherwise(
-            v1 * ((j + 1) - k) + v2 * frac
+        exact = (
+            f"CASE WHEN {frac} = 0 OR {v2} IS NULL THEN {v1} "
+            f"ELSE {v1} * (({j} + 1) - {k}) + {v2} * {frac} END"
         )
-        out_cols.append(
-            exact.alias(name) if round_to is None else F.round(exact, round_to).alias(name)
-        )
-    return stats.select(*out_cols)
+        if round_to is not None:
+            exact = f"round({exact}, {round_to})"
+        sel2.append(f"{exact} AS `{name}`")
+    return mid.selectExpr(*sel2)
 
 
 def _exact_order_stats(
@@ -326,10 +347,11 @@ def _exact_order_stats(
     row-grain ntile windows (feature_quantile_bucket, stat_calibration_bins,
     agg_histogram_equidepth).
 
-    ``windows`` is ``[(probe_p, [(out_name, rank_fn), ...])]``: one GK
+    ``windows`` is ``[(probe_p, [(out_name, rank_sql), ...])]``: one GK
     bracket window probed around ``probe_p``, serving every listed
-    lookup. ``rank_fn(n)`` is a Column expression for the 0-based target
-    rank given the total count. ADJACENT ranks share one window — an
+    lookup. ``rank_sql`` is a SQL-string expression for the 0-based
+    target rank in terms of the count column ``n`` (e.g.
+    ntile_start_sql). ADJACENT ranks share one window — an
     ntile boundary's (hi_i = start-1, lo_{i+1} = start) pair costs one
     bracket, not two, which keeps the per-pass aggregate count inside
     whole-stage codegen's method-size budget (past ~10 windows the
@@ -367,22 +389,16 @@ def _exact_order_stats(
         extra_agg2a=extra,
     )
 
-    out = [F.col("n").cast("long").alias("n")]
+    out = ["CAST(n AS BIGINT) AS n"]
     if with_minmax:
-        out += [F.col("vmin"), F.col("vmax")]
+        out += ["vmin", "vmax"]
+    walks, finals = [], []
     for i, (_, lookups) in enumerate(windows):
-        for name, rank in lookups:
-            if isinstance(rank, str):
-                # SQL-string rank -> one F.expr for the whole lookup
-                out.append(F.expr(_bracket_lookup_sql(f"w{i}", rank, name)))
-            else:
-                cands, below = _bracket_lookup(f"w{i}")
-                idx = (rank(F.col("n")) - below + 1).cast("int")
-                v = F.when(
-                    idx >= 1, F.try_element_at(cands, F.greatest(idx, F.lit(1)))
-                )
-                out.append(v.alias(name))
-    return stats.select(*out)
+        for name, rank_sql in lookups:
+            walks.append(_bracket_walk_sql(f"w{i}", rank_sql, f"_s_{name}"))
+            finals.append(f"`_s_{name}`.v1 AS `{name}`")
+    mid = stats.selectExpr(*(out + walks))
+    return mid.selectExpr(*(["n"] + (["vmin", "vmax"] if with_minmax else []) + finals))
 
 
 def ntile_start(i: int, n, n_buckets: int):

@@ -554,7 +554,12 @@ def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows = [
         (i / nb, [(f"b{i}", ntile_start_sql(i + 1, nb))]) for i in range(1, nb)
     ]
-    bnd = _exact_order_stats(lab, "score", windows, extra_eps=(nb + 2) / PCTL_SMALL_N)
+    # one-row frames consumed by multiple downstream branches (info; the
+    # non-tie and tie assignment scans): persist so the boundary and
+    # below-count subtrees evaluate once, not once per consumer
+    bnd = _exact_order_stats(
+        lab, "score", windows, extra_eps=(nb + 2) / PCTL_SMALL_N
+    ).persist()
     # constant-key broadcast equi-joins (NOT crossJoin: a one-row
     # BroadcastNestedLoopJoin evaluates every predicate interpreted,
     # outside codegen — see _bracketed_stats)
@@ -570,6 +575,7 @@ def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(1, nb)
             ],
         )
+        .persist()
     )
     jj = lab.withColumn("_k", F.lit(1)).join(
         F.broadcast(info.withColumn("_k", F.lit(1))), "_k"

@@ -45,7 +45,11 @@ def get_spark(
         # in tables.load_events.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = one JVM holding driver + all 32 executor threads +
+        # the persisted staging tables (shingles, windows, knn vectors);
+        # 8g left the bench GC-bound once caches accumulated — the box has
+        # 128 GiB, size the heap like the executor fleet it stands in for
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
