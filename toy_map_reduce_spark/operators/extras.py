@@ -98,14 +98,18 @@ def _bracketed_stats(df, group_cols: list[str], targets, extra_agg2a=()) -> Data
         forced the whole scan through ObjectHashAggregate and tripled
         the query time).
     2b. Candidate collection over ONLY the rows inside any bracket
-        window (~6n/accuracy per target): the one ObjectHashAggregate,
-        fed a thousandth of the scan.
+        window (~6n/accuracy per target), pre-aggregated per (group,
+        target, value) into sorted (value, count) PAIRS — the one
+        ObjectHashAggregate is fed a thousandth of the scan AND its
+        buffered state is bounded by the window's CARDINALITY, so a
+        heavy-tie column costs its distinct count, never a tie class's
+        row count.
 
     Small-group safeguard: groups of n <= PCTL_SMALL_N widen their
     windows to the whole group (same O(accuracy) state the sketch holds),
     killing the regime where p±eps spans under one rank.
-    Returns per group: n plus {name}_below / {name}_cands / {name}_extlo
-    / {name}_exthi.
+    Returns per group: n plus {name}_below / {name}_cands (pair array) /
+    {name}_extlo / {name}_exthi.
     """
     by_col: dict[str, list] = {}
     for name, col, plo, phi in targets:
