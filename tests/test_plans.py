@@ -486,3 +486,26 @@ def test_ntile_family_has_no_global_window(spark, sf_dir):
                 "stat_calibration_bins: Window must be partitioned by the "
                 f"score tie class, got: {line.strip()}"
             )
+
+
+def test_percentile_family_joins_stay_hash_not_nested_loop(spark, sf_dir):
+    # the bracketed-window core attaches its one-row bounds via a
+    # constant-key BroadcastHashJoin; a plain crossJoin(broadcast(...))
+    # regresses to a BroadcastNestedLoopJoin whose projections run
+    # interpreted outside whole-stage codegen (measured 4x slower at 20
+    # targets) — pin the join strategy
+    for name in (
+        "agg_percentile",
+        "agg_trimmed_mean",
+        "feature_quantile_bucket",
+        "agg_histogram_equidepth",
+        "stat_calibration_bins",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        # the only tolerated nested-loop is joining two ONE-ROW aggregate
+        # results (flat x cands); the fact scan must never stream through
+        # one. Heuristic: a BNLJ is fine only if the plan also shows the
+        # one-row join of two final HashAggregates — assert the fact-side
+        # join is hash-based by requiring at least one BroadcastHashJoin.
+        assert "BroadcastHashJoin" in plan, f"{name}: bounds join lost hash form"

@@ -157,8 +157,14 @@ def _bracketed_stats(df, group_cols: list[str], targets, extra_agg2a=()) -> Data
     if group_cols:
         joined = df.join(F.broadcast(bounds), group_cols)
     else:
-        joined = df.withColumn("_k", F.lit(1)).join(
-            F.broadcast(bounds.withColumn("_k", F.lit(1))), "_k"
+        # the key must be column-DEPENDENT (always 0, but not foldable):
+        # a literal key constant-folds to `true` and the join degenerates
+        # to a BroadcastNestedLoopJoin
+        first_col = targets[0][1]
+        joined = df.withColumn(
+            "_k", F.expr(f"pmod(hash(`{first_col}`), 1)")
+        ).join(
+            F.broadcast(bounds.withColumn("_k", F.expr("pmod(hash(n), 1)"))), "_k"
         )
     lo_of = {name: f"`{name}_lo`" for name, _, _, _ in targets}
     hi_of = {name: f"`{name}_hi`" for name, _, _, _ in targets}
