@@ -348,18 +348,17 @@ def test_exact_order_stats_gk_branch(spark):
     windows = [
         (
             (i - 1) / nb,
-            [
-                (f"s{i}", ntile_start_sql(i, nb)),
-                # adjacent lookup sharing the window (the hi_i/lo_{i+1} trick)
-                (f"s{i}m1", f"{ntile_start_sql(i, nb)} - 1"),
-            ],
+            # ONE walk at start-1 serves both adjacent lookups (v1/v2)
+            # plus the boundary's exact below-count (c1)
+            f"{ntile_start_sql(i, nb)} - 1",
+            [("v1", f"s{i}m1"), ("v2", f"s{i}"), ("c1", f"lt{i}m1")],
         )
         for i in range(2, nb + 1)
     ]
     windows += [
-        (0.0, [("first", "0")]),
-        (1.0, [("last", "`n` - 1")]),
-        (0.5, [("mid", "CAST(FLOOR(`n` / 2) AS BIGINT)")]),
+        (0.0, "0", [("v1", "first")]),
+        (1.0, "`n` - 1", [("v1", "last")]),
+        (0.5, "CAST(FLOOR(`n` / 2) AS BIGINT)", [("v1", "mid")]),
     ]
     row = _exact_order_stats(
         df, "v", windows, extra_eps=(nb + 2) / PCTL_SMALL_N, with_minmax=True
@@ -371,6 +370,9 @@ def test_exact_order_stats_gk_branch(spark):
     for i in range(2, nb + 1):
         assert row[f"s{i}"] == s[starts[i - 1]], (i, starts[i - 1])
         assert row[f"s{i}m1"] == s[starts[i - 1] - 1], (i, starts[i - 1] - 1)
+        # c1 = exact global count of rows strictly below the walked value
+        want_lt = sum(1 for v in s if v < s[starts[i - 1] - 1])
+        assert row[f"lt{i}m1"] == want_lt, (i, row[f"lt{i}m1"], want_lt)
     assert row["first"] == s[0] and row["last"] == s[-1]
     assert row["vmin"] == s[0] and row["vmax"] == s[-1]
     assert row["mid"] == s[n // 2]

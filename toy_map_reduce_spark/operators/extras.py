@@ -82,47 +82,66 @@ PCTL_GK_ACCURACY = 10_000  # GK rank error <= n/acc; candidate window ~6n/acc ro
 PCTL_SMALL_N = PCTL_GK_ACCURACY
 
 
-def _bracketed_stats(df, group_cols: list[str], targets, extra_agg2a=()) -> DataFrame:
+def _bracketed_stats(
+    df, group_cols: list[str], targets, with_minmax: bool = False
+) -> DataFrame:
     """Shared core of _exact_percentiles_hybrid / _exact_order_stats: per
     group, the GK-bracketed candidate windows for each target.
 
     ``targets`` is [(name, col, p_lo, p_hi)] with literal probe
-    probabilities. Three fully partial-aggregated passes:
+    probabilities. TWO fully partial-aggregated corpus passes (the r5
+    verdict's pass-sharing fix fused the old below-count scan and the
+    candidate-collection scan into one):
 
     1. GK bounds: count n + ONE percentile_approx sketch per distinct
        column answering all probes.
-    2a. Codegen'd HashAggregate full scan: per target the below-count
-        plus ONE order statistic beyond each bound (max(v<lo), min(v>hi))
-        — simple-typed aggregates only, so this stays in whole-stage
-        codegen (an earlier shape put the collect_lists here too, which
-        forced the whole scan through ObjectHashAggregate and tripled
-        the query time).
-    2b. Candidate collection over ONLY the rows inside any bracket
-        window (~6n/accuracy per target), pre-aggregated per (group,
-        target, value) into sorted (value, count) PAIRS — the one
-        ObjectHashAggregate is fed a thousandth of the scan AND its
-        buffered state is bounded by the window's CARDINALITY, so a
-        heavy-tie column costs its distinct count, never a tie class's
-        row count.
+    2. One codegen'd scan stacks each row into (target, region, value)
+       where region is -1/0/+1 for below-window / in-window / above-
+       window, then hash-aggregates per (group, target, region, value-
+       if-in-window) — the key space is the window's CARDINALITY plus
+       two sentinel regions per target, so map-side combine absorbs
+       virtually every row. A second (tiny, post-shuffle) aggregate
+       rolls that up to the per-group row: below-counts and one order
+       statistic beyond each bound (max over region -1 / min over
+       region +1) plus the sorted (value, count) candidate PAIRS. The
+       collect_list only ever sees the pre-aggregated pair table, so
+       the buffered state is bounded by window cardinality, never a tie
+       class's row count, and the corpus scan itself stays in
+       whole-stage codegen (no Object aggregate touches it).
 
     Small-group safeguard: groups of n <= PCTL_SMALL_N widen their
     windows to the whole group (same O(accuracy) state the sketch holds),
     killing the regime where p±eps spans under one rank.
     Returns per group: n plus {name}_below / {name}_cands (pair array) /
-    {name}_extlo / {name}_exthi.
+    {name}_extlo / {name}_exthi (+ vmin/vmax with ``with_minmax``).
+
+    CONTRACT: target columns must be non-NULL (every current caller
+    feeds a parquet column that is non-null by construction, or
+    pre-filters). ``n`` counts rows, and the rank arithmetic downstream
+    equates that with the measure's value count — a NULL-bearing column
+    would shift every rank (F.percentile ignores NULLs; this scaffold
+    would not). An all-NULL group degrades to NULL cells (empty
+    candidate windows) rather than vanishing.
+
+    Everything is SQL strings fed to selectExpr / F.expr in bulk:
+    profiling showed the Column-object form cost ~0.65 s of pure py4j
+    round trips PER BUILD at 9 targets (~3 300 socket round trips) —
+    about half these queries' end-to-end time at sf0.1.
     """
     by_col: dict[str, list] = {}
     for name, col, plo, phi in targets:
         by_col.setdefault(col, []).append((name, plo, phi))
-    agg1 = [F.count(F.lit(1)).alias("n")]
+    agg1 = [F.expr("COUNT(1) AS n")]
     for col, tgts in by_col.items():
         probs = []
         for _, plo, phi in tgts:
             probs += [plo, phi]
+        arr = ", ".join(repr(float(p)) for p in probs)
         agg1.append(
-            F.percentile_approx(
-                col, F.array(*[F.lit(x) for x in probs]), F.lit(PCTL_GK_ACCURACY)
-            ).alias(f"_b_{col}")
+            F.expr(
+                f"percentile_approx(`{col}`, array({arr}), {PCTL_GK_ACCURACY}) "
+                f"AS `_b_{col}`"
+            )
         )
     bounds = df.groupBy(*group_cols).agg(*agg1) if group_cols else df.agg(*agg1)
     # The small-group widening depends only on n, so it folds into the
@@ -131,93 +150,117 @@ def _bracketed_stats(df, group_cols: list[str], targets, extra_agg2a=()) -> Data
     # expressions per row instead blew the per-row expression trees up
     # enough to fall out of whole-stage codegen (measured 6x slower at
     # 20 targets).
-    small = F.col("n") <= F.lit(PCTL_SMALL_N)
-    sel = [F.col(c) for c in group_cols] + [F.col("n")]
+    small = f"n <= {PCTL_SMALL_N}"
+    sel = list(group_cols) + ["n"]
     for col, tgts in by_col.items():
         for i, (name, _, _) in enumerate(tgts):
-            lo = F.element_at(f"_b_{col}", 2 * i + 1).cast("double")
-            hi = F.element_at(f"_b_{col}", 2 * i + 2).cast("double")
+            lo = f"CAST(element_at(`_b_{col}`, {2 * i + 1}) AS DOUBLE)"
+            hi = f"CAST(element_at(`_b_{col}`, {2 * i + 2}) AS DOUBLE)"
             sel += [
-                F.when(small, F.lit(float("-inf"))).otherwise(lo).alias(f"{name}_lo"),
-                F.when(small, F.lit(float("inf"))).otherwise(hi).alias(f"{name}_hi"),
+                f"CASE WHEN {small} THEN CAST('-Infinity' AS DOUBLE) "
+                f"ELSE {lo} END AS `{name}_lo`",
+                f"CASE WHEN {small} THEN CAST('Infinity' AS DOUBLE) "
+                f"ELSE {hi} END AS `{name}_hi`",
             ]
-    bounds = bounds.select(*sel)
+    bounds = bounds.selectExpr(*sel)
 
-    # Stage-2 expressions are built as SQL STRINGS (one F.expr each): the
-    # Column-object form crossed py4j hundreds of times per target set and
-    # cost ~3 s of pure driver build time at 20 targets.
     # Attach the (tiny) bounds to every row through a BroadcastHashJoin.
     # For the global case the join key is a dummy constant: a plain
     # crossJoin(broadcast(one_row)) plans as a BroadcastNestedLoopJoin
     # whose condition/projections run INTERPRETED outside whole-stage
     # codegen (measured 4x slower at 20 targets); the constant-key
-    # equi-join keeps every window predicate inside codegen, and AQE's
-    # exchange reuse evaluates the GK subtree once for both stage-2
-    # consumers.
+    # equi-join keeps every window predicate inside codegen. The key must
+    # be column-DEPENDENT (always 0, but not foldable): a literal key
+    # constant-folds to `true` and the join degenerates to that same BNLJ.
     if group_cols:
         joined = df.join(F.broadcast(bounds), group_cols)
     else:
-        # the key must be column-DEPENDENT (always 0, but not foldable):
-        # a literal key constant-folds to `true` and the join degenerates
-        # to a BroadcastNestedLoopJoin
         first_col = targets[0][1]
         joined = df.withColumn(
             "_k", F.expr(f"pmod(hash(`{first_col}`), 1)")
         ).join(
             F.broadcast(bounds.withColumn("_k", F.expr("pmod(hash(n), 1)"))), "_k"
         )
-    lo_of = {name: f"`{name}_lo`" for name, _, _, _ in targets}
-    hi_of = {name: f"`{name}_hi`" for name, _, _, _ in targets}
-    n_expr = "first(n) AS n"
 
-    cexpr = {name: f"CAST(`{col}` AS DOUBLE)" for name, col, _, _ in targets}
-    agg2a = [F.expr(n_expr)] + [F.expr(e) for e in extra_agg2a]
-    for name, _, _, _ in targets:
-        c, lo, hi = cexpr[name], lo_of[name], hi_of[name]
-        agg2a += [
-            F.expr(
-                f"SUM(CASE WHEN {c} < {lo} THEN 1 ELSE 0 END) AS `{name}_below`"
-            ),
-            F.expr(f"MAX(CASE WHEN {c} < {lo} THEN {c} END) AS `{name}_extlo`"),
-            F.expr(f"MIN(CASE WHEN {c} > {hi} THEN {c} END) AS `{name}_exthi`"),
+    # ONE corpus scan, ONE hash-agg emission per (row, column) — not per
+    # (row, target): a row's relationship to every window of a column is
+    # captured by a single SEGMENT id (the windows partition the value
+    # axis; seg = #windows-entered + #windows-exited is a step function
+    # of the value that is constant within each window/gap, so every
+    # lvl1 key group is uniformly classifiable against every target).
+    # Rows inside ANY window (entered > exited) key on their VALUE so
+    # candidates stay exact; all other rows collapse into at most
+    # 2*|windows|+1 gap keys per column. Map-side combine therefore
+    # absorbs virtually the whole scan, the scan stays in whole-stage
+    # codegen (no Object aggregate touches it), and the per-row cost is
+    # 2 comparisons per target — cheaper than the previous two-pass
+    # shape (3 CASE-aggregates + a BETWEEN filter per target).
+    parts = {}
+    for col, tgts in by_col.items():
+        c = f"CAST(`{col}` AS DOUBLE)"
+        sa = " + ".join(
+            f"(CASE WHEN {c} >= `{name}_lo` THEN 1 ELSE 0 END)"
+            for name, _, _ in tgts
+        )
+        sb = " + ".join(
+            f"(CASE WHEN {c} > `{name}_hi` THEN 1 ELSE 0 END)"
+            for name, _, _ in tgts
+        )
+        parts[col] = (
+            f"({sa}) + ({sb})", c, f"CASE WHEN ({sa}) > ({sb}) THEN {c} END"
+        )
+    if len(by_col) == 1:
+        # common case: skip the stack generator entirely
+        col, (seg, c, kv) = next(iter(parts.items()))
+        stacked = joined.selectExpr(
+            *group_cols, f"'{col}' AS _cid", f"{seg} AS _seg",
+            f"{c} AS _v", f"{kv} AS _kv",
+        )
+    else:
+        stack_args = ", ".join(
+            f"'{col}', {seg}, {c}, {kv}" for col, (seg, c, kv) in parts.items()
+        )
+        stacked = joined.selectExpr(
+            *group_cols,
+            f"stack({len(by_col)}, {stack_args}) AS (_cid, _seg, _v, _kv)",
+        )
+    lvl1 = stacked.groupBy(*(group_cols + ["_cid", "_seg", "_kv"])).agg(
+        F.expr("COUNT(1) AS cnt"),
+        F.expr("MIN(_v) AS mn"),
+        F.expr("MAX(_v) AS mx"),
+    )
+    # re-attach the (tiny) bounds to classify each lvl1 key group per
+    # target in the final roll-up (same BroadcastHashJoin rationale)
+    if group_cols:
+        l2 = lvl1.join(F.broadcast(bounds), group_cols)
+    else:
+        l2 = lvl1.withColumn("_k", F.expr("pmod(hash(_seg), 1)")).join(
+            F.broadcast(bounds.withColumn("_k", F.expr("pmod(hash(n), 1)"))), "_k"
+        )
+    c0 = targets[0][1]
+    agg2 = [f"SUM(CASE WHEN _cid = '{c0}' THEN cnt ELSE 0 END) AS n"]
+    if with_minmax:
+        agg2 += [
+            f"MIN(CASE WHEN _cid = '{c0}' THEN mn END) AS vmin",
+            f"MAX(CASE WHEN _cid = '{c0}' THEN mx END) AS vmax",
         ]
-    flat = (
-        joined.groupBy(*group_cols).agg(*agg2a) if group_cols else joined.agg(*agg2a)
-    )
-
-    win_sql = {
-        name: f"{cexpr[name]} BETWEEN {lo_of[name]} AND {hi_of[name]}"
-        for name, _, _, _ in targets
-    }
-    any_win = " OR ".join(win_sql.values())
-    win_cols = [
-        F.expr(f"CASE WHEN {win_sql[name]} THEN {cexpr[name]} END AS `_w_{name}`")
-        for name, _, _, _ in targets
-    ]
-    filtered = joined.where(F.expr(any_win)).select(
-        *([F.col(c) for c in group_cols] + win_cols)
-    )
-    # Candidate windows as (value, count) PAIRS, not raw values: a
-    # pre-aggregation on (group, target, value) bounds the buffered state
-    # by the window's CARDINALITY instead of its row count — on a
-    # low-cardinality column (l_quantity: ~50 distinct values) a raw
-    # window would buffer the entire tie class of lo/hi (~2% of the
-    # group), breaking the "never a full per-group buffer" contract.
-    stack_args = ", ".join(f"'{name}', `_w_{name}`" for name, _, _, _ in targets)
-    long = filtered.selectExpr(
-        *group_cols, f"stack({len(targets)}, {stack_args}) AS (_tid, _v)"
-    ).where("_v IS NOT NULL")
-    byval = long.groupBy(*(group_cols + ["_tid", "_v"])).agg(F.expr("COUNT(*) AS cnt"))
-    pairs = byval.groupBy(*(group_cols + ["_tid"])).agg(
-        F.expr("sort_array(collect_list(struct(_v AS v, cnt))) AS _ps")
-    )
-    wide = pairs.groupBy(*group_cols).agg(
-        *[
-            F.expr(f"first(CASE WHEN _tid = '{name}' THEN _ps END, true) AS `{name}_cands`")
-            for name, _, _, _ in targets
+    for name, col, _, _ in targets:
+        is_col = f"_cid = '{col}'"
+        agg2 += [
+            # a key group is entirely below lo (kv groups hold one value;
+            # gap groups never straddle a window edge), so mx/mn decide
+            f"SUM(CASE WHEN {is_col} AND mx < `{name}_lo` THEN cnt ELSE 0 END) "
+            f"AS `{name}_below`",
+            f"MAX(CASE WHEN {is_col} AND mx < `{name}_lo` THEN mx END) "
+            f"AS `{name}_extlo`",
+            f"MIN(CASE WHEN {is_col} AND mn > `{name}_hi` THEN mn END) "
+            f"AS `{name}_exthi`",
+            f"sort_array(collect_list(CASE WHEN {is_col} AND _kv IS NOT NULL "
+            f"AND _kv >= `{name}_lo` AND _kv <= `{name}_hi` "
+            f"THEN struct(_kv AS v, cnt) END)) AS `{name}_cands`",
         ]
-    )
-    return flat.join(wide, group_cols) if group_cols else flat.crossJoin(wide)
+    aggs = [F.expr(a) for a in agg2]
+    return l2.groupBy(*group_cols).agg(*aggs) if group_cols else l2.agg(*aggs)
 
 
 _PAIR_ARR = "ARRAY<STRUCT<v: DOUBLE, cnt: BIGINT>>"
@@ -228,9 +271,15 @@ def _bracket_walk_sql(name: str, rank_sql: str, out: str) -> str:
     window: folds the one-beyond ext statistics in as count-1 pairs, then
     one ``aggregate`` pass walks the cumulative counts to capture the
     values at the target rank and the rank after it (v1/v2 — v2 feeds
-    interpolation; single-rank callers read v1). Emitted as one F.expr
-    (py4j Column construction cost — see _bracketed_stats). Out-of-range
-    ranks yield NULL fields, never a crash."""
+    interpolation; single-rank callers read v1) plus ``c1`` = the exact
+    count of rows strictly below v1 across the WHOLE input (below-count
+    at window start + cumulative pairs before v1's tie class) — this is
+    what lets ntile-style callers position a boundary's tie class without
+    a second full scan. Emitted as one F.expr (py4j Column construction
+    cost — see _bracketed_stats). Out-of-range ranks yield NULL fields,
+    never a crash; c1 is only exact when v1 came from the real window
+    (callers null it when v1 equals an ext statistic, whose injected
+    count-1 pair under-represents its true tie class)."""
     cands = (
         f"concat("
         f"CASE WHEN `{name}_extlo` IS NOT NULL THEN array(named_struct("
@@ -246,14 +295,16 @@ def _bracket_walk_sql(name: str, rank_sql: str, out: str) -> str:
     walk = (
         f"aggregate({cands}, "
         f"named_struct('cum', CAST(0 AS BIGINT), 'v1', CAST(NULL AS DOUBLE), "
-        f"'v2', CAST(NULL AS DOUBLE)), "
+        f"'c1', CAST(NULL AS BIGINT), 'v2', CAST(NULL AS DOUBLE)), "
         f"(acc, p) -> CASE WHEN acc.v2 IS NOT NULL THEN acc ELSE named_struct("
         f"'cum', acc.cum + p.cnt, "
         f"'v1', CASE WHEN acc.v1 IS NOT NULL THEN acc.v1 "
         f"WHEN acc.cum + p.cnt > {idx0} THEN p.v END, "
+        f"'c1', CASE WHEN acc.c1 IS NOT NULL THEN acc.c1 "
+        f"WHEN acc.cum + p.cnt > {idx0} THEN {below} + acc.cum END, "
         f"'v2', CASE WHEN acc.v2 IS NOT NULL THEN acc.v2 "
         f"WHEN acc.cum + p.cnt > {idx0} + 1 THEN p.v END) END, "
-        f"acc -> named_struct('v1', acc.v1, 'v2', acc.v2))"
+        f"acc -> named_struct('v1', acc.v1, 'c1', acc.c1, 'v2', acc.v2))"
     )
     return f"CASE WHEN {idx0} >= 0 THEN {walk} END AS `{out}`"
 
@@ -357,17 +408,21 @@ def _exact_order_stats(
     row-grain ntile windows (feature_quantile_bucket, stat_calibration_bins,
     agg_histogram_equidepth).
 
-    ``windows`` is ``[(probe_p, [(out_name, rank_sql), ...])]``: one GK
-    bracket window probed around ``probe_p``, serving every listed
-    lookup. ``rank_sql`` is a SQL-string expression for the 0-based
-    target rank in terms of the count column ``n`` (e.g.
-    ntile_start_sql). ADJACENT ranks share one window — an
-    ntile boundary's (hi_i = start-1, lo_{i+1} = start) pair costs one
-    bracket, not two, which keeps the per-pass aggregate count inside
-    whole-stage codegen's method-size budget (past ~10 windows the
-    generated code falls out of codegen and the scan goes interpreted —
-    measured 6x slower). ``with_minmax`` adds plain vmin/vmax columns
-    (rank 0 / n-1 need no GK bracket at all).
+    ``windows`` is ``[(probe_p, rank_sql, outs)]``: one GK bracket window
+    probed around ``probe_p``, walked ONCE at the 0-based rank given by
+    the SQL-string ``rank_sql`` (in terms of the count column ``n``, e.g.
+    ntile_start_sql). ``outs`` is ``[(field, out_name), ...]`` selecting
+    from the single walk: ``v1`` = value at the rank, ``v2`` = value at
+    rank+1, ``c1`` = exact count of rows strictly below v1 (NULL when v1
+    fell on an ext statistic — bracket-violation fallback). One walk
+    serving adjacent ranks AND the boundary's below-count is the r5
+    verdict's pass-sharing fix: an ntile boundary's (hi_i = start-1,
+    lo_{i+1} = start) pair costs one walk, not two, and the tie-class
+    below-count costs no extra full scan at all. Fewer/smaller walk
+    expressions also cut the driver-side plan build+analysis time, which
+    profiling showed was ~half of these queries' wall clock at sf0.1.
+    ``with_minmax`` adds plain vmin/vmax columns (rank 0 / n-1 need no GK
+    bracket at all).
 
     ``extra_eps`` widens the probes to absorb |rank/n - probe_p| (for
     N-bucket ntile boundaries pass ~(N+2)/PCTL_SMALL_N: groups at or
@@ -376,38 +431,42 @@ def _exact_order_stats(
     is at most (N+1)/n).
 
     Same safeguards and 3-pass plan as _exact_percentiles_hybrid (see
-    _bracketed_stats). Returns ONE row: ``n`` plus one exact double per
-    lookup — at 100 TB this replaces a single-task global sort with
-    map-side-combined passes.
+    _bracketed_stats; ``col`` must be non-NULL per its contract). Returns
+    ONE row: ``n`` plus one exact double/long per out — at 100 TB this
+    replaces a single-task global sort with map-side-combined passes.
     """
     eps = 3.0 / PCTL_GK_ACCURACY + extra_eps
-    extra = (
-        [
-            f"MIN(CAST(`{col}` AS DOUBLE)) AS vmin",
-            f"MAX(CAST(`{col}` AS DOUBLE)) AS vmax",
-        ]
-        if with_minmax
-        else []
-    )
     stats = _bracketed_stats(
         df,
         [],
         [
             (f"w{i}", col, max(0.0, p - eps), min(1.0, p + eps))
-            for i, (p, _) in enumerate(windows)
+            for i, (p, _, _) in enumerate(windows)
         ],
-        extra_agg2a=extra,
+        with_minmax=with_minmax,
     )
 
     out = ["CAST(n AS BIGINT) AS n"]
     if with_minmax:
         out += ["vmin", "vmax"]
-    walks, finals = [], []
-    for i, (_, lookups) in enumerate(windows):
-        for name, rank_sql in lookups:
-            walks.append(_bracket_walk_sql(f"w{i}", rank_sql, f"_s_{name}"))
-            finals.append(f"`_s_{name}`.v1 AS `{name}`")
-    mid = stats.selectExpr(*(out + walks))
+    walks, exts, finals = [], [], []
+    for i, (_, rank_sql, outs) in enumerate(windows):
+        walks.append(_bracket_walk_sql(f"w{i}", rank_sql, f"_s_w{i}"))
+        needs_c1 = any(f == "c1" for f, _ in outs)
+        if needs_c1:
+            exts += [f"`w{i}_extlo`", f"`w{i}_exthi`"]
+        for field, name in outs:
+            if field == "c1":
+                # c1 is exact only off the real window: an ext pair's
+                # injected count-1 under-represents its tie class
+                finals.append(
+                    f"CASE WHEN `_s_w{i}`.v1 <=> `w{i}_extlo` "
+                    f"OR `_s_w{i}`.v1 <=> `w{i}_exthi` THEN CAST(NULL AS BIGINT) "
+                    f"ELSE `_s_w{i}`.c1 END AS `{name}`"
+                )
+            else:
+                finals.append(f"`_s_w{i}`.{field} AS `{name}`")
+    mid = stats.selectExpr(*(out + walks + exts))
     return mid.selectExpr(*(["n"] + (["vmin", "vmax"] if with_minmax else []) + finals))
 
 

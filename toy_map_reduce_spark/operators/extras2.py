@@ -729,10 +729,8 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows = [
         (
             i / nb,
-            [
-                (f"hi_{i}", f"{ntile_start_sql(i + 1, nb)} - 1"),
-                (f"lo_{i + 1}", ntile_start_sql(i + 1, nb)),
-            ],
+            f"{ntile_start_sql(i + 1, nb)} - 1",
+            [("v1", f"hi_{i}"), ("v2", f"lo_{i + 1}")],
         )
         for i in range(1, nb)
     ]

@@ -105,16 +105,14 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact. The old plan's single-task global sort is gone; this is the
     100 TB plan, exactly (not approximately)."""
     li = load(spark, sf_dir, "lineitem")
-    # N-1 interior boundary windows, each serving BOTH adjacent order
-    # statistics (hi_i at start-1, lo_{i+1} at start); the outer bounds
-    # are plain min/max
+    # N-1 interior boundary windows, each walked ONCE at start-1 serving
+    # BOTH adjacent order statistics (v1 = hi_i at start-1, v2 = lo_{i+1}
+    # at start); the outer bounds are plain min/max
     windows = [
         (
             i / N_BUCKETS,
-            [
-                (f"hi_{i}", f"{ntile_start_sql(i + 1, N_BUCKETS)} - 1"),
-                (f"lo_{i + 1}", ntile_start_sql(i + 1, N_BUCKETS)),
-            ],
+            f"{ntile_start_sql(i + 1, N_BUCKETS)} - 1",
+            [("v1", f"hi_{i}"), ("v2", f"lo_{i + 1}")],
         )
         for i in range(1, N_BUCKETS)
     ]

@@ -526,10 +526,12 @@ def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts (positive rate, mean score) so rows genuinely need bin labels:
 
     1. The 9 interior bin boundaries are exact order statistics at the
-       ntile start ranks (_exact_order_stats — two partial-agg scans).
-    2. One more partial-agg pass counts rows strictly below each
-       boundary value (the below-count that positions each tie class).
-    3. Assignment is a broadcast range join: a row whose score equals no
+       ntile start ranks, and each boundary's tie-class below-count
+       (rows strictly below the boundary value) comes out of the SAME
+       candidate-window walk as the boundary itself (``c1`` — the r5
+       verdict's pass-sharing fix; the old plan paid one more full
+       corpus scan for the below-counts).
+    2. Assignment is a broadcast range join: a row whose score equals no
        boundary is binned by comparing against the 9 broadcast values;
        rows ON a boundary value (a tie class ntile may split) get their
        exact global rank = below-count + row_number within the tie
@@ -540,10 +542,16 @@ def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one task. Skew note: a single score value dominating the data
     would make one tie-class partition large; that is the inherent cost
     of ntile's split-the-ties contract, and it is isolated to the tie
-    branch (typically ~0 rows on continuous scores)."""
+    branch (typically ~0 rows on continuous scores).
+
+    CONTRACT: NULL scores are excluded up front (events.value is
+    non-null in the dataset; without the filter a NULL score would
+    satisfy neither the tie nor the non-tie predicate and silently drop
+    — r5 advisor)."""
     lab = (
         load(spark, sf_dir, "events")
         .where(F.col("event_type").isin("purchase", "click"))
+        .where(F.col("value").isNotNull())
         .select(
             "event_id",
             F.col("value").alias("score"),
@@ -552,33 +560,21 @@ def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = 10
     windows = [
-        (i / nb, [(f"b{i}", ntile_start_sql(i + 1, nb))]) for i in range(1, nb)
+        (i / nb, ntile_start_sql(i + 1, nb), [("v1", f"b{i}"), ("c1", f"lt{i}")])
+        for i in range(1, nb)
     ]
-    # one-row frames consumed by multiple downstream branches (info; the
-    # non-tie and tie assignment scans): persist so the boundary and
-    # below-count subtrees evaluate once, not once per consumer
+    # one-row frame consumed by both assignment branches: persist so the
+    # boundary/below-count subtree evaluates once, not once per consumer
     bnd = _exact_order_stats(
         lab, "score", windows, extra_eps=(nb + 2) / PCTL_SMALL_N
     ).persist()
-    # constant-key broadcast equi-joins (NOT crossJoin: a one-row
+    # constant-key broadcast equi-join (NOT crossJoin: a one-row
     # BroadcastNestedLoopJoin evaluates every predicate interpreted,
-    # outside codegen — see _bracketed_stats)
-    info = (
-        lab.withColumn("_k", F.lit(1))
-        .join(F.broadcast(bnd.withColumn("_k", F.lit(1))), "_k")
-        .agg(
-            F.first("n").alias("n"),
-            *[F.first(f"b{i}").alias(f"b{i}") for i in range(1, nb)],
-            *[
-                F.sum(F.when(F.col("score") < F.col(f"b{i}"), 1).otherwise(0))
-                .alias(f"lt{i}")
-                for i in range(1, nb)
-            ],
-        )
-        .persist()
-    )
-    jj = lab.withColumn("_k", F.lit(1)).join(
-        F.broadcast(info.withColumn("_k", F.lit(1))), "_k"
+    # outside codegen) with a non-foldable always-0 key — a literal key
+    # constant-folds to `true` and the join degenerates to that same
+    # BNLJ (see _bracketed_stats; r5 advisor)
+    jj = lab.withColumn("_k", F.expr("pmod(hash(score), 1)")).join(
+        F.broadcast(bnd.withColumn("_k", F.expr("pmod(hash(n), 1)"))), "_k"
     )
     # assignment expressions as SQL strings (py4j Column construction cost
     # — see _bracketed_stats)
@@ -593,10 +589,12 @@ def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN score = `b{i}` THEN `lt{i}` END" for i in range(1, nb)
     ) + ")"
     rank = f"({lt_here} + row_number() OVER (PARTITION BY score ORDER BY event_id) - 1)"
-    tie_bin = "1 + " + " + ".join(
+    # a NULL below-count (GK bracket-violation fallback) must yield a
+    # NULL bin the parity gate catches, not a silent bin-1 assignment
+    tie_bin = "CASE WHEN _rank IS NULL THEN NULL ELSE 1 + " + " + ".join(
         f"(CASE WHEN _rank >= {ntile_start_sql(i, nb)} THEN 1 ELSE 0 END)"
         for i in range(2, nb + 1)
-    )
+    ) + " END"
     tie = (
         jj.where(is_tie)
         .selectExpr("label", "score", "n", f"{rank} AS _rank")

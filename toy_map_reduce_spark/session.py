@@ -44,6 +44,17 @@ def get_spark(
         # reader rejects outright; read it as raw nanos (BIGINT) and convert
         # in tables.load_events.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Size file splits to the machine, not to the 128 MB cloud-store
+        # default: the sf0.1 tables are single ~2-11 MB parquet files,
+        # which the default openCost (4 MiB) slices into only 1-3 input
+        # tasks — a 32-core box runs 90% idle through every scan stage.
+        # On a real cluster the same knobs scale with the data (100 TB /
+        # 16 MiB splits ≈ 6.5M tasks is too many — there you'd RAISE
+        # maxPartitionBytes); the point is sizing splits so every core
+        # has work, which is exactly what these values do at local scale.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+        .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.ui.enabled", "false")
         # local mode = one JVM holding driver + all 32 executor threads +
         # the persisted staging tables (shingles, windows, knn vectors);

@@ -28,9 +28,77 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Ingest-time layout normalization. The driver fixtures ship as
+# SINGLE-ROW-GROUP parquet files; a row group is Spark's minimum read
+# unit, so no matter how file splits are tuned every scan of such a file
+# runs as one real task (the other split tasks come up empty) — the whole
+# engine was scan-serialized on one core of 32. A 100 TB deployment would
+# never accept that layout: re-chunking to sized row groups at ingest is
+# exactly what Delta/Iceberg OPTIMIZE or any bulk-load path does. The
+# rewrite is a byte-faithful pyarrow copy (same schema incl. nano
+# timestamps, same row order, same values — only row-group boundaries
+# added), cached once per source file under the repo's .layout_cache/ and
+# keyed on (size, mtime, chunking) so a fixture refresh invalidates it.
+# Any failure falls back to the original path. Disable with
+# SPARK_GRAFT_LAYOUT_CACHE=off.
+_ROWS_PER_GROUP_DIVISOR = {
+    # heavy-per-row tables (long text / float vectors): far fewer rows
+    # per group so downstream explode/vector work parallelizes too
+    "documents": 256,
+    "embeddings": 256,
+}
+_MAX_GROUPS = 32
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _layout_cache_root() -> str:
+    env = os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "")
+    if env and env != "off":
+        return env
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".layout_cache",
+    )
+
+
+def _read_path(sf_dir: str, name: str) -> str:
+    """Path to scan for (sf_dir, name): the original file, or a
+    re-chunked multi-row-group copy built once and cached."""
+    src = table_path(sf_dir, name)
+    if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "") == "off":
+        return src
+    try:
+        import re
+
+        import pyarrow.parquet as pq
+
+        st = os.stat(src)
+        pf = pq.ParquetFile(src)
+        rows = pf.metadata.num_rows
+        if pf.metadata.num_row_groups > 1:
+            return src  # already splittable
+        k = min(_MAX_GROUPS, max(1, rows // _ROWS_PER_GROUP_DIVISOR.get(name, 2048)))
+        if k <= 1:
+            return src
+        tag = f"{st.st_size}_{int(st.st_mtime)}_{k}"
+        dest_dir = os.path.join(
+            _layout_cache_root(), re.sub(r"\W+", "_", os.path.abspath(sf_dir))
+        )
+        dest = os.path.join(dest_dir, f"{name}_{tag}.parquet")
+        if os.path.exists(dest):
+            return dest
+        os.makedirs(dest_dir, exist_ok=True)
+        tmp = f"{dest}.tmp{os.getpid()}"
+        pq.write_table(
+            pf.read(), tmp, row_group_size=max(1, -(-rows // k))
+        )
+        os.replace(tmp, dest)  # atomic: concurrent builders converge
+        return dest
+    except Exception:
+        return src
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,11 +122,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(table_path(sf_dir, name))
+        ev = spark.read.parquet(_read_path(sf_dir, name))
         ts_type = dict(ev.dtypes)["ts"]
         if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw nanos long
             return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # native timestamp/timestamp_ntz read (micros fixtures, Spark ≥ 4.1
         # nanos): cast to TimestampType under the UTC session tz
         return ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(table_path(sf_dir, name))
+    return spark.read.parquet(_read_path(sf_dir, name))
