@@ -142,3 +142,20 @@ def test_duckdb_store_real_roundtrip(spark, sf_dir, tmp_path):
         .collect()
     )
     assert {tuple(r) for r in agg} == {tuple(r) for r in direct}
+
+
+def test_duckdb_store_negative_fractional_partition_col(spark, tmp_path):
+    """Range planning on a DOUBLE partition column with a negative
+    fractional minimum: int() truncation toward zero used to start the
+    first range above the true min and silently drop rows in
+    [lo, trunc(lo)) (r5 advisor) — floor/ceil bounds must keep every row."""
+    from toy_map_reduce_spark.sources.duckdb_store import read_duckdb, write_duckdb
+
+    src = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate([-2.3, -2.0, -0.7, 0.0, 1.2, 3.9])],
+        "v double, id int",
+    )
+    db = str(tmp_path / "neg.duckdb")
+    write_duckdb(src, db, "t", str(tmp_path / "stage"))
+    back = read_duckdb(spark, db, "t", "v", num_partitions=3)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}

@@ -503,9 +503,13 @@ def test_percentile_family_joins_stay_hash_not_nested_loop(spark, sf_dir):
     ):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
-        # the only tolerated nested-loop is joining two ONE-ROW aggregate
-        # results (flat x cands); the fact scan must never stream through
-        # one. Heuristic: a BNLJ is fine only if the plan also shows the
-        # one-row join of two final HashAggregates — assert the fact-side
-        # join is hash-based by requiring at least one BroadcastHashJoin.
         assert "BroadcastHashJoin" in plan, f"{name}: bounds join lost hash form"
+        # COUNT, don't just spot-check (r5 advisor: a foldable lit(1) key
+        # degenerated one join to BNLJ while this test passed because a
+        # BroadcastHashJoin existed deeper in the plan): since the fused
+        # scaffold every bounds attachment is a non-foldable constant-key
+        # hash join, so NO BroadcastNestedLoopJoin may appear at all.
+        assert plan.count("BroadcastNestedLoopJoin") == 0, (
+            f"{name}: {plan.count('BroadcastNestedLoopJoin')} nested-loop "
+            "join(s) — a bounds join key folded to a literal"
+        )

@@ -110,8 +110,15 @@ def read_duckdb(
                 con.close()
             if lo is None:
                 return [_Range(0, 0, True)]
-            step = max(1, (int(hi) - int(lo) + self.n) // self.n)
-            bounds = list(range(int(lo), int(hi) + 1, step))
+            # floor/ceil, NOT int(): int() truncates toward zero, so a
+            # negative fractional minimum (-2.3 -> -2) would start the
+            # first range above the true min and silently drop rows in
+            # [lo, int(lo)) (r5 advisor)
+            import math
+
+            lo_b, hi_b = math.floor(lo), math.ceil(hi)
+            step = max(1, (hi_b - lo_b + self.n) // self.n)
+            bounds = list(range(lo_b, hi_b + 1, step))
             return [
                 _Range(b, b + step, i == len(bounds) - 1)
                 for i, b in enumerate(bounds)
