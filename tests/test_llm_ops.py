@@ -253,48 +253,105 @@ def test_approx_distinct_within_bound(spark, sf_dir):
         assert abs(ap - ep) / ep < 0.1
 
 
-def test_multimodal_features_deterministic_and_correct(spark, sf_dir):
+def test_multimodal_features_decodes_real_media(spark, sf_dir):
+    """The decode pass must report TRUE geometry / sample statistics from
+    parsing the BMP/WAV bytes (r5 verdict item 2: decoded values, not
+    fake strides) — checked against an independent local re-synthesis."""
+    import numpy as np
+
+    from toy_map_reduce_spark.functions.media import (
+        decode_bmp,
+        decode_wav,
+        synth_media_blob,
+    )
+
     fn = get_spec("multimodal_features").builder
     rows1 = {r.doc_id: r for r in fn(spark, sf_dir).collect()}
     rows2 = {r.doc_id: r for r in fn(spark, sf_dir).collect()}
-    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
-    assert len(rows1) == len(docs)
-    for doc_id, r in list(rows1.items())[:20]:
-        b = docs[doc_id].encode("utf-8")
-        assert r.n_bytes == len(b)
-        assert r.byte_sum == sum(b)
-        assert r.head_bytes == ",".join(str(x) for x in b[:8])
-        r2 = rows2[doc_id]
-        assert (r.byte_sum, r.byte_mean, r.n_frames) == (r2.byte_sum, r2.byte_mean, r2.n_frames)
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows1) == n_docs
+    assert {r.modality for r in rows1.values()} == {"image", "audio"}
+    for doc_id, r in list(rows1.items())[:30]:
+        modality, blob = synth_media_blob(doc_id)
+        assert r.modality == modality
+        assert r.n_bytes == len(blob)
+        assert r.head_hex == blob[:8].hex()
+        if modality == "image":
+            px = decode_bmp(blob)
+            assert (r.width, r.height) == (px.shape[1], px.shape[0])
+            assert r.content_mean == round(float(px.mean()), 6)
+            assert r.n_samples is None and r.sample_rate is None
+        else:
+            rate, samples = decode_wav(blob)
+            assert (r.n_samples, r.sample_rate) == (samples.size, rate)
+            assert r.content_mean == round(float(np.abs(samples).mean()), 6)
+            assert r.width is None and r.height is None
+        assert tuple(r) == tuple(rows2[doc_id])
 
 
-def test_multimodal_frame_sample_covers_payload(spark, sf_dir):
-    out = get_spec("multimodal_frame_sample").builder(spark, sf_dir)
-    agg = (
-        out.groupBy("doc_id")
-        .agg(F.sum("frame_bytes").alias("covered"), F.count(F.lit(1)).alias("frames"))
-        .collect()
+def test_multimodal_features_opaque_fallback():
+    """Non-media bytes must come back as modality='opaque' with NULL
+    media fields — never fake geometry."""
+    import pandas as pd
+
+    from toy_map_reduce_spark.operators.multimodal import _decode_media_batch
+
+    out = _decode_media_batch(pd.Series([b"not media at all"]))
+    assert out.loc[0, "modality"] == "opaque"
+    assert out.loc[0, "width"] is None and out.loc[0, "n_samples"] is None
+    assert out.loc[0, "n_bytes"] == len(b"not media at all")
+
+
+def test_multimodal_frame_sample_decodes_real_frames(spark, sf_dir):
+    """Frame sampling must parse the P6 PPM stream for real: sampled
+    frame indices are the stride-2 subset, and each frame's geometry and
+    pixel checksum match a local decode of the same deterministic blob."""
+    from toy_map_reduce_spark.functions.media import (
+        decode_ppm_stream,
+        synth_video_blob,
     )
-    docs = {r.doc_id: len(r.text.encode()) for r in load(spark, sf_dir, "documents").collect()}
-    for r in agg:
-        assert 1 <= r.frames <= 4
-        assert r.covered <= docs[r.doc_id]
+
+    out = get_spec("multimodal_frame_sample").builder(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(by_doc) == n_docs
+    for doc_id, rows in list(by_doc.items())[:25]:
+        frames = decode_ppm_stream(synth_video_blob(doc_id))
+        assert rows[0].n_frames == len(frames)
+        assert sorted(r.frame_idx for r in rows) == list(range(0, len(frames), 2))
+        for r in rows:
+            px = frames[r.frame_idx]
+            assert (r.width, r.height) == (px.shape[1], px.shape[0])
+            assert r.px_checksum == int(px.sum())
+            assert r.px_mean == round(float(px.mean()), 6)
 
 
-def test_multimodal_resize_fixed_size_and_deterministic(spark, sf_dir):
-    fn = get_spec("multimodal_resize").builder
-    r1 = {r.doc_id: (r.thumb_len, r.thumb_checksum, r.thumb_head) for r in fn(spark, sf_dir).collect()}
-    r2 = {r.doc_id: (r.thumb_len, r.thumb_checksum, r.thumb_head) for r in fn(spark, sf_dir).collect()}
-    assert r1 == r2
-    assert all(v[0] == 64 for v in r1.values())
-    # stride resample of a known payload
-    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").limit(50).collect()}
+def test_multimodal_resize_emits_parseable_thumbnails(spark, sf_dir):
+    """The resize output must be a VALID BMP holding exactly the 8x8
+    nearest-neighbor resample of the decoded source raster."""
     import numpy as np
 
-    for doc_id, text in docs.items():
-        b = np.frombuffer(text.encode(), dtype=np.uint8)
-        idx = (np.arange(64) * b.size) // 64
-        assert r1[doc_id][1] == int(b[idx].sum())
+    from toy_map_reduce_spark.functions.media import (
+        decode_bmp,
+        resize_nearest,
+        synth_image_dims,
+        synth_pixels,
+    )
+
+    fn = get_spec("multimodal_resize").builder
+    r1 = {r.doc_id: r for r in fn(spark, sf_dir).collect()}
+    r2 = {r.doc_id: (r.src_width, r.src_height, bytes(r.thumb), r.px_checksum)
+          for r in fn(spark, sf_dir).collect()}
+    for doc_id, r in list(r1.items())[:25]:
+        h, w = synth_image_dims(doc_id)
+        assert (r.src_width, r.src_height) == (w, h)
+        want = resize_nearest(synth_pixels(doc_id, h, w), 8, 8)
+        got = decode_bmp(bytes(r.thumb))
+        assert np.array_equal(got, want), doc_id
+        assert r.px_checksum == int(want.sum())
+        assert (r.src_width, r.src_height, bytes(r.thumb), r.px_checksum) == r2[doc_id]
 
 
 def test_ngram_jaccard_skewed_corpus_stays_bounded(spark):
@@ -332,41 +389,47 @@ def test_ngram_jaccard_skewed_corpus_stays_bounded(spark):
     assert elapsed < 60, f"skewed corpus took {elapsed:.1f}s — cap not effective"
 
 
-def test_multimodal_real_decode_activates_with_pil():
-    """Skip-or-run, mirroring the lakehouse jar gating: when Pillow is in
-    the image, a payload that parses as a real PNG must yield TRUE decoded
-    geometry, while a non-image payload in the same batch still takes the
-    deterministic fake path."""
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
+def test_media_codecs_roundtrip():
+    """The pure-numpy codecs must round-trip bit-exactly: BMP (incl. the
+    4-byte row padding on odd widths), PCM16 WAV, and the multi-image
+    PPM stream. These are the decoders every multimodal operator runs."""
+    import numpy as np
 
-    import pandas as pd
+    from toy_map_reduce_spark.functions import media as M
 
-    from toy_map_reduce_spark.operators.multimodal import _decode_image_batch
-
-    buf = io.BytesIO()
-    PIL_Image.new("RGB", (7, 5)).save(buf, format="PNG")
-    png = buf.getvalue()
-    text = b"not an image payload"
-    out = _decode_image_batch(pd.Series([png, text]))
-    assert (out.loc[0, "thumb_width"], out.loc[0, "thumb_height"]) == (7, 5)
-    assert out.loc[0, "n_frames"] == 1
-    # fake geometry for the non-image row (pinned formula)
-    assert out.loc[1, "thumb_width"] == 32 + (len(text) % 32)
+    for h, w in [(5, 7), (16, 16), (3, 1), (17, 33)]:
+        px = M.synth_pixels(9, h, w)
+        assert np.array_equal(M.decode_bmp(M.encode_bmp(px)), px), (h, w)
+    s = (np.sin(np.arange(500)) * 2000).astype(np.int16)
+    rate, back = M.decode_wav(M.encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(back, s)
+    frames = [M.synth_pixels(i, 6, 9) for i in range(3)]
+    back = M.decode_ppm_stream(M.encode_ppm_stream(frames))
+    assert len(back) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
 
 
-def test_multimodal_fake_decode_is_deterministic_without_pil():
-    """The container ships no media libs: the decode seam must produce the
-    pinned byte-level fake regardless, so the query surface stays stable."""
-    import pandas as pd
+def test_dct_phash_properties():
+    """Real pHash behavior: byte-identical images hash identically,
+    planted +-1-pixel twins stay within a small Hamming radius for most
+    pairs, and unrelated cards are far apart (no false near-dups)."""
+    from toy_map_reduce_spark.functions import media as M
 
-    from toy_map_reduce_spark.operators.multimodal import _decode_image_batch
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
-    payload = b"abcdef"
-    out1 = _decode_image_batch(pd.Series([payload]))
-    out2 = _decode_image_batch(pd.Series([payload]))
-    pd.testing.assert_frame_equal(out1, out2)
-    assert out1.loc[0, "byte_sum"] == sum(payload)
+    twins = [
+        ham(M.dct_phash64(M.synth_pair_image(d)),
+            M.dct_phash64(M.synth_pair_image(d + 1)))
+        for d in range(0, 40, 2)
+    ]
+    unrelated = [
+        ham(M.dct_phash64(M.synth_pair_image(d)),
+            M.dct_phash64(M.synth_pair_image(d + 2)))
+        for d in range(0, 38, 2)
+    ]
+    assert sum(1 for t in twins if t <= 3) >= 15, twins  # most twins collide
+    assert min(unrelated) > 3, unrelated  # nothing unrelated collides
 
 
 def test_pii_counts_on_planted_corpus(spark):
@@ -444,9 +507,13 @@ def test_lsh_eval_invariants(spark, sf_dir):
         assert row.n_hits > 0
 
 
-def test_phash_pairs_deterministic_and_symmetric_free(spark, sf_dir):
-    """The fake-phash pair retrieval must be rerun-deterministic and emit
-    each unordered pair once (doc_a < doc_b)."""
+def test_phash_pairs_matches_local_brute_force(spark, sf_dir):
+    """The DCT-phash pair retrieval must be rerun-deterministic, emit
+    each unordered pair once (doc_a < doc_b), and — the real claim — find
+    EXACTLY the pairs a local brute-force Hamming scan of the same
+    deterministic corpus finds at the threshold (the 4x16-bit pigeonhole
+    blocks are complete for Hamming <= 3, so recall is 100%, not 'some')."""
+    from toy_map_reduce_spark.functions.media import dct_phash64, synth_pair_image
     from toy_map_reduce_spark.registry import get_spec
 
     df1 = sorted(map(tuple, get_spec("multimodal_phash_pairs").builder(spark, sf_dir).collect()))
@@ -454,6 +521,23 @@ def test_phash_pairs_deterministic_and_symmetric_free(spark, sf_dir):
     assert df1 == df2
     for a, b, _ in df1:
         assert a < b
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    ids = sorted(r.doc_id for r in load(spark, sf_dir, "documents").select("doc_id").collect())
+    sigs = {d: dct_phash64(synth_pair_image(d)) for d in ids}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = sorted(
+        (a, b, ham(sigs[a], sigs[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(sigs[a], sigs[b]) <= 3
+    )
+    assert n_docs <= 600, "brute force only intended for the sf0.001 fixture"
+    assert df1 == want
+    assert len(want) > 0, "corpus must plant at least one near-dup twin"
 
 
 def test_substring_report_planted_span(spark):
