@@ -513,3 +513,49 @@ def test_percentile_family_joins_stay_hash_not_nested_loop(spark, sf_dir):
             f"{name}: {plan.count('BroadcastNestedLoopJoin')} nested-loop "
             "join(s) — a bounds join key folded to a literal"
         )
+
+
+def test_cc_loop_checkpoint_bounds_lineage(spark):
+    """min_label_propagation must localCheckpoint every CC_CHECKPOINT_EVERY
+    rounds so the label frame's plan depth stays bounded by the checkpoint
+    interval instead of growing one join per round (r5 verdict item 4):
+    drive a path graph of diameter 11 (needs ~11 propagation rounds, i.e.
+    2+ checkpoints) and assert both the clustering answer and that the
+    FINAL plan contains at most one checkpoint-window's worth of joins."""
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.operators.pipeline import (
+        CC_CHECKPOINT_EVERY,
+        min_label_propagation,
+    )
+
+    n = 12  # path 0-1-2-...-11: min-label needs ~diameter rounds
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101)], ["doc_a", "doc_b"]
+    )
+    docs = docs.union(spark.createDataFrame([(100,), (101,), (200,)], ["doc_id"]))
+
+    out = min_label_propagation(docs, pairs)
+    got = {r.doc_id: r.label for r in out.collect()}
+    assert all(got[i] == 0 for i in range(n)), got  # whole path collapses
+    assert got[100] == 100 and got[101] == 100
+    assert got[200] == 200  # singleton keeps its own label
+
+    # lineage bound: >= 11 rounds ran, but the returned frame's plan must
+    # start from the last checkpoint. Each un-truncated round REFERENCES
+    # the prior labels frame twice (the left join and inside
+    # neighbor_min), so join count grows as J(k) = 2 + 2*J(k-1) — i.e.
+    # EXPONENTIALLY (2^(k+1) - 2) in rounds since the last checkpoint,
+    # which is precisely why persist() alone cannot stand in for
+    # checkpointing. Worst case CC_CHECKPOINT_EVERY-1 = 4 un-truncated
+    # rounds -> J(4) = 30; without checkpoints 12+ rounds would exceed
+    # 8000 joins.
+    bound = 2 ** CC_CHECKPOINT_EVERY - 2
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = plan.count("Join")
+    assert n_joins <= bound, (
+        f"label lineage holds {n_joins} joins (> {bound}) — checkpoint "
+        "not truncating"
+    )
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan or "Scan" in plan

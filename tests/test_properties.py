@@ -355,3 +355,33 @@ def test_bpe_fold_random_corpus_matches_reference(spark):
     got = {r.word: r.n_sym for r in bpe_apply(words_df, merges).collect()}
     want = {w: encode_len(w) for w in corpus}
     assert got == want, {w: (got[w], want[w]) for w in corpus if got[w] != want[w]}
+
+
+def test_task_retry_recovers_from_transient_failure(spark):
+    """The reference's one distinguishing runtime behavior is failure
+    detection + task reassignment (reference
+    MasterProcessorLiveImpl.scala:101-116: a worker that misses
+    heartbeats has its tasks reset to Unassigned and rescheduled). The
+    Spark-native equivalent is task retry: the session runs with
+    maxFailures=2 (session.py master local[N, 2]), so a task that dies
+    once is re-attempted and the query must still return exactly the
+    right answer — zero engine code, which is the point (r5 verdict
+    item 3)."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    def flaky(batches):
+        tc = TaskContext.get()
+        if tc.attemptNumber() == 0 and tc.partitionId() == 0:
+            raise RuntimeError("injected transient worker failure (attempt 0)")
+        for pdf in batches:
+            yield pd.DataFrame({"x": pdf["x"], "y": pdf["x"] * 2})
+
+    df = (
+        spark.range(100)
+        .selectExpr("id AS x")
+        .repartition(3)
+        .mapInPandas(flaky, schema="x long, y long")
+    )
+    got = sorted((r.x, r.y) for r in df.collect())
+    assert got == [(i, 2 * i) for i in range(100)]

@@ -221,32 +221,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative DataFrame algorithm: labels start as doc_id; each round
     every node takes min(own label, neighbors' labels) until fixpoint.
     Rounds ≈ graph diameter (tiny for dup clusters); each round is one
-    join + one aggregation. At 100 TB you'd add periodic checkpointing to
-    truncate lineage — the loop structure is identical."""
+    join + one aggregation. Every CHECKPOINT_EVERY rounds the label
+    frame is localCheckpoint'ed: persist() caches data but the logical
+    plan still GROWS one join deeper per round, so a long-diameter graph
+    at 100 TB pays ever-larger analysis/serialization costs and risks
+    stack overflow on the lineage — the checkpoint truncates the plan to
+    the materialized result (r5 verdict item 4; lineage-depth pinned in
+    tests/test_plans.py)."""
     from toy_map_reduce_spark.operators.dedup import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    labels = min_label_propagation(docs, pairs)
+    return labels.select("doc_id", F.col("label").cast("long").alias("cluster_id"))
+
+
+CC_CHECKPOINT_EVERY = 5
+
+
+def min_label_propagation(
+    docs: DataFrame, pairs: DataFrame, max_rounds: int = 15
+) -> DataFrame:
+    """Connected components by alternating-join min-label propagation:
+    returns (doc_id, label) with label = component min doc_id.
+
+    ``pairs`` is the undirected edge list as (doc_a, doc_b) rows (each
+    unordered pair once). Each round is one join + one aggregation, with
+    fixpoint early-exit. Every CC_CHECKPOINT_EVERY rounds the label frame
+    is localCheckpoint'ed (eager): persist() alone caches DATA but the
+    logical plan still grows one join deeper per round, so a
+    long-diameter graph at 100 TB pays ever-larger analysis/
+    serialization per round and ultimately risks a lineage stack
+    overflow — the checkpoint truncates the plan to the materialized
+    result (r5 verdict item 4; plan-depth pinned in tests/test_plans.py).
+    On a real cluster prefer reliable checkpoint(dir) over
+    localCheckpoint for executor-loss tolerance; the loop structure is
+    identical."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
     labels = docs.withColumn("label", F.col("doc_id"))
 
-    for _ in range(15):  # diameter bound; fixpoint check below
+    for rnd in range(max_rounds):  # diameter bound; fixpoint check below
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
         )
+        if (rnd + 1) % CC_CHECKPOINT_EVERY == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -260,7 +290,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
 
     edges.unpersist()
-    return labels.select("doc_id", F.col("label").cast("long").alias("cluster_id"))
+    return labels
 
 
 _SAMPLE_STRATIFIED_ORACLE = f"""

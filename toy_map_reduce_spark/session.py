@@ -32,7 +32,15 @@ def get_spark(
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or cores
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        # local[cores, 2] = maxFailures 2: local mode defaults to
+        # fail-fast (1 attempt), but the engine contract inherits the
+        # reference's worker-loss recovery (task reassignment,
+        # MasterProcessorLiveImpl.scala:101-116) through Spark task
+        # retry — a cluster runs spark.task.maxFailures=4; one retry
+        # locally keeps that semantic live (and tested:
+        # tests/test_properties.py::test_task_retry_recovers...)
+        # while still surfacing deterministic bugs on the second attempt.
+        SparkSession.builder.master(f"local[{cores},2]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
