@@ -1242,16 +1242,32 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     need the SCORE_QUANT rounding guard stat_auc uses."""
     li = load(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
 
-    def midranks(col):
-        byv = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-        return byv.select(
-            "v",
-            (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + (F.col("cnt") + 1) / 2.0).alias("mr"),
-        )
-
-    rq = midranks("l_quantity").select(F.col("v").alias("qv"), F.col("mr").alias("q_mr"))
-    rp = midranks("l_extendedprice").select(F.col("v").alias("pv"), F.col("mr").alias("p_mr"))
+    # ONE distinct-count scan serves both columns (r5 verdict item 7:
+    # the midrank build re-aggregated the fact twice): stack each row
+    # into (column, value) and count per key; the midrank window then
+    # runs partitioned by column — two independent partitions, each
+    # bounded by that column's distinct count, never the row count
+    byv = li.selectExpr(
+        "stack(2, 'q', CAST(l_quantity AS DOUBLE), "
+        "'p', CAST(l_extendedprice AS DOUBLE)) AS (_cid, v)"
+    ).groupBy("_cid", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("_cid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # persisted: BOTH rank lookups (rq/rp) read this frame — without it
+    # each filter branch re-evaluates the stacked aggregate and the scan
+    # runs twice, costing more than the two per-column aggregates it
+    # replaced (measured in the r6 full bench)
+    mr = byv.select(
+        "_cid", "v",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + (F.col("cnt") + 1) / 2.0).alias("mr"),
+    ).persist()
+    rq = mr.where(F.col("_cid") == "q").select(
+        F.col("v").alias("qv"), F.col("mr").alias("q_mr")
+    )
+    rp = mr.where(F.col("_cid") == "p").select(
+        F.col("v").alias("pv"), F.col("mr").alias("p_mr")
+    )
     joined = (
         li.join(F.broadcast(rq), F.col("l_quantity") == F.col("qv"))
         .join(rp, F.col("l_extendedprice") == F.col("pv"))

@@ -44,10 +44,20 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 _ROWS_PER_GROUP_DIVISOR = {
     # heavy-per-row tables (long text / float vectors): far fewer rows
     # per group so downstream explode/vector work parallelizes too
-    "documents": 256,
-    "embeddings": 256,
+    "documents": 512,
+    "embeddings": 512,
 }
-_MAX_GROUPS = 32
+# default sizing is deliberately MUCH coarser than "one group per core".
+# Isolated heavy queries love 32-way scans, but the bench regime — ~780
+# sequential query executions in one JVM — showed broad ~0.3-0.5 s
+# inflation per query from the extra task scheduling/GC pressure
+# (A/B full-bench: 274 s at 32 groups vs 252 s unchunked), while
+# iterative queries (recursive CTE, BFS) re-scan their table every
+# round and pay the fan-out repeatedly. ~4-8 real tasks per big-table
+# scan captures most of the single-threaded-scan fix at a fraction of
+# the task pressure.
+_DEFAULT_ROWS_PER_GROUP = 65536
+_MAX_GROUPS = 8
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -80,7 +90,10 @@ def _read_path(sf_dir: str, name: str) -> str:
         rows = pf.metadata.num_rows
         if pf.metadata.num_row_groups > 1:
             return src  # already splittable
-        k = min(_MAX_GROUPS, max(1, rows // _ROWS_PER_GROUP_DIVISOR.get(name, 2048)))
+        k = min(
+            _MAX_GROUPS,
+            max(1, rows // _ROWS_PER_GROUP_DIVISOR.get(name, _DEFAULT_ROWS_PER_GROUP)),
+        )
         if k <= 1:
             return src
         tag = f"{st.st_size}_{int(st.st_mtime)}_{k}"
