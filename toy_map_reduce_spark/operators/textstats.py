@@ -785,36 +785,37 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_N_MERGES = 6
 
 
-def _bpe_merge_fold(sym_col, a: str, b: str):
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bpe_merge_fold_sql(sym_sql: str, a: str, b: str) -> str:
     """Greedy leftmost non-overlapping merge of adjacent (a, b) → a+b inside
     a symbol array, as a pure JVM higher-order fold (no UDF): the
     accumulator carries (emitted prefix, one pending symbol); each step
     either completes a merge, flushes the pending symbol, or starts a new
-    pending one. Matches the replacement rule of reference BPE trainers."""
-    acc0 = F.struct(
-        F.array().cast("array<string>").alias("out"),
-        F.lit(None).cast("string").alias("pend"),
+    pending one. Matches the replacement rule of reference BPE trainers.
+
+    Built as a SQL STRING (the _bracketed_stats lesson): the Column-object
+    form crossed py4j hundreds of times per merge, and bpe_apply chains
+    |merges| folds — nesting is linear in text (each fold embeds the
+    previous once), so one selectExpr parses the whole chain."""
+    qa, qb, qab = _sql_str(a), _sql_str(b), _sql_str(a + b)
+    hit = f"acc.pend = {qa} AND s = {qb}"
+    return (
+        f"aggregate({sym_sql}, "
+        f"named_struct('out', CAST(array() AS ARRAY<STRING>), "
+        f"'pend', CAST(NULL AS STRING)), "
+        f"(acc, s) -> named_struct("
+        f"'out', CASE WHEN acc.pend IS NULL THEN acc.out "
+        f"WHEN {hit} THEN array_append(acc.out, {qab}) "
+        f"ELSE array_append(acc.out, acc.pend) END, "
+        f"'pend', CASE WHEN acc.pend IS NULL OR NOT ({hit}) THEN s "
+        f"ELSE CAST(NULL AS STRING) END), "
+        f"acc -> CASE WHEN acc.pend IS NULL THEN acc.out "
+        f"ELSE array_append(acc.out, acc.pend) END)"
     )
-
-    def step(acc, s):
-        pend, out = acc["pend"], acc["out"]
-        hit = pend.eqNullSafe(F.lit(a)) & (s == F.lit(b))
-        new_out = F.when(pend.isNull(), out).otherwise(
-            F.when(hit, F.concat(out, F.array(F.lit(a + b)))).otherwise(
-                F.concat(out, F.array(pend))
-            )
-        )
-        new_pend = F.when(pend.isNull() | ~hit, s).otherwise(
-            F.lit(None).cast("string")
-        )
-        return F.struct(new_out.alias("out"), new_pend.alias("pend"))
-
-    def finish(acc):
-        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
-            F.concat(acc["out"], F.array(acc["pend"]))
-        )
-
-    return F.aggregate(sym_col, acc0, step, finish)
 
 
 def bpe_train(words: DataFrame, n_merges: int = BPE_N_MERGES):
@@ -856,8 +857,8 @@ def bpe_train(words: DataFrame, n_merges: int = BPE_N_MERGES):
             break
         a, b, n = best["pa"], best["pb"], best["n"]
         merges.append((rank, a, b, a + b, int(n)))
-        new_sym = sym.select(
-            _bpe_merge_fold(F.col("sym"), a, b).alias("sym"), "freq"
+        new_sym = sym.selectExpr(
+            f"{_bpe_merge_fold_sql('sym', a, b)} AS sym", "freq"
         ).localCheckpoint()
         sym.unpersist()
         sym = new_sym
@@ -899,13 +900,12 @@ def bpe_apply(words: DataFrame, merges: list[tuple]) -> DataFrame:
     rewrite the trainer used), so encoding is |merges| narrow map stages
     over the vocab-sized table — corpus rows are never touched. Returns
     (word, freq, n_sym)."""
-    sym = words.select(
-        "word", "freq",
-        F.filter(F.split("word", ""), lambda c: c != "").alias("sym"),
-    )
+    expr = "filter(split(word, ''), c -> c != '')"
     for _, a, b, _, _ in merges:
-        sym = sym.withColumn("sym", _bpe_merge_fold(F.col("sym"), a, b))
-    return sym.select("word", "freq", F.size("sym").alias("n_sym"))
+        expr = _bpe_merge_fold_sql(expr, a, b)
+    # the chain nests linearly in text, so ONE selectExpr parses all
+    # |merges| folds — a single Project, whole-stage-codegen'd once
+    return words.selectExpr("word", "freq", f"size({expr}) AS n_sym")
 
 
 @register("tokenize_bpe_apply", "X", oracle=None,

@@ -83,7 +83,9 @@ def run_to_table(stream_df: DataFrame, base_name: str, output_mode: str, sf_dir:
     Shuffle partitions are scoped down for the run: each stateful streaming
     partition carries a state store (RocksDB/HDFS-backed at scale, ~fixed
     setup cost each), and the partition count is frozen into the checkpoint
-    at query start. 8 stores is right-sized for the bench tier; results are
+    at query start. 4 stores is right-sized for the bench tier (a
+    stream-stream join holds FOUR stores per partition, so partitions are
+    the multiplier on fixed setup cost); results are
     partition-count-invariant. (On a real cluster you'd size this to
     executor count × a small factor, once, at first deployment.)
     """
@@ -93,7 +95,7 @@ def run_to_table(stream_df: DataFrame, base_name: str, output_mode: str, sf_dir:
         if q.name == name:
             q.stop()
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         query = (
             stream_df.writeStream.outputMode(output_mode)

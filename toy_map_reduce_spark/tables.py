@@ -43,8 +43,12 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # SPARK_GRAFT_LAYOUT_CACHE=off.
 _ROWS_PER_GROUP_DIVISOR = {
     # heavy-per-row tables (long text / float vectors): far fewer rows
-    # per group so downstream explode/vector work parallelizes too
-    "documents": 512,
+    # per group so downstream explode/vector work parallelizes too.
+    # documents stays FINE-grained (the text/dedup family does orders of
+    # magnitude more CPU per input byte than relational scans — simhash
+    # at 9 groups ran 25% slower than at ~19) and the table is far too
+    # small for its fan-out to add meaningful task pressure.
+    "documents": 256,
     "embeddings": 512,
 }
 # default sizing is deliberately MUCH coarser than "one group per core".
