@@ -52,15 +52,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, so sniff the batch-read footer schema once and pick the stream
     schema + normalization to session-UTC TimestampType accordingly.
     """
+    import os
+
+    from toy_map_reduce_spark.tables import _read_path
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_ts = dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
-    # the file stream source only accepts directories; filter to the one table
-    reader = spark.readStream.option("pathGlobFilter", "events.parquet")
+    # read through the same re-chunked layout-cache file the batch path
+    # uses (the fixture's single row group otherwise serializes EVERY
+    # micro-batch scan on one task — a stream-stream join scans the
+    # source once per side). The file stream source only accepts
+    # directories, so glob-filter to the exact file; the cache tag in
+    # the name keys the glob to the current chunking, never a stale one.
+    src = _read_path(sf_dir, "events")
+    src_dir, src_file = os.path.split(src)
+    reader = spark.readStream.option("pathGlobFilter", src_file)
     if batch_ts == "bigint":  # nanos-as-long fixtures
-        raw = reader.schema(_events_schema(T.LongType())).parquet(sf_dir)
+        raw = reader.schema(_events_schema(T.LongType())).parquet(src_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    raw = reader.schema(_events_schema(T.TimestampNTZType())).parquet(sf_dir)
+    raw = reader.schema(_events_schema(T.TimestampNTZType())).parquet(src_dir)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

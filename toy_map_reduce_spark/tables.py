@@ -50,6 +50,10 @@ _ROWS_PER_GROUP_DIVISOR = {
     # small for its fan-out to add meaningful task pressure.
     "documents": 256,
     "embeddings": 512,
+    # events feeds the whole streaming family (each side of a
+    # stream-stream join scans it per micro-batch) plus the event-time
+    # analytics; at the default divisor it would stay un-chunked
+    "events": 16384,
 }
 # default sizing is deliberately MUCH coarser than "one group per core".
 # Isolated heavy queries love 32-way scans, but the bench regime — ~780
