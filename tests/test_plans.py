@@ -559,3 +559,58 @@ def test_cc_loop_checkpoint_bounds_lineage(spark):
         "not truncating"
     )
     assert "LogicalRDD" in plan or "ExistingRDD" in plan or "Scan" in plan
+
+
+def _empty_partition_window_specs(plan: str) -> list[str]:
+    """windowspecdefinition(...) occurrences whose PARTITION list is empty.
+
+    In explain output the spec's arguments are partition columns (bare
+    expressions) followed by order columns (carrying ASC/DESC), then the
+    frame. An empty partition spec therefore shows an ASC/DESC marker (or
+    the frame itself) in the FIRST argument — the single-task global-sort
+    shape."""
+    specs = []
+    rest = plan
+    while "windowspecdefinition(" in rest:
+        rest = rest.split("windowspecdefinition(", 1)[1]
+        first_arg = rest.split(",", 1)[0]
+        if " ASC" in first_arg or " DESC" in first_arg or "specifiedwindowframe" in first_arg:
+            specs.append(first_arg.strip())
+    return specs
+
+
+def test_global_order_queries_are_range_partitioned(spark, sf_dir):
+    """The global-order family (Pareto/ABC, Gini, RFM ntiles, shard
+    assignment, sequence packing, curriculum bands, weighted median) must
+    rank via the distributed range-partitioned shape (functions/ranks.py):
+    a RangePartitioning exchange over the data, ranks computed within
+    pids, and the ONLY empty-partition window ordering by the per-pid
+    offsets table's _pid — never a single-task sort of the corpus."""
+    for name in (
+        "orders_pareto_abc",
+        "orders_gini",
+        "orders_rfm",
+        "shard_assign",
+        "pack_sequences",
+        "pipeline_curriculum_order",
+        "agg_weighted",
+    ):
+        plan = plan_of(spark, sf_dir, name, mode="simple")
+        assert "rangepartitioning" in plan.lower(), (
+            f"{name}: no RangePartitioning exchange — global order lost "
+            "its distributed-sort shape"
+        )
+        for spec in _empty_partition_window_specs(plan):
+            assert "_pid" in spec, (
+                f"{name}: empty-partition window over {spec!r} — a "
+                "single-task global sort regressed into the plan"
+            )
+
+
+def test_zipf_topk_is_take_ordered_not_global_rank(spark, sf_dir):
+    # the top-200 vocabulary slice must plan as distributed top-k; a
+    # row_number window over the whole vocabulary would single-task it
+    plan = plan_of(spark, sf_dir, "text_zipf_slope", mode="simple")
+    # the rank window that remains runs over the 200-row TakeOrdered
+    # output, which is what makes its empty partition spec acceptable
+    assert "TakeOrderedAndProject" in plan

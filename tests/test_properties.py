@@ -385,3 +385,66 @@ def test_task_retry_recovers_from_transient_failure(spark):
     )
     got = sorted((r.x, r.y) for r in df.collect())
     assert got == [(i, 2 * i) for i in range(100)]
+
+
+def test_global_order_primitive_matches_naive_windows(spark):
+    """functions/ranks.py must be BIT-identical to the single-task window
+    plans it replaces: row_number, inclusive running sum, whole-group
+    totals, and the uneven-remainder ntile bands — global and per-group,
+    ascending and descending, across every remainder class of n % k."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.functions.ranks import ntile_from_rn, with_global_order
+
+    rng = random.Random(41)
+    rows = [
+        (i, rng.randint(0, 40), rng.choice("pqr"), float(rng.randint(1, 9)))
+        for i in range(997)  # prime => exercises n % k != 0 banding
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, g string, w double").repartition(7)
+
+    naive = df.select(
+        "id",
+        F.row_number().over(Window.orderBy("v", "id")).alias("rn"),
+        F.sum("w")
+        .over(Window.orderBy(F.col("v").desc(), "id").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cw_desc"),
+        F.ntile(7).over(Window.orderBy("v", "id")).alias("band"),
+        F.sum("w")
+        .over(Window.partitionBy("g").orderBy("v", "id").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cw_grp"),
+    )
+    mine = with_global_order(
+        df, [F.col("v"), F.col("id")], rn_col="rn", n_col="n", totals={"tot": "w"}, parts=5
+    )
+    mine = mine.withColumn("band", ntile_from_rn(F.col("rn"), F.col("n"), 7))
+    mine = with_global_order(
+        mine, [F.col("v").desc(), F.col("id")], cumsums={"cw_desc": "w"}, parts=5
+    )
+    mine = with_global_order(
+        mine, [F.col("v"), F.col("id")], part_cols=["g"], cumsums={"cw_grp": "w"}, parts=5
+    )
+
+    j = naive.alias("a").join(mine.alias("b"), "id")
+    assert j.count() == 997
+    mismatch = j.where(
+        (F.col("a.rn") != F.col("b.rn"))
+        | (F.col("a.band") != F.col("b.band"))
+        | (F.abs(F.col("a.cw_desc") - F.col("b.cw_desc")) > 1e-9)
+        | (F.abs(F.col("a.cw_grp") - F.col("b.cw_grp")) > 1e-9)
+    ).count()
+    assert mismatch == 0
+    tot = mine.select("tot").distinct().collect()
+    assert len(tot) == 1 and abs(tot[0].tot - sum(r[3] for r in rows)) < 1e-6
+
+    # ntile_from_rn across remainder classes, vs the SQL ntile definition
+    for n, k in ((1, 4), (3, 4), (4, 4), (6, 4), (10, 4), (11, 3), (997, 7)):
+        sdf = spark.range(1, n + 1).select(
+            F.col("id").alias("rn"),
+            ntile_from_rn(F.col("id"), F.lit(n), k).alias("band"),
+            F.ntile(k).over(Window.orderBy("id")).alias("want"),
+        )
+        assert sdf.where(F.col("band") != F.col("want")).count() == 0, (n, k)

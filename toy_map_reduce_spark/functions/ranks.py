@@ -1,0 +1,149 @@
+"""Distributed global-order primitives: exact row_number / running sums /
+ntile over an arbitrary total order WITHOUT a single-task global sort.
+
+The naive formulation — ``Window.orderBy(...)`` with an empty
+``partitionBy()`` — plans as ``Exchange SinglePartition`` + one sorting
+task: the canonical 100 TB scale-killer (every row funnels through one
+core). The reference has no analogue (its one pipeline never ranks), but
+several engine queries need a global order (Pareto/ABC, Gini, RFM ntiles,
+shard assignment, sequence packing). The shape here is the classic
+range-partitioned rank, exact and fully distributed:
+
+1. ``repartitionByRange(P, keys)`` — a distributed sort shuffle: rows land
+   range-clustered, partition i wholly precedes partition i+1 in the
+   requested order. The EXPLICIT partition count matters: AQE never
+   re-coalesces a user-specified numPartitions, so the partition ids are
+   stable for both consumers below.
+2. Stamp ``spark_partition_id()`` and persist: pids become frozen data and
+   the two passes below share one materialization.
+3. A per-(group, pid) count/sum aggregate — P rows per group — prefix-
+   summed over pid order. This is the only single-partition window in the
+   plan and it runs over the P-row aggregate, never the corpus.
+4. Broadcast the offsets back and rank WITHIN each pid: global rank =
+   pid offset + local row_number, global running sum = pid sum offset +
+   local running sum. Every sort task holds ~corpus/P rows, so the plan
+   scales out with P (at 100 TB: P = executors x a small factor).
+
+Exactness: the order keys must form a total order (callers pass a unique
+tiebreak column — the repo-wide window determinism contract), so the
+output is bit-identical to the single-task plan the DuckDB oracles run.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_global_order", "ntile_from_rn"]
+
+
+def with_global_order(
+    df: DataFrame,
+    order_cols: list,
+    part_cols: list[str] | None = None,
+    rn_col: str | None = None,
+    cumsums: dict[str, str] | None = None,
+    totals: dict[str, str] | None = None,
+    n_col: str | None = None,
+    parts: int | None = None,
+) -> DataFrame:
+    """Add exact global-order columns to ``df`` without a global sort.
+
+    order_cols: Columns (may carry .desc()) forming a TOTAL order.
+    part_cols:  optional grouping — ranks restart per group (the
+                low-cardinality-key case, e.g. a per-flag running sum,
+                where a plain window would make one task per key).
+    rn_col:     1-based global row_number output column.
+    cumsums:    {out: src} inclusive running sums of ``src``.
+    totals:     {out: src} whole-group sums of ``src`` (broadcast-attached).
+    n_col:      whole-group row count (for ntile-style banding).
+    """
+    part_cols = list(part_cols or [])
+    cumsums = cumsums or {}
+    totals = totals or {}
+    spark = df.sparkSession
+    if parts is None:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    rp = df.repartitionByRange(parts, *[F.col(c) for c in part_cols] + list(order_cols))
+    stamped = rp.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    sum_srcs = {f"_s_{out}": src for out, src in {**cumsums, **totals}.items()}
+    for tmp, src in sum_srcs.items():
+        aggs.append(F.sum(src).alias(tmp))
+    per_pid = stamped.groupBy(*part_cols, "_pid").agg(*aggs)
+
+    # offsets table: |groups| x P rows — tiny. The single-partition window
+    # below (the ONLY empty-partition window in the plan, and it orders by
+    # _pid — the property tests/test_plans.py pins) runs over THIS table.
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_sel = list(part_cols) + ["_pid"]
+    off_sel.append(
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off_n")
+    )
+    for out in cumsums:
+        off_sel.append(
+            F.coalesce(F.sum(f"_s_{out}").over(w_off), F.lit(0)).alias(f"_off_{out}")
+        )
+    offsets = per_pid.select(*off_sel)
+
+    # whole-group totals come from a second aggregate of the tiny per-pid
+    # table (never a partitionBy()-less window, which would read as the
+    # single-task-sort shape the plan test forbids)
+    if n_col or totals:
+        tot_aggs = [F.sum("_n").alias("_tot_n")] + [
+            F.sum(f"_s_{out}").alias(f"_tot_{out}") for out in totals
+        ]
+        if part_cols:
+            tots = per_pid.groupBy(*part_cols).agg(*tot_aggs)
+            offsets = offsets.join(tots, part_cols)
+        else:
+            offsets = offsets.crossJoin(F.broadcast(per_pid.agg(*tot_aggs)))
+
+    joined = stamped.join(F.broadcast(offsets), part_cols + ["_pid"])
+    w_loc = Window.partitionBy(*(part_cols + ["_pid"])).orderBy(*order_cols)
+    w_loc_cum = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    drop = ["_pid", "_off_n"]
+    out_df = joined
+    if rn_col:
+        out_df = out_df.withColumn(
+            rn_col, (F.col("_off_n") + F.row_number().over(w_loc)).cast("bigint")
+        )
+    for out, src in cumsums.items():
+        out_df = out_df.withColumn(
+            out, F.col(f"_off_{out}") + F.sum(src).over(w_loc_cum)
+        )
+        drop.append(f"_off_{out}")
+    for out in totals:
+        out_df = out_df.withColumn(out, F.col(f"_tot_{out}"))
+        drop.append(f"_tot_{out}")
+    if n_col:
+        out_df = out_df.withColumn(n_col, F.col("_tot_n"))
+    if n_col or totals:
+        drop.append("_tot_n")
+    return out_df.drop(*drop)
+
+
+def ntile_from_rn(rn, n, k: int):
+    """Exact SQL ntile(k) band from a 1-based global rank and group size:
+    the first n%k bands hold ceil(n/k) rows, the rest floor(n/k) — the
+    uneven-remainder distribution every SQL engine implements. Pure
+    column arithmetic, so it composes with with_global_order's rn/n
+    instead of a single-task ntile window."""
+    q = F.floor(n / k)
+    r = n % k
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading bands
+    return (
+        F.when(rn <= big, F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - big) / F.greatest(q, F.lit(1))))
+        .cast("int")
+    )

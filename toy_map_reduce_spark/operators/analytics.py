@@ -394,27 +394,31 @@ GROUP BY 1, 2, 3
               "quartiles via ntile (custkey tiebreak = deterministic total "
               "order), segment sizes — the classic customer-value cube")
 def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ntile windows are global-ordered — a deliberate single-partition
-    sort over the CUSTOMER-grain frame (|customers| rows, tiny next to the
-    order feed). At 100 TB you'd swap ntile for approx percentile_disc
-    cutoffs joined back; ties broken by custkey keep both engines on one
-    total order."""
+    """Each ntile is an exact distributed rank (functions/ranks.py:
+    range-partitioned row_number + the uneven-remainder band formula) over
+    the CUSTOMER-grain frame — no single-task sort anywhere, so the plan
+    survives a 10^9-customer feed. Three orderings cost three range
+    shuffles of the (already reduced) customer aggregate; ties broken by
+    custkey keep both engines on one total order."""
+    from toy_map_reduce_spark.functions.ranks import ntile_from_rn, with_global_order
+
     orders = load(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round("o_totalprice", 2)).alias("monetary"),
     )
-    w_r = Window.orderBy("last_order", "custkey")
-    w_f = Window.orderBy("frequency", "custkey")
-    w_m = Window.orderBy("monetary", "custkey")
-    scored = rfm.select(
-        "custkey",
-        "frequency",
-        F.ntile(4).over(w_r).alias("r_score"),
-        F.ntile(4).over(w_f).alias("f_score"),
-        F.ntile(4).over(w_m).alias("m_score"),
-    )
+    scored = rfm
+    for score, keys in (
+        ("r_score", [F.col("last_order"), F.col("custkey")]),
+        ("f_score", [F.col("frequency"), F.col("custkey")]),
+        ("m_score", [F.col("monetary"), F.col("custkey")]),
+    ):
+        scored = with_global_order(scored, keys, rn_col="_rn", n_col="_n")
+        scored = scored.withColumn(
+            score, ntile_from_rn(F.col("_rn"), F.col("_n"), 4)
+        ).drop("_rn", "_n")
+    scored = scored.select("custkey", "frequency", "r_score", "f_score", "m_score")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("frequency").cast("long").alias("total_orders"),
@@ -573,24 +577,23 @@ FROM ranked
               "C — the inventory/CRM 80-20 analysis, boundary tests in "
               "exact integer arithmetic")
 def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The running sum is a global-ordering window — the one legitimate
-    use of an unpartitioned window, because its input is the customer
-    aggregate (|customers| rows, already reduced), never the fact table.
-    Class boundaries compare cum*10 ≤ total*8 in BIGINT cents, so no
-    float share can flip a customer's class cross-engine."""
+    """The running revenue share needs a global order; it is computed as a
+    distributed range-partitioned running sum (functions/ranks.py) over
+    the customer aggregate — no single-task sort, so the plan holds at
+    10^9 customers, not just at |customers| << |orders|. Class boundaries
+    compare cum*10 ≤ total*8 in BIGINT cents, so no float share can flip
+    a customer's class cross-engine."""
+    from toy_map_reduce_spark.functions.ranks import with_global_order
+
     orders = load(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
     )
-    w_run = Window.orderBy(F.col("rev_cents").desc(), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    ranked = cust.select(
-        "o_custkey",
-        "rev_cents",
-        F.sum("rev_cents").over(w_run).alias("cum_cents"),
-        F.sum("rev_cents").over(w_all).alias("total_cents"),
+    ranked = with_global_order(
+        cust,
+        [F.col("rev_cents").desc(), F.col("o_custkey")],
+        cumsums={"cum_cents": "rev_cents"},
+        totals={"total_cents": "rev_cents"},
     )
     return ranked.select(
         "o_custkey",
@@ -822,21 +825,21 @@ FROM sums
               "ascending-sorted integer cents — one number auditing the "
               "80/20 shape orders_pareto_abc classes row-by-row")
 def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The rank formula needs one global ordering — over the CUSTOMER
-    aggregate (already reduced), like orders_pareto_abc's running sum,
-    never the fact table. All sums are exact BIGINTs; only the final
-    normalization divides, and the floored micro-int can't flip because
-    both engines divide the same exact integers."""
-    from pyspark.sql import Window
+    """The rank formula needs one global ordering over the customer
+    aggregate; the rank is a distributed range-partitioned row_number
+    (functions/ranks.py) — no single-task sort even at 10^9 customers.
+    All sums are exact BIGINTs; only the final normalization divides, and
+    the floored micro-int can't flip because both engines divide the same
+    exact integers."""
+    from toy_map_reduce_spark.functions.ranks import with_global_order
 
     orders = load(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
     )
-    ranked = cust.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_custkey")).cast("bigint").alias("i"),
-    )
+    ranked = with_global_order(
+        cust, [F.col("cents"), F.col("o_custkey")], rn_col="i"
+    ).select("cents", "i")
     sums = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("s0"),

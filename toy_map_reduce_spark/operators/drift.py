@@ -320,24 +320,29 @@ ORDER BY t.l_returnflag
               "total, deterministically tie-broken")
 def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted mean is a plain partial-aggregated groupBy. The weighted
-    median needs a per-key sorted prefix sum — exact by definition
-    (same honesty note as stat_mad_outliers); the per-key totals come
-    from the aggregate side and broadcast back, never from a second
-    whole-partition window. Keys are low-cardinality, so at 100 TB the
-    swap-in is a weighted percentile sketch."""
+    median needs a per-key sorted prefix sum; a plain per-key window
+    would funnel each key's ENTIRE fact feed through one sort task
+    (3 keys = 3 tasks at 100 TB), so the prefix sum is the distributed
+    range-partitioned form (functions/ranks.py): each of the P sort
+    tasks holds ~|lineitem|/P rows regardless of key skew, and the
+    result is exact — no sketch needed. The per-key totals come from
+    the aggregate side and broadcast back."""
+    from toy_map_reduce_spark.functions.ranks import with_global_order
+
     li = load(spark, sf_dir, "lineitem")
     tot = li.groupBy("l_returnflag").agg(
         F.sum("l_quantity").alias("w_total"),
         F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pw_sum"),
     )
-    w = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = li.select(
-        "l_returnflag", "l_extendedprice", F.sum("l_quantity").over(w).alias("cw")
-    )
+    cum = with_global_order(
+        li.select(
+            "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+            "l_quantity",
+        ),
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        part_cols=["l_returnflag"],
+        cumsums={"cw": "l_quantity"},
+    ).select("l_returnflag", "l_extendedprice", "cw")
     med = (
         cum.join(F.broadcast(tot.select("l_returnflag", "w_total")), "l_returnflag")
         .where(2 * F.col("cw") >= F.col("w_total"))

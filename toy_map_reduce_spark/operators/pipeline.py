@@ -145,10 +145,16 @@ GROUP BY 1
               "shards (greedy balance without sequential state); per-shard "
               "doc and token totals")
 def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-desc rank is a distributed range-partitioned row_number
+    (functions/ranks.py) — the corpus-grain global order that would
+    otherwise be the classic single-task sort at 100 TB."""
+    from toy_map_reduce_spark.functions.ranks import with_global_order
+
     docs = load(spark, sf_dir, "documents")
     sized = docs.select("doc_id", F.size(_tokens("text")).alias("n_tokens"))
-    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
-    ranked = sized.withColumn("rn", F.row_number().over(w))
+    ranked = with_global_order(
+        sized, [F.col("n_tokens").desc(), F.col("doc_id").asc()], rn_col="rn"
+    )
     return (
         ranked.select(((F.col("rn") - 1) % 8).cast("int").alias("shard"), "n_tokens")
         .groupBy("shard")
@@ -344,18 +350,17 @@ GROUP BY 1
               "by start offset (running-sum window) — per-sequence doc and "
               "token totals")
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The global running sum needs a total order; at 100 TB you first
-    shard (shard_assign) and pack per shard in parallel — the within-shard
-    logic is exactly this query. Deterministic: ordering is by doc_id,
-    never by arrival."""
+    """The global running offset is a distributed range-partitioned
+    running sum (functions/ranks.py) — doc_id-ordered, exact, and never a
+    single-task window even at corpus grain. Deterministic: ordering is
+    by doc_id, never by arrival."""
+    from toy_map_reduce_spark.functions.ranks import with_global_order
+
     docs = load(spark, sf_dir, "documents")
     sized = docs.select("doc_id", F.size(_tokens("text")).alias("n_tokens"))
-    w = Window.orderBy(F.col("doc_id").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    placed = sized.withColumn(
-        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    )
+    placed = with_global_order(
+        sized, [F.col("doc_id").asc()], cumsums={"_cum": "n_tokens"}
+    ).withColumn("start_off", F.col("_cum") - F.col("n_tokens"))
     return (
         placed.select(
             F.floor(F.col("start_off") / 2048).cast("long").alias("seq_id"),
@@ -621,16 +626,19 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same determinism contract as dataset_split/sample_hash: the shuffle
     key is a hash of (doc_id, epoch), so every re-run and every engine
     produces the identical order, and the next epoch just changes the
-    salt. The band assignment is a global ntile (exact-quartile honesty
-    note as feature_quantile_bucket); at 100 TB the swap-in is
-    approx-percentile band edges broadcast over the scan."""
+    salt. The quartile bands are an exact distributed rank + the
+    uneven-remainder ntile formula (functions/ranks.py) — corpus-grain,
+    so a single-task ntile window would be the 100 TB bottleneck."""
+    from toy_map_reduce_spark.functions.ranks import ntile_from_rn, with_global_order
+
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("difficulty")
     )
-    wb = Window.orderBy("difficulty", "doc_id")
-    banded = docs.select(
+    banded = with_global_order(
+        docs, [F.col("difficulty"), F.col("doc_id")], rn_col="_rn", n_col="_n"
+    ).select(
         "doc_id", "difficulty",
-        F.ntile(CURRICULUM_BANDS).over(wb).alias("band"),
+        ntile_from_rn(F.col("_rn"), F.col("_n"), CURRICULUM_BANDS).alias("band"),
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#epoch0")))
         .alias("shuffle_key"),
     )

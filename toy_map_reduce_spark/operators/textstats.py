@@ -701,10 +701,13 @@ WHERE rnk <= {ZIPF_TOP_RANKS}
               "strong deviation flags synthetic or template-heavy data "
               "in a corpus audit")
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary aggregate (partial+final), a rank window over the tiny
-    top slice, one regression aggregate — the audit costs one corpus
-    scan. The (f DESC, word) rank tiebreak keeps rank assignment total,
-    so both engines regress over identical (rank, freq) pairs."""
+    """Vocabulary aggregate (partial+final), then the top-200 slice via
+    orderBy().limit() — Spark plans that as TakeOrderedAndProject (a
+    distributed per-partition top-k + tiny driver merge), NOT a global
+    sort, so the vocab-grain ordering never funnels through one task.
+    The rank window then runs over the 200-row slice only. The (f DESC,
+    word) tiebreak keeps rank assignment total, so both engines regress
+    over identical (rank, freq) pairs."""
     from pyspark.sql import Window
     from toy_map_reduce_spark.functions.text import norm_text
 
@@ -715,9 +718,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    ranked = freq.withColumn(
+    top = freq.orderBy(F.col("f").desc(), "word").limit(ZIPF_TOP_RANKS)
+    ranked = top.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.col("f").desc(), "word"))
-    ).where(F.col("rnk") <= ZIPF_TOP_RANKS)
+    )
     lf = F.log(F.col("f").cast("double"))
     lr = F.log(F.col("rnk").cast("double"))
     return ranked.agg(
