@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Exhaustive single-partition-exchange audit across the whole registry.
+
+``Exchange SinglePartition`` is the plan shape that funnels an entire
+input through ONE task — the classic 100 TB scale-killer when the input
+is corpus-grain (r5/r6 rewrote eight such sites into the distributed
+exact-rank primitive, functions/ranks.py). It is perfectly fine when the
+input is a tiny aggregate (a one-row bounds table, a per-group summary of
+bounded cardinality), which is why a blanket plan ban is wrong and an
+AUDIT + CI pin is right: this script prints the per-query triage, and
+tests/test_plans.py::test_no_single_partition_exchange_feeds_from_raw_scan
+keeps the risky set empty forever.
+
+Classification (toy_map_reduce_spark/plans/explain.py
+single_partition_sites): a site is ``raw_corpus_risk`` iff a file scan
+sits in the exchange's subtree with NO aggregate between them — raw rows
+crossing into one task. An aggregate below the exchange bounds the
+crossing rows to group-key cardinality, the benign shape.
+
+Usage: python scripts/plan_audit.py [--json] [name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from toy_map_reduce_spark.plans import explain_str, single_partition_sites
+from toy_map_reduce_spark.registry import all_specs
+from toy_map_reduce_spark.session import get_spark
+
+
+def main() -> int:
+    as_json = "--json" in sys.argv
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    spark = get_spark("tmr-plan-audit")
+    sf_dir = "/root/testdata/sf0.001"
+    report: dict[str, list[dict]] = {}
+    errors: dict[str, str] = {}
+    for name, spec in sorted(all_specs().items()):
+        if spec.tier == "S":
+            continue  # streaming plans are inspected by tests/test_streaming.py
+        if only and name not in only:
+            continue
+        try:
+            sites = single_partition_sites(
+                explain_str(spec.builder(spark, sf_dir), "simple")
+            )
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
+        if sites:
+            report[name] = sites
+    risky = {n: s for n, s in report.items() if any(x["raw_corpus_risk"] for x in s)}
+    if as_json:
+        print(json.dumps({"risky": risky, "all": report, "errors": errors}, indent=1))
+    else:
+        print(f"queries with Exchange SinglePartition: {len(report)}")
+        print(f"  of which raw-corpus risk (scan, no aggregate below): {len(risky)}")
+        for n, sites in sorted(report.items()):
+            flag = "RISK" if any(x["raw_corpus_risk"] for x in sites) else "ok  "
+            print(f"  [{flag}] {n}: {len(sites)} site(s)")
+            if n in risky:
+                for x in sites:
+                    if x["raw_corpus_risk"]:
+                        for l in x["subtree_head"]:
+                            print(f"         | {l}")
+        for n, e in sorted(errors.items()):
+            print(f"  [err ] {n}: {e}")
+    return 1 if risky or errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -614,3 +614,30 @@ def test_zipf_topk_is_take_ordered_not_global_rank(spark, sf_dir):
     # the rank window that remains runs over the 200-row TakeOrdered
     # output, which is what makes its empty partition spec acceptable
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_single_partition_exchange_feeds_from_raw_scan(spark, sf_dir):
+    # The registry-wide generalization of the exact-rank rewrites
+    # (functions/ranks.py): an Exchange SinglePartition whose subtree
+    # contains a file scan with NO aggregate in between funnels raw
+    # corpus rows through ONE task — the canonical 100 TB bottleneck.
+    # scripts/plan_audit.py triaged all non-streaming plans (r6): 100
+    # queries carry SinglePartition exchanges, every one fed by a
+    # cardinality-bounding aggregate (bounds tables, per-pid offsets,
+    # final summaries). This pin keeps the risky set empty.
+    from toy_map_reduce_spark.plans import single_partition_sites
+    from toy_map_reduce_spark.registry import all_specs
+
+    risky: list[str] = []
+    for name, spec in all_specs().items():
+        if spec.tier == "S":
+            continue
+        sites = single_partition_sites(
+            explain_str(spec.builder(spark, sf_dir), "simple")
+        )
+        if any(x["raw_corpus_risk"] for x in sites):
+            risky.append(name)
+    assert not risky, (
+        f"single-partition exchange over an unaggregated scan in: {risky} "
+        "— rewrite with functions/ranks.py or aggregate before the funnel"
+    )

@@ -1,1 +1,5 @@
-from toy_map_reduce_spark.plans.explain import explain_str, plan_properties  # noqa: F401
+from toy_map_reduce_spark.plans.explain import (  # noqa: F401
+    explain_str,
+    plan_properties,
+    single_partition_sites,
+)

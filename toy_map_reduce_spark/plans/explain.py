@@ -36,3 +36,45 @@ def plan_properties(df: DataFrame) -> dict[str, bool | int | list[str]]:
         "has_cartesian": "CartesianProduct" in plan,
         "python_udf": "BatchEvalPython" in plan or "ArrowEvalPython" in plan,
     }
+
+
+def single_partition_sites(plan: str) -> list[dict]:
+    """Classify every ``Exchange SinglePartition`` in a simple-mode plan.
+
+    A single-partition exchange funnels its entire input through ONE task —
+    the canonical scale-killer when fed by raw corpus rows (the shape
+    functions/ranks.py exists to eliminate), but perfectly fine when an
+    aggregate below it bounds the rows crossing the wire to the group-key
+    cardinality (one-row bounds tables, per-pid offset tables, final
+    global summaries). ``raw_corpus_risk`` marks the former: a file scan
+    in the exchange's subtree with NO intervening aggregate.
+
+    Used by scripts/plan_audit.py (human triage over the full registry)
+    and tests/test_plans.py (CI pin: the risky set stays empty).
+    """
+    import re as _re
+
+    lines = plan.splitlines()
+    sites: list[dict] = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        indent = len(line) - len(line.lstrip(" +-:*("))
+        subtree: list[str] = []
+        for nxt in lines[i + 1:]:
+            nind = len(nxt) - len(nxt.lstrip(" +-:*("))
+            if nxt.strip() and nind <= indent:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        scan = "Scan parquet" in sub or "FileScan" in sub or "Scan csv" in sub \
+            or "Scan json" in sub or "Scan text" in sub
+        agg = bool(_re.search(r"HashAggregate|SortAggregate|ObjectHashAggregate", sub))
+        sites.append({
+            "line": line.strip(),
+            "feeds_from_scan": scan,
+            "aggregated_below": agg,
+            "raw_corpus_risk": scan and not agg,
+            "subtree_head": [l.strip() for l in subtree[:6]],
+        })
+    return sites
