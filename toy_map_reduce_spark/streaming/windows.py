@@ -30,6 +30,10 @@ from pyspark.sql import types as T
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import table_path
 
+# events.ts parquet physical type per fixture file (see read_events_stream)
+_TS_TYPE_CACHE: dict[str, str] = {}
+
+
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -58,7 +62,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    batch_ts = dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
+    # the footer sniff costs a ~0.2s batch-read per call and its answer is
+    # a property of the fixture FILE, so memoize per path — every S-tier
+    # query (× every bench pass) otherwise re-pays it
+    src_path = table_path(sf_dir, "events")
+    batch_ts = _TS_TYPE_CACHE.get(src_path)
+    if batch_ts is None:
+        batch_ts = dict(spark.read.parquet(src_path).dtypes)["ts"]
+        _TS_TYPE_CACHE[src_path] = batch_ts
     # read through the same re-chunked layout-cache file the batch path
     # uses (the fixture's single row group otherwise serializes EVERY
     # micro-batch scan on one task — a stream-stream join scans the
