@@ -22,7 +22,10 @@ echo "== handoff gate 2/3: parity sweep (sf0.001 + sf0.01) =="
 ./scripts/parity_gate.sh || fail=1
 
 echo "== handoff gate 3/3: bench regression =="
-prev=$(ls -t BENCH_DETAIL_r*.json 2>/dev/null | head -1)
+# highest ROUND, not newest mtime: a fresh checkout gives every r*.json
+# the same mtime and ls -t tie-breaks arbitrarily (observed: picked r4
+# over r5, resurrecting regressions the r5 baseline already absorbs)
+prev=$(ls BENCH_DETAIL_r*.json 2>/dev/null | sort -V | tail -1)
 if [[ -n "${prev}" && -f BENCH_DETAIL.json ]]; then
   python scripts/bench_regress.py "${prev}" BENCH_DETAIL.json
   rc=$?
