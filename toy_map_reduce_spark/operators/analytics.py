@@ -397,9 +397,13 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each ntile is an exact distributed rank (functions/ranks.py:
     range-partitioned row_number + the uneven-remainder band formula) over
     the CUSTOMER-grain frame — no single-task sort anywhere, so the plan
-    survives a 10^9-customer feed. Three orderings cost three range
-    shuffles of the (already reduced) customer aggregate; ties broken by
-    custkey keep both engines on one total order."""
+    survives a 10^9-customer feed. The three orderings rank INDEPENDENT
+    narrow (custkey, value) projections of the shared (persisted) customer
+    aggregate rather than re-shuffling one widening frame three times in
+    sequence: the subtrees have no mutual dependency so their stages
+    overlap, and each range shuffle moves a 2-column row instead of the
+    full RFM row; custkey-grain equi-joins stitch the scores back. Ties
+    broken by custkey keep both engines on one total order."""
     from toy_map_reduce_spark.functions.ranks import ntile_from_rn, with_global_order
 
     orders = load(spark, sf_dir, "orders")
@@ -407,18 +411,28 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round("o_totalprice", 2)).alias("monetary"),
-    )
-    scored = rfm
-    for score, keys in (
-        ("r_score", [F.col("last_order"), F.col("custkey")]),
-        ("f_score", [F.col("frequency"), F.col("custkey")]),
-        ("m_score", [F.col("monetary"), F.col("custkey")]),
+    ).persist()
+    from toy_map_reduce_spark.functions import ranks as _ranks
+
+    _ranks._SCRATCH.append(rfm)  # released with the rank scratch lifecycle
+    scored = rfm.select("custkey", "frequency")
+    for score, src in (
+        ("r_score", "last_order"),
+        ("f_score", "frequency"),
+        ("m_score", "monetary"),
     ):
-        scored = with_global_order(scored, keys, rn_col="_rn", n_col="_n")
-        scored = scored.withColumn(
-            score, ntile_from_rn(F.col("_rn"), F.col("_n"), 4)
-        ).drop("_rn", "_n")
-    scored = scored.select("custkey", "frequency", "r_score", "f_score", "m_score")
+        ranked = with_global_order(
+            rfm.select("custkey", src),
+            [F.col(src), F.col("custkey")],
+            rn_col="_rn",
+            n_col="_n",
+        )
+        scored = scored.join(
+            ranked.select(
+                "custkey", ntile_from_rn(F.col("_rn"), F.col("_n"), 4).alias(score)
+            ),
+            "custkey",
+        )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("frequency").cast("long").alias("total_orders"),
