@@ -440,6 +440,18 @@ def test_global_order_primitive_matches_naive_windows(spark):
     tot = mine.select("tot").distinct().collect()
     assert len(tot) == 1 and abs(tot[0].tot - sum(r[3] for r in rows)) < 1e-6
 
+    # degenerate inputs: a filter can hand the primitive 0 or 1 rows at
+    # some scale factor — it must stay well-formed, not crash or drop
+    empty = with_global_order(
+        df.where(F.lit(False)), [F.col("v"), F.col("id")], rn_col="rn", n_col="n", parts=5
+    )
+    assert empty.count() == 0 and {"rn", "n"} <= set(empty.columns)
+    one = with_global_order(
+        df.limit(1), [F.col("v"), F.col("id")], rn_col="rn", n_col="n",
+        cumsums={"cw": "w"}, parts=5,
+    ).collect()
+    assert len(one) == 1 and one[0].rn == 1 and one[0].n == 1
+
     # ntile_from_rn across remainder classes, vs the SQL ntile definition
     for n, k in ((1, 4), (3, 4), (4, 4), (6, 4), (10, 4), (11, 3), (997, 7)):
         sdf = spark.range(1, n + 1).select(
