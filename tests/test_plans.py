@@ -641,3 +641,26 @@ def test_no_single_partition_exchange_feeds_from_raw_scan(spark, sf_dir):
         f"single-partition exchange over an unaggregated scan in: {risky} "
         "— rewrite with functions/ranks.py or aggregate before the funnel"
     )
+
+
+def test_no_row_python_udf_outside_udf_surface(spark, sf_dir):
+    # "Python only off the hot path": row-at-a-time Python UDFs
+    # (BatchEvalPython — each row round-trips pickled through a Python
+    # worker) exist ONLY in operators/udf_surface.py, where demonstrating
+    # the reference's UDF surface IS the deliverable. Everything else is
+    # JVM column expressions or Arrow-batched pandas exchange
+    # (ArrowEvalPython / MapInPandas / MapInArrow — the sanctioned slow
+    # path). This sweep pins the claim registry-wide.
+    from toy_map_reduce_spark.registry import all_specs
+
+    allowed = {"udf_surface", "udtf_surface", "udf_grouped_map", "udtf_table_arg"}
+    offenders: list[str] = []
+    for name, spec in all_specs().items():
+        if spec.tier == "S" or name in allowed:
+            continue
+        plan = explain_str(spec.builder(spark, sf_dir), "simple")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, (
+        f"row-at-a-time Python UDF (BatchEvalPython) leaked into: {offenders}"
+    )
