@@ -44,43 +44,11 @@ ABS_FLOOR_SEC = 0.15  # ignore regressions smaller than this in absolute terms
 INTENTIONAL: dict[str, dict] = {
     # name: {"reason": str, "old_max_at_most": float}
     #
-    # r6 rank rewrites: unpartitioned ntile/row_number windows (Exchange
-    # SinglePartition — one task sorts the whole input, the true 100 TB
-    # bottleneck) replaced by the distributed exact-rank primitive
-    # (functions/ranks.py). Exact same results; locally slower because the
-    # range-shuffle + offset-broadcast scaffold costs fixed stages that the
-    # single-task sort didn't need at toy scale.
-    "orders_rfm": {
-        "reason": "3 global ntiles -> distributed exact rank (no single-task sort)",
-        "old_max_at_most": 0.71,
-    },
-    "orders_pareto_abc": {
-        "reason": "global cumsum window -> distributed exact rank",
-        "old_max_at_most": 0.47,
-    },
-    "orders_gini": {
-        "reason": "global rank+cumsum window -> distributed exact rank",
-        "old_max_at_most": 0.48,
-    },
-    "shard_assign": {
-        "reason": "global row_number window -> distributed exact rank",
-        "old_max_at_most": 0.36,
-    },
-    "pack_sequences": {
-        "reason": "global running-sum window -> distributed exact rank",
-        "old_max_at_most": 0.39,
-    },
-    "pipeline_curriculum_order": {
-        "reason": "global ntile window -> distributed exact rank",
-        "old_max_at_most": 0.47,
-    },
-    # r6 multimodal: the r5 baseline timed a deterministic STUB decode;
-    # r6 put a real pure-numpy BMP/WAV/PPM codec behind the same
-    # mapInPandas (judge item 2) — the extra time is the real decoding.
-    "multimodal_features": {
-        "reason": "stub decode -> real BMP/WAV/PPM codec in the same mapInPandas",
-        "old_max_at_most": 0.47,
-    },
+    # (r6's seven entries — the exact-rank family and the real-codec
+    # multimodal_features — were retired in r7 per the carry-one-round
+    # policy: the r6 baseline BENCH_DETAIL already times the rewritten
+    # plans, and r7 made the rank family faster again, so nothing is
+    # left to excuse.)
 }
 
 

@@ -77,6 +77,13 @@ def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
         except Exception as exc:  # noqa: BLE001 — record, don't abort the sweep
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
             n_fail += 1
+        finally:
+            # rank-scratch lifecycle: the query is materialized (or dead)
+            # by now, so releasing is safe and keeps a 414-query sweep
+            # from accumulating persisted blocks (r6 advisor)
+            from toy_map_reduce_spark.functions.ranks import release_scratch
+
+            release_scratch()
         report[name] = rec
     duck.close()
 

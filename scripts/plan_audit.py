@@ -23,6 +23,7 @@ Usage: python scripts/plan_audit.py [--json] [name ...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 from toy_map_reduce_spark.plans import explain_str, single_partition_sites
@@ -34,7 +35,11 @@ def main() -> int:
     as_json = "--json" in sys.argv
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_spark("tmr-plan-audit")
-    sf_dir = "/root/testdata/sf0.001"
+    # same env convention as parity_gate.sh / the pytest conftest
+    sf_dir = os.environ.get(
+        "SF",
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+    )
     report: dict[str, list[dict]] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(all_specs().items()):

@@ -64,9 +64,21 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
 
 
 def run_parity(spark, duck, spec, sf_dir: str) -> None:
-    sdf = spec.builder(spark, sf_dir).toPandas()
-    if spec.oracle is None:
-        assert len(sdf) >= 0  # rows-only: builder ran and produced a frame
-        return
-    odf = duck.sql(spec.oracle).df()
-    assert_frames_match(sdf, odf, name=spec.name)
+    # Scratch-release lifecycle (r6 advisor): the rank primitive persists
+    # pid-stamped intermediates that only a consumer can release. The
+    # query is fully materialized (toPandas) before the finally runs, so
+    # releasing here is safe — unlike releasing between builds, which
+    # would break pid stability for still-unmaterialized frames. Without
+    # this, a 414-query parity session accumulates MEMORY_AND_DISK blocks
+    # and every later query pays the GC pressure (~20% measured).
+    from toy_map_reduce_spark.functions.ranks import release_scratch
+
+    try:
+        sdf = spec.builder(spark, sf_dir).toPandas()
+        if spec.oracle is None:
+            assert len(sdf) >= 0  # rows-only: builder ran and produced a frame
+            return
+        odf = duck.sql(spec.oracle).df()
+        assert_frames_match(sdf, odf, name=spec.name)
+    finally:
+        release_scratch()

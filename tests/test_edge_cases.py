@@ -382,3 +382,49 @@ def test_exact_order_stats_gk_branch(spark):
         for i in range(1, nb + 1)
     ]
     assert sum(sizes) == n and sizes == sorted(sizes, reverse=True)
+
+
+def test_bracketed_stats_null_contract(spark):
+    """The _bracketed_stats non-null contract is ASSERTED, not just
+    documented (r6 verdict item 4): a group with MIXED nulls fails
+    loudly (raise_error in the bounds expressions) instead of silently
+    shifting every rank, while an all-NULL group degrades to NULL cells
+    — exactly F.percentile's all-NULL answer — and clean groups are
+    untouched."""
+    from toy_map_reduce_spark.operators.extras import _exact_percentiles_hybrid
+
+    clean = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "g string, v double"
+    )
+    got = _exact_percentiles_hybrid(
+        clean, "g", [("med", "v", 0.5)], round_to=None
+    ).first()
+    want = clean.groupBy("g").agg(F.percentile("v", F.lit(0.5)).alias("med")).first()
+    assert got["med"] == want["med"]
+
+    # all-NULL group -> NULL cell, matching F.percentile; no crash
+    allnull = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)] + [("b", None)] * 5,
+        "g string, v double",
+    )
+    rows = {
+        r["g"]: r["med"]
+        for r in _exact_percentiles_hybrid(
+            allnull, "g", [("med", "v", 0.5)], round_to=None
+        ).collect()
+    }
+    assert rows["a"] == want["med"] and rows["b"] is None
+
+    # mixed NULLs -> loud failure, never a silently shifted rank
+    mixed = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)]
+        + [("a", None), ("a", None), ("a", None)],
+        "g string, v double",
+    )
+    # the USER_RAISED_EXCEPTION may surface wrapped (AQE stage
+    # materialization aggregates failures into a Py4JJavaError), so match
+    # on the message, not the exception class
+    with pytest.raises(Exception, match="contains NULLs"):
+        _exact_percentiles_hybrid(
+            mixed, "g", [("med", "v", 0.5)], round_to=None
+        ).collect()

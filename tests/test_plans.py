@@ -664,3 +664,51 @@ def test_no_row_python_udf_outside_udf_surface(spark, sf_dir):
     assert not offenders, (
         f"row-at-a-time Python UDF (BatchEvalPython) leaked into: {offenders}"
     )
+
+
+def test_dedup_clusters_reliable_checkpoint_mode(spark, tmp_path):
+    """min_label_propagation's reliable-checkpoint option (r6 verdict item
+    5): with reliable_checkpoint_dir set the loop must (a) actually write
+    RDD checkpoints into the given dir — the executor-loss-tolerant mode a
+    real cluster wants — and (b) converge to the identical clustering the
+    default localCheckpoint mode produces, with the same bounded lineage."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.operators.pipeline import (
+        CC_CHECKPOINT_EVERY,
+        min_label_propagation,
+    )
+
+    n = 12  # path graph: needs > CC_CHECKPOINT_EVERY rounds => 2+ checkpoints
+    docs = spark.range(n).select(F.col("id").alias("doc_id")).union(
+        spark.createDataFrame([(100,), (101,), (200,)], ["doc_id"])
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101)], ["doc_a", "doc_b"]
+    )
+
+    ckpt_dir = str(tmp_path / "cc_ckpt")
+    local = {r.doc_id: r.label for r in min_label_propagation(docs, pairs).collect()}
+    reliable_df = min_label_propagation(
+        docs, pairs, reliable_checkpoint_dir=ckpt_dir
+    )
+    reliable = {r.doc_id: r.label for r in reliable_df.collect()}
+
+    assert reliable == local
+    assert all(reliable[i] == 0 for i in range(n))
+    assert reliable[100] == 100 and reliable[101] == 100 and reliable[200] == 200
+
+    # the reliable mode must have materialized checkpoint data on disk
+    ckpt_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt_dir)
+        for f in fs
+    ]
+    assert ckpt_files, "reliable mode wrote no checkpoint files"
+
+    # lineage stays bounded in reliable mode too
+    bound = 2 ** CC_CHECKPOINT_EVERY - 2
+    plan = reliable_df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= bound

@@ -35,7 +35,13 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_order", "ntile_from_rn", "release_scratch"]
+__all__ = [
+    "with_global_order",
+    "ntile_from_rn",
+    "parts_for",
+    "register_scratch",
+    "release_scratch",
+]
 
 # Scratch-persist lifecycle: with_global_order MUST persist its
 # pid-stamped intermediate (spark_partition_id would otherwise be free to
@@ -50,6 +56,18 @@ __all__ = ["with_global_order", "ntile_from_rn", "release_scratch"]
 _SCRATCH: list[DataFrame] = []
 
 
+def register_scratch(df: DataFrame) -> DataFrame:
+    """Enroll a caller-persisted DataFrame in the rank scratch lifecycle:
+    it is unpersisted by the next release_scratch(). Operators that
+    persist their own pre-rank aggregates (e.g. orders_rfm's customer
+    frame) use this instead of reaching into the private list, so every
+    consumer that honors the lifecycle (bench.py, bench_subset.py, the
+    parity fixture teardown) releases their scratch too. Returns ``df``
+    so the call chains at the persist site."""
+    _SCRATCH.append(df)
+    return df
+
+
 def release_scratch() -> int:
     """Unpersist every scratch intermediate created by with_global_order
     since the last release. Returns the number released."""
@@ -61,6 +79,73 @@ def release_scratch() -> int:
             pass  # session already stopped — nothing to release
     _SCRATCH.clear()
     return n
+
+
+def parts_for(n_rows: int, spark, rows_per_part: int = 1 << 16) -> int:
+    """Size-aware range-partition count for with_global_order.
+
+    The default ``parts`` (spark.sql.shuffle.partitions) is right for
+    corpus-grain inputs, but a post-aggregate frame (customer / part
+    grain) ranked into 32 range partitions pays ~32 tasks of fixed
+    stage overhead per pass for a few thousand rows — the toy-scale tax
+    the r6 verdict measured on orders_rfm/gini/pareto. Callers that
+    already know their input's cardinality (a persisted aggregate they
+    count anyway) pass ``parts_for(n, spark)``: ceil(n / rows_per_part)
+    partitions, floored at 2 and capped at shuffle.partitions. The cap
+    keeps the 100 TB shape — on a real cluster shuffle.partitions is
+    sized to the executor fleet, and a 10^9-row aggregate saturates it —
+    while a 10^4-row frame collapses to a handful of range partitions.
+    The floor is 2, not 1: Spark plans ``repartitionByRange(1, ...)`` as
+    ``Exchange SinglePartition``, which erases the RangePartitioning
+    shape the plan tests pin (and that a 100 TB reader should see).
+    """
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(2, min(cap, -(-int(n_rows) // rows_per_part)))
+
+
+_SCRATCH_PREFIXES = ("_s_", "_off_", "_tot_")
+
+
+def _validate_names(df, rn_col, cumsums, totals, n_col) -> None:
+    """Reject silent scratch-name collisions (r6 advisor): the primitive
+    manufactures _pid/_n plus _s_/_off_/_tot_-prefixed temporaries, so an
+    input column or output key that lands on one of those names would be
+    clobbered or mis-wired rather than erroring."""
+    bad_in = [
+        c for c in df.columns
+        if c in ("_pid", "_n") or c.startswith(_SCRATCH_PREFIXES)
+    ]
+    if bad_in:
+        raise ValueError(
+            f"with_global_order: input columns {bad_in} collide with "
+            "reserved scratch names (_pid, _n, _s_*, _off_*, _tot_*) — "
+            "rename them before ranking"
+        )
+    overlap = set(cumsums) & set(totals)
+    if overlap:
+        raise ValueError(
+            f"with_global_order: keys {sorted(overlap)} appear in BOTH "
+            "cumsums and totals — they would share one _s_ temp and "
+            "totals' source would silently win; use distinct output names"
+        )
+    outs = [k for k in (rn_col, n_col) if k] + list(cumsums) + list(totals)
+    if len(outs) != len(set(outs)):
+        raise ValueError(
+            f"with_global_order: duplicate output names in {outs}"
+        )
+    for out in list(cumsums) + list(totals):
+        if out == "n" or out == "_pid" or out.startswith(_SCRATCH_PREFIXES):
+            raise ValueError(
+                f"with_global_order: output key {out!r} generates a "
+                "scratch column (_s_/_off_/_tot_ + key) that collides "
+                "with the reserved count columns — pick another name"
+            )
+    for out in (rn_col, n_col):
+        if out and (out == "_pid" or out.startswith(_SCRATCH_PREFIXES)):
+            raise ValueError(
+                f"with_global_order: output column {out!r} collides with "
+                "reserved scratch names"
+            )
 
 
 def with_global_order(
@@ -87,6 +172,7 @@ def with_global_order(
     part_cols = list(part_cols or [])
     cumsums = cumsums or {}
     totals = totals or {}
+    _validate_names(df, rn_col, cumsums, totals, n_col)
     spark = df.sparkSession
     if parts is None:
         parts = int(spark.conf.get("spark.sql.shuffle.partitions"))

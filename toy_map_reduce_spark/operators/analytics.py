@@ -397,42 +397,60 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each ntile is an exact distributed rank (functions/ranks.py:
     range-partitioned row_number + the uneven-remainder band formula) over
     the CUSTOMER-grain frame — no single-task sort anywhere, so the plan
-    survives a 10^9-customer feed. The three orderings rank INDEPENDENT
-    narrow (custkey, value) projections of the shared (persisted) customer
-    aggregate rather than re-shuffling one widening frame three times in
-    sequence: the subtrees have no mutual dependency so their stages
-    overlap, and each range shuffle moves a 2-column row instead of the
-    full RFM row; custkey-grain equi-joins stitch the scores back. Ties
-    broken by custkey keep both engines on one total order."""
-    from toy_map_reduce_spark.functions.ranks import ntile_from_rn, with_global_order
+    survives a 10^9-customer feed. The three orderings share ONE rank
+    pass (the r6 verdict's top item): the customer aggregate is melted to
+    (custkey, metric, value) — 3 narrow rows per customer — and ranked by
+    a single with_global_order(part_cols=["metric"]) call, so ONE range
+    shuffle + persist + offset broadcast replaces three. Each metric maps
+    order-preservingly onto one DOUBLE value column: unix_micros for the
+    recency timestamp (NTZ→TIMESTAMP is safe under the session's fixed
+    UTC zone) and the exact-in-double count for frequency (both
+    injective, so ties still break only on custkey — the repo-wide total
+    -order contract the DuckDB oracle shares). A custkey-grain pivot
+    (conditional agg, one hash shuffle) reassembles the score triple. The
+    range-partition count is size-aware (parts_for): the aggregate is
+    counted once off its persisted cache, so a 10^4-customer frame ranks
+    in a couple of partitions while a 10^9-customer feed still fans to
+    the full shuffle width. The same count doubles as the ntile group
+    size (every metric ranks all n customers), so the primitive's
+    whole-group totals subtree is skipped entirely."""
+    from toy_map_reduce_spark.functions.ranks import (
+        ntile_from_rn, parts_for, register_scratch, with_global_order,
+    )
 
     orders = load(spark, sf_dir, "orders")
-    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.round("o_totalprice", 2)).alias("monetary"),
-    ).persist()
-    from toy_map_reduce_spark.functions import ranks as _ranks
-
-    _ranks._SCRATCH.append(rfm)  # released with the rank scratch lifecycle
-    scored = rfm.select("custkey", "frequency")
-    for score, src in (
-        ("r_score", "last_order"),
-        ("f_score", "frequency"),
-        ("m_score", "monetary"),
-    ):
-        ranked = with_global_order(
-            rfm.select("custkey", src),
-            [F.col(src), F.col("custkey")],
-            rn_col="_rn",
-            n_col="_n",
-        )
-        scored = scored.join(
-            ranked.select(
-                "custkey", ntile_from_rn(F.col("_rn"), F.col("_n"), 4).alias(score)
-            ),
-            "custkey",
-        )
+    rfm = register_scratch(
+        orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round("o_totalprice", 2)).alias("monetary"),
+        ).persist()
+    )
+    n_cust = rfm.count()  # materializes the cache; sizes the range shuffle
+    melted = rfm.select(
+        "custkey",
+        "frequency",
+        F.expr(
+            "stack(3,"
+            " 'r', CAST(unix_micros(CAST(last_order AS TIMESTAMP)) AS DOUBLE),"
+            " 'f', CAST(frequency AS DOUBLE),"
+            " 'm', monetary) AS (metric, value)"
+        ),
+    )
+    ranked = with_global_order(
+        melted,
+        [F.col("value"), F.col("custkey")],
+        part_cols=["metric"],
+        rn_col="_rn",
+        parts=parts_for(3 * n_cust, spark),
+    )
+    score = ntile_from_rn(F.col("_rn"), F.lit(n_cust), 4)
+    scored = ranked.groupBy("custkey").agg(
+        F.first("frequency").alias("frequency"),
+        F.max(F.when(F.col("metric") == "r", score)).alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", score)).alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", score)).alias("m_score"),
+    )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("frequency").cast("long").alias("total_orders"),
@@ -596,18 +614,25 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the customer aggregate — no single-task sort, so the plan holds at
     10^9 customers, not just at |customers| << |orders|. Class boundaries
     compare cum*10 ≤ total*8 in BIGINT cents, so no float share can flip
-    a customer's class cross-engine."""
-    from toy_map_reduce_spark.functions.ranks import with_global_order
+    a customer's class cross-engine. The range-shuffle width is sized to
+    the aggregate's actual cardinality (parts_for over a persisted count)
+    so the toy-scale frame doesn't pay 32 partitions of fixed overhead."""
+    from toy_map_reduce_spark.functions.ranks import (
+        parts_for, register_scratch, with_global_order,
+    )
 
     orders = load(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
+    cust = register_scratch(
+        orders.groupBy("o_custkey").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
+        ).persist()
     )
     ranked = with_global_order(
         cust,
         [F.col("rev_cents").desc(), F.col("o_custkey")],
         cumsums={"cum_cents": "rev_cents"},
         totals={"total_cents": "rev_cents"},
+        parts=parts_for(cust.count(), spark),
     )
     return ranked.select(
         "o_custkey",
@@ -844,15 +869,21 @@ def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/ranks.py) — no single-task sort even at 10^9 customers.
     All sums are exact BIGINTs; only the final normalization divides, and
     the floored micro-int can't flip because both engines divide the same
-    exact integers."""
-    from toy_map_reduce_spark.functions.ranks import with_global_order
+    exact integers. Range-shuffle width sized to the aggregate's counted
+    cardinality (parts_for), same rationale as orders_pareto_abc."""
+    from toy_map_reduce_spark.functions.ranks import (
+        parts_for, register_scratch, with_global_order,
+    )
 
     orders = load(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    cust = register_scratch(
+        orders.groupBy("o_custkey").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+        ).persist()
     )
     ranked = with_global_order(
-        cust, [F.col("cents"), F.col("o_custkey")], rn_col="i"
+        cust, [F.col("cents"), F.col("o_custkey")], rn_col="i",
+        parts=parts_for(cust.count(), spark),
     ).select("cents", "i")
     sums = ranked.agg(
         F.count(F.lit(1)).alias("n"),

@@ -115,13 +115,21 @@ def _bracketed_stats(
     Returns per group: n plus {name}_below / {name}_cands (pair array) /
     {name}_extlo / {name}_exthi (+ vmin/vmax with ``with_minmax``).
 
-    CONTRACT: target columns must be non-NULL (every current caller
-    feeds a parquet column that is non-null by construction, or
-    pre-filters). ``n`` counts rows, and the rank arithmetic downstream
-    equates that with the measure's value count — a NULL-bearing column
-    would shift every rank (F.percentile ignores NULLs; this scaffold
-    would not). An all-NULL group degrades to NULL cells (empty
-    candidate windows) rather than vanishing.
+    CONTRACT (asserted, not just documented — r6 verdict item 4):
+    target columns must be non-NULL (every current caller feeds a
+    parquet column that is non-null by construction, or pre-filters).
+    ``n`` counts rows, and the rank arithmetic downstream equates that
+    with the measure's value count — a NULL-bearing column would shift
+    every rank (F.percentile ignores NULLs; this scaffold would not).
+    The bounds pass therefore also counts non-null values per column
+    and embeds a raise_error branch in the window expressions: a group
+    with MIXED nulls (0 < COUNT(col) < n) fails loudly instead of
+    silently mis-ranking. An all-NULL group still degrades to NULL
+    cells (empty candidate windows, COUNT(col)=0) — which is exactly
+    F.percentile's all-NULL answer — rather than vanishing. The guard
+    lives inside the lo/hi expressions of the TINY post-aggregate
+    bounds frame, so column pruning can't elide it and the corpus scan
+    pays nothing.
 
     Everything is SQL strings fed to selectExpr / F.expr in bulk:
     profiling showed the Column-object form cost ~0.65 s of pure py4j
@@ -143,6 +151,8 @@ def _bracketed_stats(
                 f"AS `_b_{col}`"
             )
         )
+        # non-null count per column: feeds the mixed-NULL guard below
+        agg1.append(F.expr(f"COUNT(`{col}`) AS `_nn_{col}`"))
     bounds = df.groupBy(*group_cols).agg(*agg1) if group_cols else df.agg(*agg1)
     # The small-group widening depends only on n, so it folds into the
     # (tiny) broadcast side: the row-level predicates below stay plain
@@ -153,13 +163,25 @@ def _bracketed_stats(
     small = f"n <= {PCTL_SMALL_N}"
     sel = list(group_cols) + ["n"]
     for col, tgts in by_col.items():
+        # mixed-NULL guard (see CONTRACT above): 0 < COUNT(col) < n would
+        # silently shift every rank, so it raises; all-NULL (=0) degrades
+        nulls = (
+            f"`_nn_{col}` <> n AND `_nn_{col}` <> 0"
+        )
+        err = (
+            f"CAST(raise_error('_bracketed_stats: column {col} contains "
+            f"NULLs — rank arithmetic assumes non-null; pre-filter with "
+            f".where(isNotNull)') AS DOUBLE)"
+        )
         for i, (name, _, _) in enumerate(tgts):
             lo = f"CAST(element_at(`_b_{col}`, {2 * i + 1}) AS DOUBLE)"
             hi = f"CAST(element_at(`_b_{col}`, {2 * i + 2}) AS DOUBLE)"
             sel += [
-                f"CASE WHEN {small} THEN CAST('-Infinity' AS DOUBLE) "
+                f"CASE WHEN {nulls} THEN {err} "
+                f"WHEN {small} THEN CAST('-Infinity' AS DOUBLE) "
                 f"ELSE {lo} END AS `{name}_lo`",
-                f"CASE WHEN {small} THEN CAST('Infinity' AS DOUBLE) "
+                f"CASE WHEN {nulls} THEN {err} "
+                f"WHEN {small} THEN CAST('Infinity' AS DOUBLE) "
                 f"ELSE {hi} END AS `{name}_hi`",
             ]
     bounds = bounds.selectExpr(*sel)

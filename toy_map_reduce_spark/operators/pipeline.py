@@ -12,6 +12,8 @@ lands in the same split). Never ``rand()``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -147,13 +149,22 @@ GROUP BY 1
 def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-desc rank is a distributed range-partitioned row_number
     (functions/ranks.py) — the corpus-grain global order that would
-    otherwise be the classic single-task sort at 100 TB."""
-    from toy_map_reduce_spark.functions.ranks import with_global_order
+    otherwise be the classic single-task sort at 100 TB. The sized frame
+    (2 ints per doc — tiny even at corpus doc counts) is persisted and
+    counted: one tokenization pass feeds both the range sampler and the
+    shuffle, and the count sizes the shuffle width (parts_for) so a toy
+    corpus doesn't pay the full fixed partition scaffold."""
+    from toy_map_reduce_spark.functions.ranks import (
+        parts_for, register_scratch, with_global_order,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", F.size(_tokens("text")).alias("n_tokens"))
+    sized = register_scratch(
+        docs.select("doc_id", F.size(_tokens("text")).alias("n_tokens")).persist()
+    )
     ranked = with_global_order(
-        sized, [F.col("n_tokens").desc(), F.col("doc_id").asc()], rn_col="rn"
+        sized, [F.col("n_tokens").desc(), F.col("doc_id").asc()], rn_col="rn",
+        parts=parts_for(sized.count(), spark),
     )
     return (
         ranked.select(((F.col("rn") - 1) % 8).cast("int").alias("shard"), "n_tokens")
@@ -246,7 +257,8 @@ CC_CHECKPOINT_EVERY = 5
 
 
 def min_label_propagation(
-    docs: DataFrame, pairs: DataFrame, max_rounds: int = 15
+    docs: DataFrame, pairs: DataFrame, max_rounds: int = 15,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by alternating-join min-label propagation:
     returns (doc_id, label) with label = component min doc_id.
@@ -254,15 +266,27 @@ def min_label_propagation(
     ``pairs`` is the undirected edge list as (doc_a, doc_b) rows (each
     unordered pair once). Each round is one join + one aggregation, with
     fixpoint early-exit. Every CC_CHECKPOINT_EVERY rounds the label frame
-    is localCheckpoint'ed (eager): persist() alone caches DATA but the
+    is checkpointed (eager): persist() alone caches DATA but the
     logical plan still grows one join deeper per round, so a
     long-diameter graph at 100 TB pays ever-larger analysis/
     serialization per round and ultimately risks a lineage stack
     overflow — the checkpoint truncates the plan to the materialized
     result (r5 verdict item 4; plan-depth pinned in tests/test_plans.py).
-    On a real cluster prefer reliable checkpoint(dir) over
-    localCheckpoint for executor-loss tolerance; the loop structure is
-    identical."""
+
+    Checkpoint mode: localCheckpoint by default (executor-local blocks —
+    fastest, right for local mode). On a real cluster pass
+    ``reliable_checkpoint_dir`` (or set $SPARK_GRAFT_CC_CHECKPOINT_DIR)
+    to use reliable ``checkpoint()`` into that HDFS/object-store path
+    instead: localCheckpoint'ed blocks die with their executor, which at
+    1000 executors makes a multi-round CC job restart-prone, while a
+    reliable checkpoint survives executor loss. The loop structure and
+    the result are identical in both modes (pinned in
+    tests/test_plans.py::test_dedup_clusters_reliable_checkpoint_mode)."""
+    reliable_checkpoint_dir = reliable_checkpoint_dir or os.environ.get(
+        "SPARK_GRAFT_CC_CHECKPOINT_DIR"
+    )
+    if reliable_checkpoint_dir:
+        docs.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -280,7 +304,10 @@ def min_label_propagation(
             F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
         )
         if (rnd + 1) % CC_CHECKPOINT_EVERY == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            if reliable_checkpoint_dir:
+                new_labels = new_labels.checkpoint(eager=True)
+            else:
+                new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
         changed = (
@@ -353,13 +380,19 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The global running offset is a distributed range-partitioned
     running sum (functions/ranks.py) — doc_id-ordered, exact, and never a
     single-task window even at corpus grain. Deterministic: ordering is
-    by doc_id, never by arrival."""
-    from toy_map_reduce_spark.functions.ranks import with_global_order
+    by doc_id, never by arrival. The sized frame is persisted + counted
+    (one tokenization pass, size-aware shuffle width — see shard_assign)."""
+    from toy_map_reduce_spark.functions.ranks import (
+        parts_for, register_scratch, with_global_order,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", F.size(_tokens("text")).alias("n_tokens"))
+    sized = register_scratch(
+        docs.select("doc_id", F.size(_tokens("text")).alias("n_tokens")).persist()
+    )
     placed = with_global_order(
-        sized, [F.col("doc_id").asc()], cumsums={"_cum": "n_tokens"}
+        sized, [F.col("doc_id").asc()], cumsums={"_cum": "n_tokens"},
+        parts=parts_for(sized.count(), spark),
     ).withColumn("start_off", F.col("_cum") - F.col("n_tokens"))
     return (
         placed.select(
@@ -628,17 +661,25 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces the identical order, and the next epoch just changes the
     salt. The quartile bands are an exact distributed rank + the
     uneven-remainder ntile formula (functions/ranks.py) — corpus-grain,
-    so a single-task ntile window would be the 100 TB bottleneck."""
-    from toy_map_reduce_spark.functions.ranks import ntile_from_rn, with_global_order
-
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).alias("difficulty")
+    so a single-task ntile window would be the 100 TB bottleneck. The
+    difficulty frame is persisted + counted (one tokenization pass,
+    size-aware shuffle width, literal group size — see shard_assign)."""
+    from toy_map_reduce_spark.functions.ranks import (
+        ntile_from_rn, parts_for, register_scratch, with_global_order,
     )
+
+    docs = register_scratch(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.size(F.split("text", " ")).alias("difficulty")
+        ).persist()
+    )
+    n_docs = docs.count()
     banded = with_global_order(
-        docs, [F.col("difficulty"), F.col("doc_id")], rn_col="_rn", n_col="_n"
+        docs, [F.col("difficulty"), F.col("doc_id")], rn_col="_rn",
+        parts=parts_for(n_docs, spark),
     ).select(
         "doc_id", "difficulty",
-        ntile_from_rn(F.col("_rn"), F.col("_n"), CURRICULUM_BANDS).alias("band"),
+        ntile_from_rn(F.col("_rn"), F.lit(n_docs), CURRICULUM_BANDS).alias("band"),
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#epoch0")))
         .alias("shuffle_key"),
     )

@@ -49,6 +49,19 @@ def single_partition_sites(plan: str) -> list[dict]:
     global summaries). ``raw_corpus_risk`` marks the former: a file scan
     in the exchange's subtree with NO intervening aggregate.
 
+    KNOWN FALSE-NEGATIVE CLASS (r6 advisor): "aggregate below" is treated
+    as cardinality-bounding, but an aggregate whose GROUP KEYS are
+    corpus-grain (word, doc_id, custkey, ...) bounds nothing — e.g. the
+    pre-fix text_zipf_slope shape (a row_number window over the full
+    vocabulary aggregate) classifies as benign here. The pin in
+    tests/test_plans.py is therefore "no UNAGGREGATED scan feeds a
+    single-partition funnel", which excludes the raw-corpus shape but NOT
+    every oversized funnel; corpus-grain-keyed aggregates feeding global
+    windows are caught by the complementary range-partitioning pins
+    (test_global_order_queries_are_range_partitioned,
+    test_zipf_topk_is_take_ordered_not_global_rank) and by per-query plan
+    review in scripts/plan_audit.py, not by this classifier.
+
     Used by scripts/plan_audit.py (human triage over the full registry)
     and tests/test_plans.py (CI pin: the risky set stays empty).
     """

@@ -30,8 +30,11 @@ from pyspark.sql import types as T
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import table_path
 
-# events.ts parquet physical type per fixture file (see read_events_stream)
-_TS_TYPE_CACHE: dict[str, str] = {}
+# events.ts parquet physical type per fixture file (see read_events_stream).
+# Keyed on (path, mtime, size) — not path alone — so a fixture regenerated
+# with a different physical type in the same process invalidates naturally
+# (r6 advisor); a stale path-only key would silently feed the old schema.
+_TS_TYPE_CACHE: dict[tuple[str, float, int], str] = {}
 
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
@@ -66,10 +69,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a property of the fixture FILE, so memoize per path — every S-tier
     # query (× every bench pass) otherwise re-pays it
     src_path = table_path(sf_dir, "events")
-    batch_ts = _TS_TYPE_CACHE.get(src_path)
+    st = os.stat(src_path)
+    cache_key = (src_path, st.st_mtime, st.st_size)
+    batch_ts = _TS_TYPE_CACHE.get(cache_key)
     if batch_ts is None:
         batch_ts = dict(spark.read.parquet(src_path).dtypes)["ts"]
-        _TS_TYPE_CACHE[src_path] = batch_ts
+        _TS_TYPE_CACHE[cache_key] = batch_ts
     # read through the same re-chunked layout-cache file the batch path
     # uses (the fixture's single row group otherwise serializes EVERY
     # micro-batch scan on one task — a stream-stream join scans the
