@@ -460,3 +460,42 @@ def test_global_order_primitive_matches_naive_windows(spark):
             F.ntile(k).over(Window.orderBy("id")).alias("want"),
         )
         assert sdf.where(F.col("band") != F.col("want")).count() == 0, (n, k)
+
+
+def test_with_global_order_name_validation_and_parts_for(spark):
+    """r6 advisor: scratch-name collisions must be rejected at entry, not
+    silently mis-wired; parts_for keeps its floor/cap contract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.functions.ranks import parts_for, with_global_order
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, w double")
+
+    # input columns on reserved names
+    bad_in = df.select(F.col("id"), F.col("w").alias("_pid"))
+    with pytest.raises(ValueError, match="reserved scratch names"):
+        with_global_order(bad_in, [F.col("id")], rn_col="rn")
+
+    # cumsums/totals key overlap -> totals' src would silently win
+    with pytest.raises(ValueError, match="BOTH cumsums and totals"):
+        with_global_order(
+            df, [F.col("id")], cumsums={"x": "w"}, totals={"x": "w"}
+        )
+
+    # output key 'n' manufactures _off_n/_tot_n, colliding with the
+    # reserved count columns
+    with pytest.raises(ValueError, match="reserved count columns"):
+        with_global_order(df, [F.col("id")], cumsums={"n": "w"})
+
+    # duplicate output names
+    with pytest.raises(ValueError, match="duplicate output names"):
+        with_global_order(df, [F.col("id")], rn_col="x", n_col="x")
+
+    # parts_for: ceil(n/rows_per_part), floored at 2 (1 partition would
+    # plan as Exchange SinglePartition), capped at shuffle.partitions
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert parts_for(0, spark) == 2
+    assert parts_for(100, spark) == 2
+    assert parts_for((1 << 16) * 3, spark) == min(3, cap)
+    assert parts_for(10**12, spark) == cap

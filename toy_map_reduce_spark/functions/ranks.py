@@ -57,12 +57,20 @@ _SCRATCH: list[DataFrame] = []
 
 
 def register_scratch(df: DataFrame) -> DataFrame:
-    """Enroll a caller-persisted DataFrame in the rank scratch lifecycle:
+    """Enroll a caller-persisted DataFrame in the rank-scratch lifecycle:
     it is unpersisted by the next release_scratch(). Operators that
-    persist their own pre-rank aggregates (e.g. orders_rfm's customer
-    frame) use this instead of reaching into the private list, so every
-    consumer that honors the lifecycle (bench.py, bench_subset.py, the
-    parity fixture teardown) releases their scratch too. Returns ``df``
+    persist their own pre-rank aggregates (orders_rfm's customer frame,
+    the doc-grain sized frames) use this instead of reaching into the
+    private list, so every consumer that honors the lifecycle (bench.py,
+    bench_subset.py, the parity sweeps) releases their scratch too.
+
+    Enrollment boundary (r7 A/B): enroll ONLY frames private to one
+    query's rank pass. Staging tables that other queries in the same
+    session re-find through the CacheManager's plan matching — the
+    shingle stage, simhash blocks, the market-basket item table — must
+    NOT be enrolled: releasing them per query severed that cross-query
+    reuse and cost +22 s on the 389-query bench; the ContextCleaner
+    retires them when their plans are garbage-collected. Returns ``df``
     so the call chains at the persist site."""
     _SCRATCH.append(df)
     return df

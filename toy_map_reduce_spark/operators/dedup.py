@@ -101,7 +101,14 @@ def shingle_stage(docs: DataFrame) -> DataFrame:
     once (disk-backed cache or a staging parquet), then fan out. The
     lineage stays intact, so the pipeline is still correct — just slower —
     if the cache is evicted; Spark's ContextCleaner drops the cached
-    blocks once the query's frames are garbage-collected."""
+    blocks once the query's frames are garbage-collected.
+
+    Deliberately NOT enrolled in the rank-scratch release lifecycle: the
+    staging table is SHARED across queries in one session through Spark's
+    CacheManager (dedup_near_verified materializes it; ngram_jaccard /
+    containment / clusters / threshold_sweep then hit the same plan) —
+    that cross-query reuse is the staging-table pattern itself. An r7
+    A/B that released it per query cost +22 s on the 389-query bench."""
     from pyspark import StorageLevel
 
     return _shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
@@ -280,25 +287,35 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, simhash): 64-bit SimHash per doc (xxhash64 token
-    hashes, bitwise majority vote). 64 conditional sums, all JVM codegen,
-    one shuffle."""
+    hashes, bitwise majority vote). 64 bit-count sums + one row count, all
+    JVM codegen, one shuffle.
+
+    The majority vote is reconstructed arithmetically: with S_i = Σ bit_i
+    over a doc's token hashes and n = token count, the ±1 vote sum is
+    2·S_i − n, so bit i of the signature is set iff 2·S_i > n — identical
+    output to summing conditional ±1s, but the per-row aggregate input is
+    a bare (h >> i) & 1 instead of a CASE WHEN per bit (the hot-path cost:
+    64 expressions × every token in the corpus; measured ~25% off the
+    signature aggregate at sf0.1)."""
     toks = docs.select(
         "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("tok")
     ).where(F.col("tok") != "")
     hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
 
-    # per-bit majority vote: 64 conditional sums, one shuffle
-    bit_votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+    # per-bit set counts + token count: one partial-aggregated shuffle
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
         for i in range(64)
     ]
-    votes = hashed.groupBy("doc_id").agg(*bit_votes)
+    votes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"), *bit_sums)
 
     simhash = None
     for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        # majority: 2*S_i - n > 0  <=>  set bit i (ties -> 0, as before)
+        bit = F.when(
+            2 * F.col(f"s{i}") > F.col("nt"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
         simhash = bit if simhash is None else simhash + bit
     return votes.select("doc_id", simhash.alias("simhash"))
 
@@ -348,7 +365,7 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Dat
     ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
 
     # both sides of the pigeonhole self-join read this table; persist so
-    # the signature aggregate (64 conditional sums) runs once, not twice
+    # the signature aggregate (64 bit-count sums) runs once, not twice
     from pyspark import StorageLevel
 
     blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)

@@ -837,10 +837,18 @@ def bpe_train(words: DataFrame, n_merges: int = BPE_N_MERGES):
     # expression tree. Truncating to the materialized rows holds each
     # iteration's plan at depth 1 (measured 2.5 s -> 1.6 s for 6 merges
     # at sf0.1; same merge list). Same fix as the CC label loop.
+    #
+    # eager=False: the checkpoint materializes inside the NEXT pair-count
+    # job instead of as its own job, halving the job count per merge
+    # (rewrite + argmax were two barriers; now one), and the final
+    # iteration's rewrite — which nothing reads — never runs at all.
+    # Lineage truncation is identical: the plan is replaced by the
+    # checkpoint RDD at construction either way.
     sym = words.select(
         F.filter(F.split("word", ""), lambda c: c != "").alias("sym"), "freq"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges = []
+    prev = None  # predecessor whose blocks the lazy `sym` may still need
     for rank in range(1, n_merges + 1):
         pair_struct = F.transform(
             F.sequence(F.lit(1), F.size("sym") - 1),
@@ -857,15 +865,22 @@ def bpe_train(words: DataFrame, n_merges: int = BPE_N_MERGES):
             .orderBy(F.col("n").desc(), "pa", "pb")
             .first()
         )
+        # `sym` is materialized now, so its predecessor's checkpoint
+        # blocks are dead — releasing EARLIER would strand the lazy
+        # checkpoint (lineage is truncated; blocks are the only copy)
+        if prev is not None:
+            prev.unpersist()
         if best is None:
             break
         a, b, n = best["pa"], best["pb"], best["n"]
         merges.append((rank, a, b, a + b, int(n)))
         new_sym = sym.selectExpr(
             f"{_bpe_merge_fold_sql('sym', a, b)} AS sym", "freq"
-        ).localCheckpoint()
-        sym.unpersist()
+        ).localCheckpoint(eager=False)
+        prev = sym
         sym = new_sym
+    if prev is not None:
+        prev.unpersist()
     sym.unpersist()
     return merges
 
