@@ -115,6 +115,17 @@ def run_to_table(stream_df: DataFrame, base_name: str, output_mode: str, sf_dir:
     the multiplier on fixed setup cost); results are
     partition-count-invariant. (On a real cluster you'd size this to
     executor count × a small factor, once, at first deployment.)
+
+    Fixed-cost floor (r7 audit): a bare availableNow COUNT(*) on the same
+    source — no windows, no state — costs ~0.6 s warm, i.e. more than
+    half of a typical S-tier bench entry is Spark's streaming
+    query-start/stop itself (temp checkpoint dir, micro-batch planning,
+    offset WAL), not this harness. The remaining shave would require
+    reusing a live query or its checkpoint across bench passes, which
+    breaks both the two-batch replay semantics pinned in
+    tests/test_streaming.py (a reused checkpoint re-emits nothing in
+    append mode) and the honest cold-query measurement, so it is
+    deliberately not done.
     """
     name = _sink_name(base_name, sf_dir)
     spark = stream_df.sparkSession
