@@ -244,14 +244,22 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", F.lit(0).alias("level"))
     visited = frontier
     for lvl in range(1, BFS_LEVELS + 1):
+        # EXPLICIT broadcast of the frontier and visited sets: without the
+        # hint Spark builds the hash table from the EDGES side (BuildLeft
+        # over the cached relation — no stats on the tiny frontier), which
+        # is exactly backwards at scale: the edge list is the corpus and
+        # must stream map-side, while frontier/visited are bounded by the
+        # node universe. The hint also turns the visited anti-join from a
+        # SortMergeJoin (two exchanges + sorts per level) into a broadcast
+        # anti-join with zero shuffle of the expansion output.
         nxt = (
             edges.join(
-                frontier.select(F.col("node").alias("f_node")),
+                F.broadcast(frontier.select(F.col("node").alias("f_node"))),
                 F.col("src") == F.col("f_node"),
             )
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
             .select("node", F.lit(lvl).alias("level"))
             .persist()
         )
