@@ -629,6 +629,7 @@ def test_no_single_partition_exchange_feeds_from_raw_scan(spark, sf_dir):
     from toy_map_reduce_spark.registry import all_specs
 
     risky: list[str] = []
+    grain_risky: list[tuple[str, list]] = []
     for name, spec in all_specs().items():
         if spec.tier == "S":
             continue
@@ -637,9 +638,22 @@ def test_no_single_partition_exchange_feeds_from_raw_scan(spark, sf_dir):
         )
         if any(x["raw_corpus_risk"] for x in sites):
             risky.append(name)
+        # r7: the advisor's false-negative class — an aggregate whose
+        # group keys are corpus-grain (word, doc_id, custkey, ...) bounds
+        # nothing, so a single-partition exchange above it is the same
+        # 100 TB funnel with one hop of camouflage. Audited r7: zero
+        # sites registry-wide; this keeps the set empty.
+        hits = [x["corpus_grain_keys"] for x in sites if x["corpus_grain_keys"]]
+        if hits:
+            grain_risky.append((name, hits))
     assert not risky, (
         f"single-partition exchange over an unaggregated scan in: {risky} "
         "— rewrite with functions/ranks.py or aggregate before the funnel"
+    )
+    assert not grain_risky, (
+        f"single-partition exchange fed by a CORPUS-GRAIN-keyed aggregate "
+        f"in: {grain_risky} — the aggregate bounds nothing; rewrite with "
+        "functions/ranks.py, top-k, or a genuinely bounding aggregate"
     )
 
 

@@ -53,14 +53,14 @@ def single_partition_sites(plan: str) -> list[dict]:
     as cardinality-bounding, but an aggregate whose GROUP KEYS are
     corpus-grain (word, doc_id, custkey, ...) bounds nothing — e.g. the
     pre-fix text_zipf_slope shape (a row_number window over the full
-    vocabulary aggregate) classifies as benign here. The pin in
-    tests/test_plans.py is therefore "no UNAGGREGATED scan feeds a
-    single-partition funnel", which excludes the raw-corpus shape but NOT
-    every oversized funnel; corpus-grain-keyed aggregates feeding global
-    windows are caught by the complementary range-partitioning pins
-    (test_global_order_queries_are_range_partitioned,
-    test_zipf_topk_is_take_ordered_not_global_rank) and by per-query plan
-    review in scripts/plan_audit.py, not by this classifier.
+    vocabulary aggregate) classifies as benign under ``raw_corpus_risk``.
+    ``corpus_grain_keys`` closes most of that gap (r7): it lists the
+    corpus-grain column names appearing in the BOUNDING aggregate's group
+    keys, UNLESS a TakeOrderedAndProject sits between the aggregate and
+    the exchange (a top-k bounds the rows regardless of key grain).
+    scripts/plan_audit.py reports both fields; the CI pin keeps
+    ``raw_corpus_risk`` empty and holds the ``corpus_grain_keys`` site
+    set to a reviewed allowlist (tests/test_plans.py).
 
     Used by scripts/plan_audit.py (human triage over the full registry)
     and tests/test_plans.py (CI pin: the risky set stays empty).
@@ -88,6 +88,38 @@ def single_partition_sites(plan: str) -> list[dict]:
             "feeds_from_scan": scan,
             "aggregated_below": agg,
             "raw_corpus_risk": scan and not agg,
+            "corpus_grain_keys": _corpus_grain_keys(subtree) if (scan and agg) else [],
             "subtree_head": [l.strip() for l in subtree[:6]],
         })
     return sites
+
+
+# Column names whose grain IS the corpus (or a table's full key space):
+# an aggregate grouped on one of these bounds nothing the funnel can rely
+# on. Kept conservative — names like `n`, `label`, `band` are bounded by
+# construction and deliberately absent.
+_CORPUS_GRAIN_COLS = frozenset({
+    "word", "tok", "token", "shingle", "doc_id", "vec_id", "event_id",
+    "o_orderkey", "l_orderkey", "custkey", "o_custkey", "c_custkey",
+    "user_id", "text_hash", "h",
+})
+
+
+def _corpus_grain_keys(subtree: list[str]) -> list[str]:
+    """Corpus-grain column names in the FIRST (bounding) aggregate's group
+    keys below a single-partition exchange — the r6 advisor's
+    false-negative class. A TakeOrderedAndProject encountered BEFORE the
+    aggregate bounds the row count regardless of key grain, so the walk
+    returns clean in that case (the text_zipf_slope top-k shape)."""
+    import re as _re
+
+    for ln in subtree:
+        if "TakeOrderedAndProject" in ln:
+            return []
+        m = _re.search(r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[([^\]]*)\]", ln)
+        if m:
+            keys = m.group(1)
+            # strip expr-id suffixes: `doc_id#123L` -> `doc_id`
+            names = {n.split("#")[0].strip() for n in keys.split(",") if n.strip()}
+            return sorted(names & _CORPUS_GRAIN_COLS)
+    return []
