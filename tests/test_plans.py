@@ -726,3 +726,46 @@ def test_dedup_clusters_reliable_checkpoint_mode(spark, tmp_path):
     bound = 2 ** CC_CHECKPOINT_EVERY - 2
     plan = reliable_df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= bound
+
+
+def test_corpus_grain_classifier_parsing():
+    """Pure-string behavior of the corpus-grain classifier (no Spark):
+    group keys parse out of the bounding aggregate, expr-id suffixes
+    strip, bounded keys don't flag, and a TakeOrderedAndProject above
+    the aggregate exempts the site (top-k bounds rows regardless of key
+    grain)."""
+    from toy_map_reduce_spark.plans.explain import (
+        _corpus_grain_keys,
+        single_partition_sites,
+    )
+
+    # corpus-grain keyed aggregate feeding the funnel -> flagged
+    plan = "\n".join([
+        "Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]",
+        "+- HashAggregate(keys=[word#12, lang#3], functions=[count(1)])",
+        "   +- FileScan parquet [text#1]",
+    ])
+    sites = single_partition_sites(plan)
+    assert len(sites) == 1
+    assert sites[0]["aggregated_below"] and sites[0]["feeds_from_scan"]
+    assert sites[0]["corpus_grain_keys"] == ["word"]
+
+    # top-k between the aggregate and the exchange -> exempt
+    plan_topk = "\n".join([
+        "Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]",
+        "+- TakeOrderedAndProject(limit=200, ...)",
+        "   +- HashAggregate(keys=[word#12], functions=[count(1)])",
+        "      +- FileScan parquet [text#1]",
+    ])
+    assert single_partition_sites(plan_topk)[0]["corpus_grain_keys"] == []
+
+    # bounded group keys -> clean
+    assert _corpus_grain_keys([
+        "+- HashAggregate(keys=[l_returnflag#5, _pid#9], functions=[sum(x#2)])",
+        "   +- FileScan parquet [x#2]",
+    ]) == []
+
+    # multiple corpus-grain keys, sorted, deduped by name
+    assert _corpus_grain_keys([
+        "+- ObjectHashAggregate(keys=[doc_id#1L, shingle#2], functions=[...])",
+    ]) == ["doc_id", "shingle"]
