@@ -607,6 +607,32 @@ def test_global_order_queries_are_range_partitioned(spark, sf_dir):
             )
 
 
+def test_agg_weighted_ranks_distinct_value_aggregate(spark, sf_dir):
+    """The exact weighted median must rank the (flag, price) -> sum(qty)
+    aggregate, never the raw fact feed (r7 verdict task 1): the range
+    shuffle is then bounded by |distinct prices| instead of |lineitem|.
+    Distinguishing signature: the r7 fact-feed form carried the
+    l_orderkey/l_linenumber tiebreak columns through the rank — the
+    aggregate form has no business mentioning either — and the rank
+    input must be the (l_returnflag, l_extendedprice)-keyed aggregate."""
+    plan = plan_of(spark, sf_dir, "agg_weighted", mode="simple")
+    assert "l_orderkey" not in plan and "l_linenumber" not in plan, (
+        "agg_weighted: fact-grain tiebreak columns reappeared in the "
+        "plan — the rank input regressed from the distinct-value "
+        "aggregate back to the raw lineitem feed"
+    )
+    import re
+
+    assert re.search(
+        r"HashAggregate\(keys=\[l_returnflag#\d+, (?:knownfloatingpointnormalized\()?"
+        r"(?:normalizenanandzero\()?l_extendedprice", plan
+    ), (
+        "agg_weighted: no (l_returnflag, l_extendedprice)-keyed "
+        "aggregate in the plan — the distinct-value table feeding the "
+        "rank is gone"
+    )
+
+
 def test_zipf_topk_is_take_ordered_not_global_rank(spark, sf_dir):
     # the top-200 vocabulary slice must plan as distributed top-k; a
     # row_number window over the whole vocabulary would single-task it
