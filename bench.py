@@ -55,6 +55,18 @@ def main() -> int:
     )
     from toy_map_reduce_spark.functions.ranks import release_scratch
 
+    # Pre-materialize the cross-query shared staging tables (shingle
+    # stage, capped shingles, simhash blocks) OUTSIDE the timed window and
+    # report their cost as an explicit line (r7 verdict task 2): otherwise
+    # whichever dedup query runs first pays the shared materialization and
+    # its per-query minimum is an ordering artifact, not a plan signal.
+    # SPARK_GRAFT_BENCH_NO_PREWARM=1 restores the r7 behavior for A/Bs.
+    staging: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_PREWARM", "") != "1":
+        from toy_map_reduce_spark.operators.dedup import prewarm_staging
+
+        staging = prewarm_staging(spark, sf_dir)
+
     per_pass: list[dict[str, float]] = []
     for p in range(n_passes):
         timings: dict[str, float] = {}
@@ -97,6 +109,12 @@ def main() -> int:
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "queries_minmax": spread,
         "n_passes": n_passes,
+        # staging cost paid once outside timed passes (prewarm_staging);
+        # NOT included in "value" — the headline stays sum-of-mins, which
+        # in r6/r7 already excluded staging (pass-2 minimums hit warm
+        # caches); this line just makes the cost visible and attributable
+        "staging_sec": round(sum(staging.values()), 4),
+        "staging": staging,
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

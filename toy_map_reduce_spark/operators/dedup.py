@@ -151,6 +151,41 @@ def capped_shingles(docs: DataFrame, df_cap: int = DF_CAP,
     )
 
 
+def prewarm_staging(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Materialize the cross-query shared staging tables ONCE, returning
+    {stage: seconds}. Bench attributability fix (r7 verdict task 2): the
+    dedup family shares these persists through the CacheManager's plan
+    matching, so whichever query ran first in a timed pass paid the
+    materialization and its minimum stopped meaning anything
+    (dedup_containment's r6/r7 noise band spanned ~[1.5, 4.7] s purely on
+    ordering). bench.py calls this before the timed passes and reports
+    the cost as its own ``staging`` line, so per-query minimums measure
+    the query's OWN logic and the staging cost stays visible instead of
+    being smeared over an arbitrary victim. The +22 s cross-query-reuse
+    regime (ranks.py:register_scratch enrollment boundary) is untouched —
+    this just moves WHO pays, not whether the caches live.
+
+    The plans built here must stay IDENTICAL to what the queries build
+    (CacheManager matches on the analyzed plan): shingle_stage(docs),
+    capped_shingles(docs, sh_all=shingle_stage(docs)) with the default
+    df cap, and simhash_blocks(simhash_signatures(docs))."""
+    import time as _time
+
+    docs = load(spark, sf_dir, "documents")
+    out: dict[str, float] = {}
+    sh_all = shingle_stage(docs)
+    stages = {
+        "shingle_stage": sh_all,
+        "capped_shingles": capped_shingles(docs, sh_all=sh_all),
+        "simhash_blocks": simhash_blocks(simhash_signatures(docs)),
+    }
+    for name, frame in stages.items():
+        t0 = _time.perf_counter()
+        frame.count()  # populates the persist; consumers hit the cache
+        out[name] = round(_time.perf_counter() - t0, 4)
+    return out
+
+
 _DEDUP_EXACT_ORACLE = """
 SELECT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
        CAST(MIN(doc_id) AS BIGINT) AS keep_id,
@@ -346,10 +381,17 @@ assert SIMHASH_MAX_HAMMING <= SIMHASH_BLOCKS - 1, "pigeonhole: max_hamming must 
 assert NUM_HASHES == NUM_BANDS * BAND_ROWS, "banding must tile the signature exactly"
 
 
-def simhash_pairs(sig: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    """(doc_id, simhash) → (doc_a, doc_b, hamming) for pairs within
-    ``max_hamming`` bits (exact under the pigeonhole guarantee for
-    max_hamming ≤ SIMHASH_BLOCKS - 1)."""
+def simhash_blocks(sig: DataFrame) -> DataFrame:
+    """The persisted simhash block-rotation staging table:
+    (doc_id, simhash, block_id, block_val), SIMHASH_BLOCKS rows per doc.
+    Both sides of the pigeonhole self-join read it, so the persist makes
+    the signature aggregate (64 bit-count sums) run once, not twice —
+    and, like shingle_stage, the CacheManager shares it across queries
+    in one session (dedup_simhash_pairs, dedup_eval's hamming arm).
+    Module-level so bench prewarm (prewarm_staging) can build the
+    IDENTICAL plan and pay the materialization outside timed passes."""
+    from pyspark import StorageLevel
+
     blocks = sig.select(
         "doc_id",
         "simhash",
@@ -363,12 +405,14 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Dat
             ])
         ).alias("blk"),
     ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+    return blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # both sides of the pigeonhole self-join read this table; persist so
-    # the signature aggregate (64 bit-count sums) runs once, not twice
-    from pyspark import StorageLevel
 
-    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+def simhash_pairs(sig: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """(doc_id, simhash) → (doc_a, doc_b, hamming) for pairs within
+    ``max_hamming`` bits (exact under the pigeonhole guarantee for
+    max_hamming ≤ SIMHASH_BLOCKS - 1)."""
+    blocks = simhash_blocks(sig)
     a = blocks.alias("a")
     b = blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
