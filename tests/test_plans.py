@@ -607,6 +607,39 @@ def test_global_order_queries_are_range_partitioned(spark, sf_dir):
             )
 
 
+def test_bfs_levels_builds_from_frontier_side(spark, sf_dir):
+    """Iterative-join broadcast discipline (r7 BFS fix, graph.py): every
+    frontier-expansion join and visited anti-join must hash-build from
+    the bounded frontier/visited side. Spark has no stats on the tiny
+    loop-carried frames and was planning BuildLeft over the CACHED EDGE
+    RELATION — hash-building the corpus side, plus SortMergeJoin for the
+    anti-join (two exchanges + sorts per level). The explicit F.broadcast
+    hints flip every level to BuildRight / broadcast anti-join; this pin
+    fails if a future change reverts the build side."""
+    plan = plan_of(spark, sf_dir, "graph_bfs_levels", mode="simple")
+    assert "BuildLeft" not in plan, (
+        "graph_bfs_levels: a join hash-builds its LEFT (edge/corpus) "
+        "side — the frontier broadcast hint regressed"
+    )
+    assert "SortMergeJoin" not in plan, (
+        "graph_bfs_levels: a sort-merge join appeared — the visited "
+        "anti-join lost its zero-shuffle broadcast shape"
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_recursive_cte_hints_broadcast_frontier():
+    """sql_recursive_cte's recursive step must carry the BROADCAST(r)
+    hint (same build-side discipline as graph_bfs_levels — UnionLoop
+    replans the body per iteration with no stats on the recursion ref;
+    measured ~2x at sf0.1). The hint is a standard block comment, so the
+    DuckDB twin runs the byte-identical text; parity stays the equality
+    check, this pins the plan intent."""
+    from toy_map_reduce_spark.operators.graph import _RECURSIVE_CTE_SQL
+
+    assert "/*+ BROADCAST(r) */" in _RECURSIVE_CTE_SQL
+
+
 def test_agg_weighted_ranks_distinct_value_aggregate(spark, sf_dir):
     """The exact weighted median must rank the (flag, price) -> sum(qty)
     aggregate, never the raw fact feed (r7 verdict task 1): the range

@@ -283,7 +283,7 @@ edges AS (SELECT a AS src, b AS dst FROM und UNION SELECT b, a FROM und),
 reach(node, lvl) AS (
   SELECT CAST(0 AS BIGINT), 0
   UNION ALL
-  SELECT e.dst, r.lvl + 1
+  SELECT /*+ BROADCAST(r) */ e.dst, r.lvl + 1
   FROM reach r JOIN edges e ON e.src = r.node
   WHERE r.lvl < 3
 )
@@ -306,7 +306,20 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth bound (lvl < 3) plus the MIN(lvl) rollup makes UNION ALL
     recursion cycle-safe on a cyclic graph: paths enumerate, levels
     collapse. Each recursion step is one join against the frontier —
-    the same physical shape the unrolled form produces."""
+    the same physical shape the unrolled form produces.
+
+    The recursive step carries a /*+ BROADCAST(r) */ hint — the same
+    build-side discipline as graph_bfs_levels' explicit F.broadcast:
+    UnionLoop replans the body per iteration with no stats on the
+    recursion ref, so without the hint Spark shuffles BOTH sides
+    (sort-merge over the frontier AND the edge subtree, per level); the
+    hint makes the bounded frontier the broadcast build side and the
+    edges stream map-side. A hint is a standard SQL block comment, so
+    the SAME text runs on DuckDB (which ignores it) — the twin stays
+    byte-identical. Measured at sf0.1 (quiet-warm): ~2.9-3.6 s unhinted
+    -> ~1.7 s hinted; a pre-cached edges temp view on top measured
+    ~2.2 s (InMemoryTableScan fan-out loses to the recomputed subtree
+    at this scale), so the hint-only form is kept."""
     from toy_map_reduce_spark.operators.extras import _view
 
     v = _view(load(spark, sf_dir, "orders"), sf_dir, "rcte_orders")
