@@ -18,6 +18,11 @@ Usage:
 Exit 0 = compared and clean; 1 = regression(s); 2 = NOTHING WAS COMPARED
 (sf mismatch, missing queries_minmax, zero key overlap) so CI can tell
 "no regression" apart from "the gate never looked".
+
+Adjudicating a flagged query: run scripts/bench_warm.py <name> — the
+quiet-JVM warm re-time protocol (fresh session, staging prewarmed,
+first-pass discard, warm-min report). warm_min at or below the old noise
+band's max = noise; materially above = a real plan change.
 """
 
 from __future__ import annotations
