@@ -828,3 +828,72 @@ def test_corpus_grain_classifier_parsing():
     assert _corpus_grain_keys([
         "+- ObjectHashAggregate(keys=[doc_id#1L, shingle#2], functions=[...])",
     ]) == ["doc_id", "shingle"]
+
+    # ALIASED corpus-grain key (r7 verdict task 6): `custkey AS ck` must
+    # resolve through the expr-id rename chain and still flag
+    assert _corpus_grain_keys([
+        "+- HashAggregate(keys=[ck#50L], functions=[count(1)])",
+        "   +- Project [o_custkey#3L AS ck#50L]",
+        "      +- FileScan parquet [o_custkey#3L]",
+    ]) == ["o_custkey"]
+
+    # two-hop alias chain: custkey -> ck -> k
+    assert _corpus_grain_keys([
+        "+- HashAggregate(keys=[k#60L], functions=[count(1)])",
+        "   +- Project [ck#50L AS k#60L]",
+        "      +- Project [o_custkey#3L AS ck#50L]",
+        "         +- FileScan parquet [o_custkey#3L]",
+    ]) == ["o_custkey"]
+
+    # self-alias (normalize wrappers) must not loop or mis-resolve
+    assert _corpus_grain_keys([
+        "+- HashAggregate(keys=[knownfloatingpointnormalized("
+        "normalizenanandzero(price#5)) AS price#5], functions=[sum(w#2)])",
+    ]) == []
+
+    # TakeOrderedAndProject in a SIBLING join branch does NOT exempt
+    # (r7 advisor): it bounds that branch, not the exchange's input —
+    # the corpus-grain aggregate in the other branch still flags
+    assert _corpus_grain_keys([
+        "+- BroadcastHashJoin [id#1L], [id#9L], Inner, BuildRight",
+        "   :- TakeOrderedAndProject(limit=10, ...)",
+        "   :  +- FileScan parquet [id#1L]",
+        "   +- HashAggregate(keys=[doc_id#9L], functions=[count(1)])",
+        "      +- FileScan parquet [doc_id#9L]",
+    ]) == ["doc_id"]
+
+    # ...but a top-k ON the direct chain still exempts even when a
+    # branching join sits below it
+    assert _corpus_grain_keys([
+        "+- TakeOrderedAndProject(limit=200, ...)",
+        "   +- BroadcastHashJoin [a#1L], [doc_id#9L], Inner, BuildRight",
+        "      :- FileScan parquet [a#1L]",
+        "      +- HashAggregate(keys=[doc_id#9L], functions=[count(1)])",
+        "         +- FileScan parquet [doc_id#9L]",
+    ]) == []
+
+
+def test_corpus_grain_classifier_catches_live_alias(spark, sf_dir):
+    """End-to-end alias robustness: a REAL plan where the corpus-grain
+    key is renamed before the aggregate (doc_id AS ck) and the aggregate
+    feeds a single-partition window must still classify as a
+    corpus-grain funnel — the shape the registry-wide pin would have to
+    catch if an operator regressed into it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from toy_map_reduce_spark.plans import single_partition_sites
+    from toy_map_reduce_spark.plans.explain import explain_str
+    from toy_map_reduce_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    bad = (
+        docs.select(F.col("doc_id").alias("ck"))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("cnt", "ck")))
+    )
+    sites = single_partition_sites(explain_str(bad, "simple"))
+    assert any(
+        "doc_id" in s["corpus_grain_keys"] for s in sites
+    ), f"aliased corpus-grain funnel escaped the classifier: {sites}"

@@ -58,9 +58,15 @@ def single_partition_sites(plan: str) -> list[dict]:
     corpus-grain column names appearing in the BOUNDING aggregate's group
     keys, UNLESS a TakeOrderedAndProject sits between the aggregate and
     the exchange (a top-k bounds the rows regardless of key grain).
-    scripts/plan_audit.py reports both fields; the CI pin keeps
-    ``raw_corpus_risk`` empty and holds the ``corpus_grain_keys`` site
-    set to a reviewed allowlist (tests/test_plans.py).
+    r8 hardening: group keys are resolved through ``AS`` alias chains by
+    expression id (``custkey#1 AS ck#9`` can't slip the check under a
+    rename), and the TakeOrdered exemption only applies on the
+    exchange's DIRECT child chain — a top-k in a sibling join branch
+    bounds that branch, not the rows crossing this exchange.
+    scripts/plan_audit.py reports both fields; the CI pin keeps BOTH the
+    ``raw_corpus_risk`` set and the ``corpus_grain_keys`` site set
+    strictly empty (tests/test_plans.py — there is no allowlist; a new
+    site must be rewritten or the pin fails).
 
     Used by scripts/plan_audit.py (human triage over the full registry)
     and tests/test_plans.py (CI pin: the risky set stays empty).
@@ -105,21 +111,80 @@ _CORPUS_GRAIN_COLS = frozenset({
 })
 
 
+_AGG_KEYS_RE = None  # compiled lazily below
+_ALIAS_RE = None
+_COL_RE = None
+
+
+def _direct_chain_len(subtree: list[str]) -> int:
+    """Number of leading subtree lines on the exchange's DIRECT child
+    chain. In explain text a node's non-last children print with ``:-``
+    and their subtrees carry ``:`` in the leading columns, while a
+    single child prints as a bare ``+-`` line — so the chain is the
+    prefix of lines whose indentation contains no ``:``; the first
+    colon-prefixed line marks a branching node (a join), and everything
+    after it (including the branching node's colon-free LAST child) is
+    off-chain."""
+    n = 0
+    for ln in subtree:
+        head = ln[: len(ln) - len(ln.lstrip(" :+-*("))]
+        if ":" in head or ln.lstrip().startswith(":"):
+            break
+        n += 1
+    return n
+
+
 def _corpus_grain_keys(subtree: list[str]) -> list[str]:
     """Corpus-grain column names in the FIRST (bounding) aggregate's group
     keys below a single-partition exchange — the r6 advisor's
-    false-negative class. A TakeOrderedAndProject encountered BEFORE the
-    aggregate bounds the row count regardless of key grain, so the walk
-    returns clean in that case (the text_zipf_slope top-k shape)."""
+    false-negative class.
+
+    Alias-robust (r7 verdict task 6): every ``src#id AS tgt#id`` in the
+    subtree contributes to an expression-id rename map, and each group
+    key is resolved through that chain back to its root name before the
+    grain check, so ``custkey AS ck`` still classifies as corpus grain.
+    Scope-correct (r7 advisor): a TakeOrderedAndProject exempts the site
+    only when it sits on the exchange's DIRECT child chain — in a
+    sibling join branch it bounds that branch's rows, not the exchange's
+    input. The bounding aggregate itself is taken from the direct chain
+    when one exists there, else from the remaining subtree in pre-order
+    (a join's output is at most as fine as its inputs' combined grain,
+    so an off-chain aggregate's keys are still the best available grain
+    signal — a known approximation, documented here)."""
     import re as _re
 
+    global _AGG_KEYS_RE, _ALIAS_RE, _COL_RE
+    if _AGG_KEYS_RE is None:
+        _AGG_KEYS_RE = _re.compile(
+            r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[([^\]]*)\]"
+        )
+        _ALIAS_RE = _re.compile(r"(\w+)#(\d+)[A-Za-z]*\s+AS\s+(\w+)#(\d+)")
+        _COL_RE = _re.compile(r"(\w+)#(\d+)")
+
+    amap: dict[str, tuple[str, str]] = {}
     for ln in subtree:
-        if "TakeOrderedAndProject" in ln:
+        for m in _ALIAS_RE.finditer(ln):
+            # first writer wins: ids are unique per plan, re-prints of
+            # cached subtrees repeat the same mapping
+            amap.setdefault(m.group(4), (m.group(1), m.group(2)))
+
+    def resolve(name: str, eid: str) -> str:
+        seen: set[str] = set()
+        while eid in amap and eid not in seen:
+            seen.add(eid)
+            name, eid = amap[eid]
+        return name
+
+    chain_len = _direct_chain_len(subtree)
+    keys_blob: str | None = None
+    for idx, ln in enumerate(subtree):
+        if idx < chain_len and "TakeOrderedAndProject" in ln:
             return []
-        m = _re.search(r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[([^\]]*)\]", ln)
+        m = _AGG_KEYS_RE.search(ln)
         if m:
-            keys = m.group(1)
-            # strip expr-id suffixes: `doc_id#123L` -> `doc_id`
-            names = {n.split("#")[0].strip() for n in keys.split(",") if n.strip()}
-            return sorted(names & _CORPUS_GRAIN_COLS)
-    return []
+            keys_blob = m.group(1)
+            break
+    if keys_blob is None:
+        return []
+    names = {resolve(c.group(1), c.group(2)) for c in _COL_RE.finditer(keys_blob)}
+    return sorted(names & _CORPUS_GRAIN_COLS)
