@@ -67,6 +67,16 @@ def main() -> int:
 
         staging = prewarm_staging(spark, sf_dir)
 
+    # Measure the streaming query-start/stop floor once per run (r7
+    # verdict task 7): over half of most S-tier entries is this harness
+    # constant, so the sidecar carries it (floor_sec) plus the S-tier
+    # query list, and bench_regress compares S-tier entries with the
+    # floor subtracted — a streaming-logic regression can't hide under
+    # the constant, and floor drift can't masquerade as one.
+    from toy_map_reduce_spark.streaming.windows import measure_streaming_floor
+
+    floor_sec = measure_streaming_floor(spark, sf_dir)
+
     per_pass: list[dict[str, float]] = []
     for p in range(n_passes):
         timings: dict[str, float] = {}
@@ -115,6 +125,10 @@ def main() -> int:
         # caches); this line just makes the cost visible and attributable
         "staging_sec": round(sum(staging.values()), 4),
         "staging": staging,
+        # measured streaming start/stop floor + which queries pay it;
+        # bench_regress compares S-tier entries floor-adjusted
+        "floor_sec": floor_sec,
+        "s_tier": sorted(n for n, s in specs.items() if s.tier == "S"),
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

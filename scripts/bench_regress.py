@@ -33,6 +33,15 @@ import sys
 NOISE_FACTOR = 2.0  # fail only on >2x growth beyond the old noise ceiling
 ABS_FLOOR_SEC = 0.15  # ignore regressions smaller than this in absolute terms
 
+# S-tier (streaming) entries carry a measured per-query start/stop floor
+# (BENCH_DETAIL.floor_sec, see streaming/windows.py:measure_streaming_floor)
+# that is over half of a typical entry; when BOTH files carry it, S-tier
+# values are compared with the floor subtracted so a logic regression
+# can't hide under the harness constant. The absolute slack is wider for
+# the adjusted compare because the floor measurement itself has a noise
+# band of a couple hundred ms.
+ABS_FLOOR_SEC_S = 0.3
+
 # Intentional plan changes (judge-directed rewrites): a regression vs the
 # PRIOR plan's timing is expected and documented, so these report under
 # "intentional" instead of failing the gate. Keep this list short and
@@ -72,14 +81,31 @@ def main() -> int:
 
     old_mm = old.get("queries_minmax", {})
     new_q = new.get("queries", {})
+    old_floor = old.get("floor_sec")
+    new_floor = new.get("floor_sec")
+    s_tier = set(new.get("s_tier", [])) if (
+        old_floor is not None and new_floor is not None
+    ) else set()
     regressions = {}
     intentional = {}
     for name, new_min in new_q.items():
         if name not in old_mm:
             continue
         old_max = old_mm[name][1]
-        if new_min > NOISE_FACTOR * old_max and new_min - old_max > ABS_FLOOR_SEC:
+        cmp_new, cmp_old, abs_floor = new_min, old_max, ABS_FLOOR_SEC
+        if name in s_tier:
+            # floor-adjusted compare: what the query's LOGIC costs above
+            # the measured start/stop constant on each side
+            cmp_new = max(0.0, new_min - new_floor)
+            cmp_old = max(0.0, old_max - old_floor)
+            abs_floor = ABS_FLOOR_SEC_S
+        if cmp_new > NOISE_FACTOR * cmp_old and cmp_new - cmp_old > abs_floor:
             rec = {"old_minmax": old_mm[name], "new_min": new_min}
+            if name in s_tier:
+                rec["floor_adjusted"] = {
+                    "new": round(cmp_new, 4), "old_max": round(cmp_old, 4),
+                    "new_floor": new_floor, "old_floor": old_floor,
+                }
             exc = INTENTIONAL.get(name)
             if exc and old_max <= exc["old_max_at_most"]:
                 rec["reason"] = exc["reason"]
@@ -105,6 +131,9 @@ def main() -> int:
         "intentional": intentional,
         "total_old": old.get("value"),
         "total_new": new.get("value"),
+        "floor_old": old_floor,
+        "floor_new": new_floor,
+        "n_floor_adjusted": len(s_tier & set(new_q) & set(old_mm)),
     }
     print(json.dumps(summary))
     if regressions:

@@ -428,3 +428,56 @@ def test_bracketed_stats_null_contract(spark):
         _exact_percentiles_hybrid(
             mixed, "g", [("med", "v", 0.5)], round_to=None
         ).collect()
+
+
+def test_bench_regress_floor_adjusted_s_tier(tmp_path):
+    """The bench regression gate (scripts/bench_regress.py) must compare
+    S-tier entries with the measured streaming start/stop floor
+    subtracted on BOTH sides: floor drift alone must not flag, a real
+    logic regression above the floor must, and files without floor data
+    (pre-r8 baselines) fall back to the unadjusted compare."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "bench_regress.py"
+    )
+
+    def run(old, new):
+        po, pn = tmp_path / "old.json", tmp_path / "new.json"
+        po.write_text(json.dumps(old))
+        pn.write_text(json.dumps(new))
+        r = subprocess.run(
+            [sys.executable, script, str(po), str(pn)],
+            capture_output=True, text=True,
+        )
+        return r.returncode, json.loads(r.stdout)
+
+    base = {
+        "sf": 0.1, "value": 10, "floor_sec": 0.6, "s_tier": ["stream_x"],
+        "queries": {"stream_x": 1.2},
+        "queries_minmax": {"stream_x": [1.2, 1.4]},
+    }
+    # floor drift (0.6 -> 1.1) doubles the raw timing: absorbed
+    drift = dict(base, floor_sec=1.1, queries={"stream_x": 2.2},
+                 queries_minmax={"stream_x": [2.2, 2.3]})
+    code, out = run(base, drift)
+    assert code == 0 and out["n_regressions"] == 0
+    assert out["n_floor_adjusted"] == 1
+
+    # same raw timings but floor unchanged: logic above floor grew
+    # 0.8 -> 2.2 (> 2x + 0.3 slack) -> flagged, with the adjusted
+    # numbers recorded for adjudication
+    bad = dict(base, queries={"stream_x": 2.9},
+               queries_minmax={"stream_x": [2.9, 3.0]})
+    code, out = run(base, bad)
+    assert code == 1
+    assert out["regressions"]["stream_x"]["floor_adjusted"]["new"] == 2.3
+
+    # old side predates floor reporting: raw compare still applies
+    old_raw = {k: v for k, v in base.items()
+               if k not in ("floor_sec", "s_tier")}
+    code, out = run(old_raw, bad)
+    assert code == 1 and out["n_floor_adjusted"] == 0

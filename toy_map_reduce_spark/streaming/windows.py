@@ -148,6 +148,29 @@ def run_to_table(stream_df: DataFrame, base_name: str, output_mode: str, sf_dir:
     return spark.table(name)
 
 
+def measure_streaming_floor(
+    spark: SparkSession, sf_dir: str, passes: int = 3
+) -> float:
+    """Measure the per-query streaming fixed-cost floor: a bare
+    availableNow COUNT(*) over the events source — no windows, no state,
+    no watermark — timed ``passes`` times, min reported. This is the
+    query-start/stop cost (temp checkpoint dir, micro-batch planning,
+    offset WAL) that every S-tier bench entry pays and that no operator
+    logic can remove (see run_to_table's fixed-cost note). bench.py
+    records it as ``floor_sec`` so bench_regress can compare S-tier
+    entries floor-adjusted — a real streaming-logic regression can't
+    hide under, and can't be simulated by, the harness constant."""
+    import time as _time
+
+    ts = []
+    for i in range(passes):
+        df = read_events_stream(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+        t0 = _time.perf_counter()
+        run_to_table(df, f"floor_probe_{i}", "complete", sf_dir)
+        ts.append(_time.perf_counter() - t0)
+    return round(min(ts), 4)
+
+
 _STREAM_TUMBLING_ORACLE = """
 SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS window_start,
        event_type,
