@@ -35,11 +35,21 @@ def main() -> int:
     as_json = "--json" in sys.argv
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_spark("tmr-plan-audit")
-    # same env convention as parity_gate.sh / the pytest conftest
-    sf_dir = os.environ.get(
-        "SF",
-        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
-    )
+    # same env convention as parity_gate.sh / the pytest conftest; SF may
+    # be a comma-separated list (parity_report.py's form) — audit each
+    # dir rather than treating the whole string as one bogus path
+    sf_dirs = [
+        d.strip()
+        for d in os.environ.get(
+            "SF",
+            os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+        ).split(",")
+        if d.strip()
+    ]
+    missing = [d for d in sf_dirs if not os.path.isdir(d)]
+    if missing:
+        print(f"SF dir(s) do not exist: {missing}", file=sys.stderr)
+        return 2
     report: dict[str, list[dict]] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(all_specs().items()):
@@ -47,15 +57,17 @@ def main() -> int:
             continue  # streaming plans are inspected by tests/test_streaming.py
         if only and name not in only:
             continue
-        try:
-            sites = single_partition_sites(
-                explain_str(spec.builder(spark, sf_dir), "simple")
-            )
-        except Exception as e:
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
-            continue
-        if sites:
-            report[name] = sites
+        for sf_dir in sf_dirs:
+            key = name if len(sf_dirs) == 1 else f"{name}@{os.path.basename(sf_dir)}"
+            try:
+                sites = single_partition_sites(
+                    explain_str(spec.builder(spark, sf_dir), "simple")
+                )
+            except Exception as e:
+                errors[key] = f"{type(e).__name__}: {e}"[:200]
+                continue
+            if sites:
+                report[key] = sites
     risky = {n: s for n, s in report.items() if any(x["raw_corpus_risk"] for x in s)}
     if as_json:
         print(json.dumps({"risky": risky, "all": report, "errors": errors}, indent=1))

@@ -281,7 +281,20 @@ def min_label_propagation(
     1000 executors makes a multi-round CC job restart-prone, while a
     reliable checkpoint survives executor loss. The loop structure and
     the result are identical in both modes (pinned in
-    tests/test_plans.py::test_dedup_clusters_reliable_checkpoint_mode)."""
+    tests/test_plans.py::test_dedup_clusters_reliable_checkpoint_mode).
+
+    Lifecycle caveats of the reliable mode (r7 advisor): (1)
+    ``setCheckpointDir`` mutates the shared SparkContext — the last
+    caller's dir wins for every checkpoint() in the session; (2) Spark
+    never deletes reliable checkpoint files by default, so a long-lived
+    session running many reliable-mode CC jobs accumulates checkpoint
+    data unboundedly. A deployment using this mode should set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (Spark
+    then removes a checkpoint's files once its DataFrame is
+    garbage-collected) or point the dir at a path with an object-store
+    TTL/lifecycle rule. Not set session-wide here: the default
+    (localCheckpoint) writes no reliable files at all, and a library
+    shouldn't flip a global cleaner conf under its caller."""
     reliable_checkpoint_dir = reliable_checkpoint_dir or os.environ.get(
         "SPARK_GRAFT_CC_CHECKPOINT_DIR"
     )

@@ -870,6 +870,7 @@ def bpe_train(words: DataFrame, n_merges: int = BPE_N_MERGES):
         # checkpoint (lineage is truncated; blocks are the only copy)
         if prev is not None:
             prev.unpersist()
+            prev = None  # released — the tail cleanup must not re-release
         if best is None:
             break
         a, b, n = best["pa"], best["pb"], best["n"]
