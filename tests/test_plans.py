@@ -897,3 +897,31 @@ def test_corpus_grain_classifier_catches_live_alias(spark, sf_dir):
     assert any(
         "doc_id" in s["corpus_grain_keys"] for s in sites
     ), f"aliased corpus-grain funnel escaped the classifier: {sites}"
+
+
+def test_prewarm_staging_plans_match_query_staging(spark, sf_dir):
+    """prewarm_staging (bench attribution, r7 verdict task 2) only works
+    if the plans it materializes are the ONES the dedup queries build —
+    the CacheManager substitutes a cached relation on analyzed-plan
+    equality, so any drift in shingle/simhash staging construction
+    silently turns the prewarm into dead weight and re-smears the
+    staging cost over the first timed query. Pin: after prewarm, the
+    shingle- and simhash-family query plans read InMemoryTableScan (the
+    cache hit), and the caches land as expected."""
+    from toy_map_reduce_spark.operators.dedup import prewarm_staging
+    from toy_map_reduce_spark.plans.explain import explain_str
+    from toy_map_reduce_spark.registry import get_spec
+
+    staging = prewarm_staging(spark, sf_dir)
+    assert set(staging) == {"shingle_stage", "capped_shingles", "simhash_blocks"}
+    try:
+        for name in ("dedup_containment", "dedup_near", "dedup_simhash_pairs"):
+            plan = explain_str(get_spec(name).builder(spark, sf_dir), "simple")
+            assert "InMemoryTableScan" in plan, (
+                f"{name}: no cache hit after prewarm_staging — the "
+                "staging plan drifted from what the query builds"
+            )
+    finally:
+        # drop the staged caches so later tests in the session measure
+        # their own shapes, not this test's leftovers
+        spark.catalog.clearCache()
