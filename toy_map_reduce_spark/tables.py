@@ -72,6 +72,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a fixture table from its parquet FOOTER — a
+    driver-side metadata read (sub-millisecond), no Spark job. Used to
+    size range-partition widths (functions/ranks.parts_for) when the
+    frame being ranked is derived from one table and the table's row
+    count is a usable upper bound on the frame's cardinality: it saves
+    the persist + count() action a size-aware rank otherwise pays, which
+    in a 2-pass bench regime is the difference between converging to the
+    warm plan on pass 2 and never reaching it. Returns None when the
+    path isn't a plain parquet file/dir (caller falls back to counting
+    or to the shuffle-partitions default)."""
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        p = table_path(sf_dir, name)
+        if os.path.isdir(p):
+            parts = _glob.glob(os.path.join(p, "*.parquet"))
+            if not parts:
+                return None
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in parts)
+        return pq.ParquetFile(p).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _layout_cache_root() -> str:
     env = os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "")
     if env and env != "off":
