@@ -481,3 +481,26 @@ def test_bench_regress_floor_adjusted_s_tier(tmp_path):
                if k not in ("floor_sec", "s_tier")}
     code, out = run(old_raw, bad)
     assert code == 1 and out["n_floor_adjusted"] == 0
+
+
+def test_row_count_matches_footer_and_handles_layouts(spark, sf_dir, tmp_path):
+    """tables.row_count must return the exact fixture row count from
+    parquet footers (single-file AND directory layouts) without a Spark
+    job, and degrade to None on junk paths — it sizes range-partition
+    widths, so a wrong count would mis-shape rank shuffles silently."""
+    from toy_map_reduce_spark.tables import load, row_count
+
+    n = row_count(sf_dir, "lineitem")
+    assert n == load(spark, sf_dir, "lineitem").count()
+
+    # directory-of-part-files layout (how Spark itself writes tables)
+    load(spark, sf_dir, "region").write.mode("overwrite").parquet(
+        str(tmp_path / "region.parquet")
+    )
+    assert row_count(str(tmp_path), "region") == load(
+        spark, sf_dir, "region"
+    ).count()
+
+    # junk paths -> None, never an exception
+    assert row_count("/nonexistent", "lineitem") is None
+    assert row_count(str(tmp_path), "no_such_table") is None
