@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Show the differing canonical rows for one query vs its DuckDB oracle —
+the debugging companion to parity_report.py (which only records pass/fail).
+
+Usage: SF=/root/testdata/sf0.1 python scripts/parity_diff.py QUERY [QUERY...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def main() -> int:
+    import duckdb
+
+    from parity import canonical_rows
+    from toy_map_reduce_spark.registry import all_specs
+    from toy_map_reduce_spark.session import get_spark
+    from toy_map_reduce_spark.tables import TABLES, table_path
+
+    sf_dir = os.environ.get("SF", "/root/testdata/sf0.1")
+    spark = get_spark("parity-diff", cores=8)
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    specs = all_specs()
+    for name in sys.argv[1:]:
+        spec = specs[name]
+        sdf = spec.builder(spark, sf_dir).toPandas()
+        odf = duck.sql(spec.oracle).df()
+        srows, orows = Counter(canonical_rows(sdf)), Counter(canonical_rows(odf))
+        only_s = list((srows - orows).elements())
+        only_o = list((orows - srows).elements())
+        print(f"== {name}: {len(only_s)} spark-only / {len(only_o)} oracle-only "
+              f"of {len(sdf)} rows; cols={sorted(sdf.columns)}")
+        for i, (s, o) in enumerate(zip(sorted(only_s), sorted(only_o))):
+            if i >= 8:
+                break
+            print(f"  spark : {s}")
+            print(f"  oracle: {o}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -17,6 +17,13 @@ sits in the exchange's subtree with NO aggregate between them — raw rows
 crossing into one task. An aggregate below the exchange bounds the
 crossing rows to group-key cardinality, the benign shape.
 
+r9: the audit also reports ``build_side_risk`` (explain.py
+build_side_risk) — broadcast joins hash-building from a persisted corpus
+relation while the probe side touches no scan, the r7 graph_bfs_levels
+bug class where Spark's stats-driven build-side choice picks the cached
+corpus over the stats-less loop-carried frame. Both risky sets are
+pinned empty by tests/test_plans.py.
+
 Usage: python scripts/plan_audit.py [--json] [name ...]
 """
 
@@ -26,7 +33,11 @@ import json
 import os
 import sys
 
-from toy_map_reduce_spark.plans import explain_str, single_partition_sites
+from toy_map_reduce_spark.plans import (
+    build_side_risk,
+    explain_str,
+    single_partition_sites,
+)
 from toy_map_reduce_spark.registry import all_specs
 from toy_map_reduce_spark.session import get_spark
 
@@ -51,6 +62,7 @@ def main() -> int:
         print(f"SF dir(s) do not exist: {missing}", file=sys.stderr)
         return 2
     report: dict[str, list[dict]] = {}
+    builds: dict[str, list[dict]] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(all_specs().items()):
         if spec.tier == "S":
@@ -60,31 +72,46 @@ def main() -> int:
         for sf_dir in sf_dirs:
             key = name if len(sf_dirs) == 1 else f"{name}@{os.path.basename(sf_dir)}"
             try:
-                sites = single_partition_sites(
-                    explain_str(spec.builder(spark, sf_dir), "simple")
-                )
+                plan = explain_str(spec.builder(spark, sf_dir), "simple")
+                sites = single_partition_sites(plan)
+                brisk = build_side_risk(plan)
             except Exception as e:
                 errors[key] = f"{type(e).__name__}: {e}"[:200]
                 continue
             if sites:
                 report[key] = sites
+            if brisk:
+                builds[key] = brisk
     risky = {n: s for n, s in report.items() if any(x["raw_corpus_risk"] for x in s)}
+    grainy = {n: s for n, s in report.items() if any(x["corpus_grain_keys"] for x in s)}
     if as_json:
-        print(json.dumps({"risky": risky, "all": report, "errors": errors}, indent=1))
+        print(json.dumps({
+            "risky": risky,
+            "grain_risky": grainy,
+            "build_side_risk": builds,
+            "all": report,
+            "errors": errors,
+        }, indent=1))
     else:
         print(f"queries with Exchange SinglePartition: {len(report)}")
         print(f"  of which raw-corpus risk (scan, no aggregate below): {len(risky)}")
+        print(f"  of which corpus-grain/unbounded-branch keyed: {len(grainy)}")
+        print(f"broadcast joins building from persisted corpus: {len(builds)}")
         for n, sites in sorted(report.items()):
-            flag = "RISK" if any(x["raw_corpus_risk"] for x in sites) else "ok  "
+            bad = any(x["raw_corpus_risk"] for x in sites) or n in grainy
+            flag = "RISK" if bad else "ok  "
             print(f"  [{flag}] {n}: {len(sites)} site(s)")
-            if n in risky:
+            if bad:
                 for x in sites:
-                    if x["raw_corpus_risk"]:
+                    if x["raw_corpus_risk"] or x["corpus_grain_keys"]:
+                        print(f"         keys={x['corpus_grain_keys']}")
                         for l in x["subtree_head"]:
                             print(f"         | {l}")
+        for n, b in sorted(builds.items()):
+            print(f"  [BUILD] {n}: {b}")
         for n, e in sorted(errors.items()):
             print(f"  [err ] {n}: {e}")
-    return 1 if risky or errors else 0
+    return 1 if risky or grainy or builds or errors else 0
 
 
 if __name__ == "__main__":

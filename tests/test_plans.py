@@ -684,27 +684,37 @@ def test_no_single_partition_exchange_feeds_from_raw_scan(spark, sf_dir):
     # queries carry SinglePartition exchanges, every one fed by a
     # cardinality-bounding aggregate (bounds tables, per-pid offsets,
     # final summaries). This pin keeps the risky set empty.
-    from toy_map_reduce_spark.plans import single_partition_sites
+    from toy_map_reduce_spark.plans import build_side_risk, single_partition_sites
     from toy_map_reduce_spark.registry import all_specs
 
     risky: list[str] = []
     grain_risky: list[tuple[str, list]] = []
+    build_risky: list[tuple[str, list]] = []
     for name, spec in all_specs().items():
         if spec.tier == "S":
             continue
-        sites = single_partition_sites(
-            explain_str(spec.builder(spark, sf_dir), "simple")
-        )
+        plan = explain_str(spec.builder(spark, sf_dir), "simple")
+        sites = single_partition_sites(plan)
         if any(x["raw_corpus_risk"] for x in sites):
             risky.append(name)
         # r7: the advisor's false-negative class — an aggregate whose
         # group keys are corpus-grain (word, doc_id, custkey, ...) bounds
         # nothing, so a single-partition exchange above it is the same
         # 100 TB funnel with one hop of camouflage. Audited r7: zero
-        # sites registry-wide; this keeps the set empty.
+        # sites registry-wide; this keeps the set empty. r9: the
+        # classifier walks the parsed plan tree, so the list can also
+        # carry "<unbounded-branch>" — a join branch whose raw scan
+        # reaches the funnel with no bound of its own.
         hits = [x["corpus_grain_keys"] for x in sites if x["corpus_grain_keys"]]
         if hits:
             grain_risky.append((name, hits))
+        # r9 (r8 verdict task 2): the r7 BFS bug class registry-wide — a
+        # broadcast join must never hash-build from a persisted corpus
+        # relation while streaming a stats-less literal past it. Audited
+        # r9: zero sites; this keeps the set empty.
+        brisk = build_side_risk(plan)
+        if brisk:
+            build_risky.append((name, brisk))
     assert not risky, (
         f"single-partition exchange over an unaggregated scan in: {risky} "
         "— rewrite with functions/ranks.py or aggregate before the funnel"
@@ -713,6 +723,11 @@ def test_no_single_partition_exchange_feeds_from_raw_scan(spark, sf_dir):
         f"single-partition exchange fed by a CORPUS-GRAIN-keyed aggregate "
         f"in: {grain_risky} — the aggregate bounds nothing; rewrite with "
         "functions/ranks.py, top-k, or a genuinely bounding aggregate"
+    )
+    assert not build_risky, (
+        f"broadcast join hash-builds from a persisted corpus relation in: "
+        f"{build_risky} — hint F.broadcast on the bounded side "
+        "(graph.py:246-254 is the canonical fix)"
     )
 
 
@@ -871,6 +886,98 @@ def test_corpus_grain_classifier_parsing():
         "      +- HashAggregate(keys=[doc_id#9L], functions=[count(1)])",
         "         +- FileScan parquet [doc_id#9L]",
     ]) == []
+
+    # r9 (the r8 verdict's fixture): a join whose SIBLING branch contains
+    # the only aggregate must not let that aggregate pass as the bound —
+    # the other branch's raw scan reaches the funnel unbounded. The old
+    # flat pre-order fallback returned [] here (bounded keys, benign);
+    # the tree walk flags the raw branch.
+    assert _corpus_grain_keys([
+        "+- BroadcastHashJoin [id#1L], [id#9L], Inner, BuildRight",
+        "   :- FileScan parquet [id#1L]",
+        "   +- HashAggregate(keys=[n#9L], functions=[count(1)])",
+        "      +- FileScan parquet [doc_id#9L]",
+    ]) == ["<unbounded-branch>"]
+
+    # semi/anti join output is a subset of the LEFT input: a bounded left
+    # branch bounds the site even though the right branch scans raw
+    assert _corpus_grain_keys([
+        "+- BroadcastHashJoin [id#1L], [id#9L], LeftAnti, BuildRight",
+        "   :- HashAggregate(keys=[n#1L], functions=[count(1)])",
+        "   :  +- FileScan parquet [id#1L]",
+        "   +- FileScan parquet [id#9L]",
+    ]) == []
+
+    # ...and an inner join with BOTH branches bounded unions the grain
+    # keys across branches (either corpus-grain key defeats the bound)
+    assert _corpus_grain_keys([
+        "+- SortMergeJoin [a#1L], [b#9L], Inner",
+        "   :- HashAggregate(keys=[doc_id#1L], functions=[count(1)])",
+        "   :  +- FileScan parquet [doc_id#1L]",
+        "   +- HashAggregate(keys=[word#9], functions=[count(1)])",
+        "      +- FileScan parquet [word#9]",
+    ]) == ["doc_id", "word"]
+
+
+def test_build_side_risk_classifier_parsing():
+    """Pure-string behavior of the broadcast build-side audit (r8 verdict
+    task 2 — the r7 graph_bfs_levels bug class, generalized): a broadcast
+    join that hash-builds from a persisted corpus relation while the
+    probe side touches no file scan is flagged; the GOOD patterns —
+    probe side scanning the corpus (broadcast-dim / BFS frontier shape)
+    or an aggregate bounding the cached side before the build — are
+    exempt."""
+    from toy_map_reduce_spark.plans.explain import build_side_risk
+
+    # THE BUG: build side = cached edge corpus, probe = loop-carried
+    # literal frontier (no stats). This is what Spark planned for BFS
+    # before the F.broadcast hints.
+    bug = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=false",
+        "+- BroadcastHashJoin [src#3L], [f_node#9L], Inner, BuildLeft, false",
+        "   :- BroadcastExchange HashedRelationBroadcastMode(...), [plan_id=7]",
+        "   :  +- InMemoryTableScan [src#3L, dst#4L]",
+        "   :        +- InMemoryRelation [src#3L, dst#4L], StorageLevel(memory)",
+        "   :              +- FileScan parquet [o_orderkey#1L,o_custkey#2L]",
+        "   +- LocalTableScan [f_node#9L]",
+    ])
+    risks = build_side_risk(bug)
+    assert len(risks) == 1 and "BuildLeft" in risks[0]["join"]
+
+    # GOOD BFS: build side = persisted frontier (cached, and its cached
+    # plan reaches the edge scan), probe side = the cached edge corpus
+    # whose InMemoryRelation prints a FileScan below -> probe scans the
+    # corpus -> exempt
+    good = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=false",
+        "+- BroadcastHashJoin [src#3L], [f_node#9L], Inner, BuildRight, false",
+        "   :- InMemoryTableScan [src#3L, dst#4L]",
+        "   :     +- InMemoryRelation [src#3L, dst#4L], StorageLevel(memory)",
+        "   :           +- FileScan parquet [o_orderkey#1L,o_custkey#2L]",
+        "   +- BroadcastExchange HashedRelationBroadcastMode(...), [plan_id=7]",
+        "      +- InMemoryTableScan [f_node#9L]",
+        "            +- InMemoryRelation [f_node#9L], StorageLevel(memory)",
+        "                  +- HashAggregate(keys=[node#5L], functions=[])",
+        "                     +- FileScan parquet [o_orderkey#1L]",
+    ])
+    assert build_side_risk(good) == []
+
+    # bounded cached build: an aggregate between the join and the cached
+    # corpus bounds the build side -> exempt even with a scan-free probe
+    bounded = "\n".join([
+        "+- BroadcastHashJoin [k#3L], [k#9L], Inner, BuildLeft, false",
+        "   :- BroadcastExchange HashedRelationBroadcastMode(...), [plan_id=3]",
+        "   :  +- HashAggregate(keys=[k#3L], functions=[count(1)])",
+        "   :     +- InMemoryTableScan [k#3L]",
+        "   :           +- InMemoryRelation [k#3L], StorageLevel(memory)",
+        "   :                 +- FileScan parquet [k#3L]",
+        "   +- LocalTableScan [k#9L]",
+    ])
+    assert build_side_risk(bounded) == []
+
+    # no build-side marker (BroadcastNestedLoopJoin Cross without
+    # BuildLeft/Right text) or non-broadcast joins -> no record
+    assert build_side_risk("+- SortMergeJoin [a#1], [b#2], Inner") == []
 
 
 def test_corpus_grain_classifier_catches_live_alias(spark, sf_dir):

@@ -210,15 +210,23 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over an sf-scoped view, the oracle side runs the identical string over the
 # DuckDB view — demonstrating the engine's SQL entry path (not just the
 # DataFrame API) with zero semantic translation.
+# Money sums accumulate in DECIMAL, not DOUBLE (r9): at sf0.1 the two
+# engines' double-summation orders drift ~1e-3 over 600k rows — past the
+# 0.005 halfway margin of round(,2), which flipped sum_disc_price's last
+# digit (the first scale-dependent parity failure, PARITY_r9 sf0.1). The
+# per-row product is IEEE-identical cross-engine and lies within ~1e-11
+# of its true 4/6-decimal value, so the DECIMAL cast recovers the exact
+# value and the sum is order-independent — the same reason a 1000-node
+# cluster's nondeterministic partial-sum order can't change the answer.
 _TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(SUM(l_quantity), 2) AS sum_qty,
-       round(SUM(l_extendedprice), 2) AS sum_base_price,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(AVG(l_quantity), 6) AS avg_qty,
-       round(AVG(l_extendedprice), 6) AS avg_price,
-       round(AVG(l_discount), 6) AS avg_disc,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       round(CAST(SUM(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM {table}
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -918,7 +918,7 @@ WITH flat AS (
                        unnest(range(1, len(embedding) + 1)) AS i) u
 )
 SELECT dim,
-       round(AVG(v), 4) AS mean,
+       round(AVG(v), 4) + 0.0 AS mean,
        round(stddev_samp(v), 4) AS std,
        round(MIN(v), 6) AS min_v,
        round(MAX(v), 6) AS max_v,
@@ -945,7 +945,10 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flat.groupBy("dim")
         .agg(
-            F.round(F.avg("v"), 4).alias("mean"),
+            # + 0.0 after the round (SKILL gotcha list): a near-zero mean
+            # rounds to -0.0 in DuckDB but +0.0 through Spark's BigDecimal
+            # path — hit live at sf0.1 on dims 9 and 24 (PARITY_r9)
+            (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("mean"),
             F.round(F.stddev_samp("v"), 4).alias("std"),
             F.round(F.min("v"), 6).alias("min_v"),
             F.round(F.max("v"), 6).alias("max_v"),

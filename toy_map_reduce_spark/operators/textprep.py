@@ -23,17 +23,25 @@ from pyspark.sql import functions as F
 from toy_map_reduce_spark.registry import register
 from toy_map_reduce_spark.tables import load
 
+# The Flesch score is computed as ONE exact integer-rational division
+# (r9): numerator x1000 is an exact BIGINT (206835*s*w - 1015*w*w -
+# 84600*sy*s), so both engines divide the identical pair of exact
+# integers and produce the bit-identical double. The former three-term
+# float form (206.835 - 1.015*w/s - 84.6*sy/w) drifted an ulp between
+# engines and flipped round(,4) on docs whose true score sits exactly on
+# a half-boundary (28.19375 et al — 5 docs at sf0.1, PARITY_r9).
 _READABILITY_ORACLE = """
 WITH m AS (
   SELECT doc_id,
-         len(string_split(text, ' ')) AS words,
-         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
-         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syllables
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+         CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS syllables
   FROM documents
 )
 SELECT doc_id, words, sentences, syllables,
-       round(206.835 - 1.015 * words / sentences
-                     - 84.6 * syllables / words, 4) AS flesch
+       round(CAST(206835 * sentences * words - 1015 * words * words
+                  - 84600 * syllables * sentences AS DOUBLE)
+             / CAST(1000 * sentences * words AS DOUBLE), 4) AS flesch
 FROM m
 """
 
@@ -57,17 +65,19 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = docs.select(
         "doc_id",
-        words.alias("words"),
-        sentences.alias("sentences"),
-        syllables.alias("syllables"),
+        words.cast("long").alias("words"),
+        sentences.cast("long").alias("sentences"),
+        syllables.cast("long").alias("syllables"),
     )
+    # one exact integer-rational division (see _READABILITY_ORACLE note):
+    # the x1000 numerator is an exact BIGINT, so the double quotient is
+    # bit-identical cross-engine and round(,4) can't flip on an ulp
+    w, s, sy = F.col("words"), F.col("sentences"), F.col("syllables")
+    num = (F.lit(206835) * s * w - F.lit(1015) * w * w - F.lit(84600) * sy * s)
     return m.select(
         "doc_id", "words", "sentences", "syllables",
         F.round(
-            F.lit(206.835)
-            - F.lit(1.015) * F.col("words") / F.col("sentences")
-            - F.lit(84.6) * F.col("syllables") / F.col("words"),
-            4,
+            num.cast("double") / (F.lit(1000) * s * w).cast("double"), 4
         ).alias("flesch"),
     )
 

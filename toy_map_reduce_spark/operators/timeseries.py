@@ -445,20 +445,42 @@ def timeseries_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The moving stddev is computed from EXACT integer cent sums (r9):
+# native stddev_samp uses different accumulation algorithms per engine
+# (sub-ulp drift), which flipped round(,6) on one 7-day window at sf0.1
+# (PARITY_r9). Here the daily revenue becomes an exact BIGINT in cents,
+# the window sums s1=SUM(c) and s2=SUM(c*c) are exact DECIMALs, and the
+# variance formula (s2 - s1^2/n)/(n-1) runs as the identical double
+# expression over identical inputs on both engines — bit-stable, and
+# order-independent at any cluster size.
 _MOVING_STATS_ORACLE = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         round(SUM(round(o_totalprice, 2)), 2) AS rev
+         CAST(round(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) * 100, 0)
+              AS BIGINT) AS rev_c
   FROM orders GROUP BY day
+),
+win AS (
+  SELECT day, rev_c,
+         CAST(SUM(CAST(rev_c AS DECIMAL(18,0))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(rev_c AS DECIMAL(18,0)) * rev_c) OVER w AS DOUBLE) AS s2,
+         CAST(MIN(rev_c) OVER w AS DOUBLE) AS mn,
+         CAST(MAX(rev_c) OVER w AS DOUBLE) AS mx,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
-SELECT day, rev,
-       round(AVG(rev) OVER w, 6) AS mov_avg7,
-       round(MIN(rev) OVER w, 2) AS mov_min7,
-       round(MAX(rev) OVER w, 2) AS mov_max7,
-       round(stddev_samp(rev) OVER w, 6) AS mov_std7,
-       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
-FROM daily
-WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+SELECT day,
+       CAST(rev_c AS DOUBLE) / 100 AS rev,
+       round(s1 / 100 / n_in_window, 6) AS mov_avg7,
+       round(mn / 100, 2) AS mov_min7,
+       round(mx / 100, 2) AS mov_max7,
+       round(CASE WHEN n_in_window > 1 THEN
+               sqrt(greatest(s2 / 10000 - (s1 / 100) * (s1 / 100) / n_in_window, 0)
+                    / (n_in_window - 1))
+             END, 6) AS mov_std7,
+       n_in_window
+FROM win
 """
 
 
@@ -469,21 +491,47 @@ WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 def timeseries_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window runs over the DAILY rollup (days-of-history rows), not
     raw orders — same post-reduction discipline as timeseries_ewma. The
-    frame is ROWS-bounded (7), so state per row is O(1); per-day sums are
-    rounded before the window on both engines to keep the moving stddev
-    bit-stable."""
+    frame is ROWS-bounded (7), so state per row is O(1). The stddev is
+    derived from exact integer cent sums via the shared double formula
+    (see _MOVING_STATS_ORACLE note) instead of native stddev_samp, whose
+    per-engine accumulation order drifted past the round(,6) boundary at
+    sf0.1."""
     orders = load(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.round(F.sum(F.round("o_totalprice", 2)), 2).alias("rev")
+        F.round(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")) * 100, 0
+        ).cast("long").alias("rev_c")
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
-    return daily.select(
-        "day", "rev",
-        F.round(F.avg("rev").over(w), 6).alias("mov_avg7"),
-        F.round(F.min("rev").over(w), 2).alias("mov_min7"),
-        F.round(F.max("rev").over(w), 2).alias("mov_max7"),
-        F.round(F.stddev_samp("rev").over(w), 6).alias("mov_std7"),
+    rc = F.col("rev_c").cast("decimal(18,0)")
+    win = daily.select(
+        "day", "rev_c",
+        F.sum(rc).over(w).cast("double").alias("s1"),
+        F.sum(rc * F.col("rev_c")).over(w).cast("double").alias("s2"),
+        F.min("rev_c").over(w).cast("double").alias("mn"),
+        F.max("rev_c").over(w).cast("double").alias("mx"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+    n = F.col("n_in_window")
+    s1, s2 = F.col("s1"), F.col("s2")
+    return win.select(
+        "day",
+        (F.col("rev_c").cast("double") / 100).alias("rev"),
+        F.round(s1 / 100 / n, 6).alias("mov_avg7"),
+        F.round(F.col("mn") / 100, 2).alias("mov_min7"),
+        F.round(F.col("mx") / 100, 2).alias("mov_max7"),
+        F.round(
+            F.when(
+                n > 1,
+                F.sqrt(
+                    F.greatest(
+                        s2 / 10000 - (s1 / 100) * (s1 / 100) / n, F.lit(0.0)
+                    ) / (n - 1)
+                ),
+            ),
+            6,
+        ).alias("mov_std7"),
+        "n_in_window",
     )
 
 

@@ -63,6 +63,13 @@ def single_partition_sites(plan: str) -> list[dict]:
     rename), and the TakeOrdered exemption only applies on the
     exchange's DIRECT child chain — a top-k in a sibling join branch
     bounds that branch, not the rows crossing this exchange.
+    r9: the classifier walks a REAL indentation-parsed plan tree
+    (``parse_plan_tree``) instead of the old flat pre-order fallback, so
+    boundedness is judged per join branch: a branch's aggregate or top-k
+    bounds only that branch, and a branch that reaches a file scan with
+    no bounding node at all marks the site ``<unbounded-branch>`` in
+    ``corpus_grain_keys`` — the shape the r8 verdict called out, where a
+    sibling branch's bounded aggregate used to camouflage a raw branch.
     scripts/plan_audit.py reports both fields; the CI pin keeps BOTH the
     ``raw_corpus_risk`` set and the ``corpus_grain_keys`` site set
     strictly empty (tests/test_plans.py — there is no allowlist; a new
@@ -71,8 +78,6 @@ def single_partition_sites(plan: str) -> list[dict]:
     Used by scripts/plan_audit.py (human triage over the full registry)
     and tests/test_plans.py (CI pin: the risky set stays empty).
     """
-    import re as _re
-
     lines = plan.splitlines()
     sites: list[dict] = []
     for i, line in enumerate(lines):
@@ -111,80 +116,224 @@ _CORPUS_GRAIN_COLS = frozenset({
 })
 
 
-_AGG_KEYS_RE = None  # compiled lazily below
-_ALIAS_RE = None
-_COL_RE = None
+import re as _re
+
+_AGG_KEYS_RE = _re.compile(r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[([^\]]*)\]")
+_ALIAS_RE = _re.compile(r"(\w+)#(\d+)[A-Za-z]*\s+AS\s+(\w+)#(\d+)")
+_COL_RE = _re.compile(r"(\w+)#(\d+)")
+_MARKER_RE = _re.compile(r"^([ :|]*)[+:]-\s?(.*)$")
+
+# Physical-plan substrings that mark a node as a corpus file scan (the
+# only unbounded leaves — LocalTableScan / Range / ReusedExchange /
+# OneRowRelation are driver literals or references, never the corpus).
+_SCAN_MARKS = (
+    "FileScan", "Scan parquet", "Scan csv", "Scan json", "Scan text",
+    "Scan orc",
+)
+# Nodes that bound output cardinality regardless of what sits below.
+_LIMIT_MARKS = ("TakeOrderedAndProject", "CollectLimit", "GlobalLimit")
 
 
-def _direct_chain_len(subtree: list[str]) -> int:
-    """Number of leading subtree lines on the exchange's DIRECT child
-    chain. In explain text a node's non-last children print with ``:-``
-    and their subtrees carry ``:`` in the leading columns, while a
-    single child prints as a bare ``+-`` line — so the chain is the
-    prefix of lines whose indentation contains no ``:``; the first
-    colon-prefixed line marks a branching node (a join), and everything
-    after it (including the branching node's colon-free LAST child) is
-    off-chain."""
-    n = 0
-    for ln in subtree:
-        head = ln[: len(ln) - len(ln.lstrip(" :+-*("))]
-        if ":" in head or ln.lstrip().startswith(":"):
-            break
-        n += 1
-    return n
+class PlanNode:
+    """One physical-plan operator parsed out of ``df.explain("simple")``
+    text. ``children`` follow explain's print order (a join's left/probe
+    input first). Built by :func:`parse_plan_tree`."""
+
+    __slots__ = ("text", "children")
+
+    def __init__(self, text: str) -> None:
+        self.text = text
+        self.children: list[PlanNode] = []
+
+    def walk(self):
+        yield self
+        for c in self.children:
+            yield from c.walk()
+
+    def __repr__(self) -> str:  # debugging aid only
+        return f"PlanNode({self.text[:60]!r}, kids={len(self.children)})"
+
+
+def parse_plan_tree(lines: list[str] | str) -> list[PlanNode]:
+    """Parse explain text into a forest by indentation.
+
+    Spark prints each child at +3 columns behind a ``+-`` (single/last
+    child) or ``:-`` (non-last join input) marker, with ``:`` rails in
+    the leading columns; cached plans inside ``InMemoryRelation`` embed a
+    whole nested plan (including bare ``== Final Plan ==`` /
+    ``ResultQueryStage`` lines with no marker) at deeper indentation.
+    Depth is therefore derived purely from column position — marker
+    lines at ``len(prefix)//3 + 1``, bare lines at ``len(ws)//3`` — and
+    each node attaches to the nearest shallower predecessor, which keeps
+    the tree correct across the marker-free embedded sections."""
+    if isinstance(lines, str):
+        lines = lines.splitlines()
+    roots: list[PlanNode] = []
+    stack: list[tuple[int, PlanNode]] = []
+    for raw in lines:
+        if not raw.strip():
+            continue
+        m = _MARKER_RE.match(raw)
+        if m:
+            depth = len(m.group(1)) // 3 + 1
+            text = m.group(2)
+        else:
+            text = raw.strip()
+            depth = (len(raw) - len(raw.lstrip(" :|"))) // 3
+        node = PlanNode(text)
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            stack[-1][1].children.append(node)
+        else:
+            roots.append(node)
+        stack.append((depth, node))
+    return roots
+
+
+def _alias_map(lines: list[str]) -> dict[str, tuple[str, str]]:
+    amap: dict[str, tuple[str, str]] = {}
+    for ln in lines:
+        for m in _ALIAS_RE.finditer(ln):
+            # first writer wins: ids are unique per plan, re-prints of
+            # cached subtrees repeat the same mapping
+            amap.setdefault(m.group(4), (m.group(1), m.group(2)))
+    return amap
+
+
+def _resolve(amap: dict[str, tuple[str, str]], name: str, eid: str) -> str:
+    seen: set[str] = set()
+    while eid in amap and eid not in seen:
+        seen.add(eid)
+        name, eid = amap[eid]
+    return name
+
+
+def _branch_bound(node: PlanNode, amap: dict) -> tuple[bool, set[str]]:
+    """Is this subtree's output cardinality bounded by something other
+    than corpus size, and through which corpus-grain group keys?
+
+    Per-node rules, applied top-down and stopping at the first bounding
+    node on each branch:
+      * top-k / limit  -> bounded, no grain leak;
+      * aggregate      -> bounded, leaking its corpus-grain group keys
+        (alias-resolved) — a corpus-grain-keyed aggregate "bounds" to
+        corpus cardinality, which the caller flags;
+      * file scan      -> UNBOUNDED (raw corpus reaches this point);
+      * other leaf     -> bounded (driver literals, Range, reused refs);
+      * semi/anti join -> output is a subset of the LEFT input, so only
+        the first-printed child bounds it;
+      * join/union     -> bounded iff EVERY input branch is bounded
+        (an inner join's output is as coarse as its coarsest input),
+        grain keys unioned across branches.
+    """
+    t = node.text
+    if any(b in t for b in _LIMIT_MARKS):
+        return True, set()
+    m = _AGG_KEYS_RE.search(t)
+    if m:
+        names = {
+            _resolve(amap, c.group(1), c.group(2))
+            for c in _COL_RE.finditer(m.group(1))
+        }
+        return True, names & _CORPUS_GRAIN_COLS
+    if any(s in t for s in _SCAN_MARKS):
+        return False, set()
+    kids = node.children
+    if not kids:
+        return True, set()
+    if len(kids) > 1 and ("LeftSemi" in t or "LeftAnti" in t or "ExistenceJoin" in t):
+        return _branch_bound(kids[0], amap)
+    bounded, keys = True, set()
+    for k in kids:
+        b, ks = _branch_bound(k, amap)
+        bounded = bounded and b
+        keys |= ks
+    return bounded, keys
 
 
 def _corpus_grain_keys(subtree: list[str]) -> list[str]:
-    """Corpus-grain column names in the FIRST (bounding) aggregate's group
-    keys below a single-partition exchange — the r6 advisor's
-    false-negative class.
+    """Corpus-grain column names in the group keys actually BOUNDING a
+    single-partition exchange's input — the r6 advisor's false-negative
+    class, computed on the parsed plan tree (r9; the r8 form walked a
+    flat direct-chain + pre-order fallback that could misattribute a
+    sibling join branch's aggregate as the bound).
 
     Alias-robust (r7 verdict task 6): every ``src#id AS tgt#id`` in the
     subtree contributes to an expression-id rename map, and each group
     key is resolved through that chain back to its root name before the
     grain check, so ``custkey AS ck`` still classifies as corpus grain.
-    Scope-correct (r7 advisor): a TakeOrderedAndProject exempts the site
-    only when it sits on the exchange's DIRECT child chain — in a
-    sibling join branch it bounds that branch's rows, not the exchange's
-    input. The bounding aggregate itself is taken from the direct chain
-    when one exists there, else from the remaining subtree in pre-order
-    (a join's output is at most as fine as its inputs' combined grain,
-    so an off-chain aggregate's keys are still the best available grain
-    signal — a known approximation, documented here)."""
-    import re as _re
-
-    global _AGG_KEYS_RE, _ALIAS_RE, _COL_RE
-    if _AGG_KEYS_RE is None:
-        _AGG_KEYS_RE = _re.compile(
-            r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[([^\]]*)\]"
-        )
-        _ALIAS_RE = _re.compile(r"(\w+)#(\d+)[A-Za-z]*\s+AS\s+(\w+)#(\d+)")
-        _COL_RE = _re.compile(r"(\w+)#(\d+)")
-
-    amap: dict[str, tuple[str, str]] = {}
-    for ln in subtree:
-        for m in _ALIAS_RE.finditer(ln):
-            # first writer wins: ids are unique per plan, re-prints of
-            # cached subtrees repeat the same mapping
-            amap.setdefault(m.group(4), (m.group(1), m.group(2)))
-
-    def resolve(name: str, eid: str) -> str:
-        seen: set[str] = set()
-        while eid in amap and eid not in seen:
-            seen.add(eid)
-            name, eid = amap[eid]
-        return name
-
-    chain_len = _direct_chain_len(subtree)
-    keys_blob: str | None = None
-    for idx, ln in enumerate(subtree):
-        if idx < chain_len and "TakeOrderedAndProject" in ln:
-            return []
-        m = _AGG_KEYS_RE.search(ln)
-        if m:
-            keys_blob = m.group(1)
-            break
-    if keys_blob is None:
+    A TakeOrderedAndProject bounds exactly the branch it sits on: on the
+    exchange's direct child chain it exempts the site, in a sibling join
+    branch it exempts only that branch. A branch that reaches a file
+    scan with NO bounding node returns the sentinel
+    ``<unbounded-branch>`` — raw corpus rows cross the funnel even
+    though some other branch aggregates."""
+    roots = parse_plan_tree(subtree)
+    if not roots:
         return []
-    names = {resolve(c.group(1), c.group(2)) for c in _COL_RE.finditer(keys_blob)}
-    return sorted(names & _CORPUS_GRAIN_COLS)
+    amap = _alias_map(subtree if isinstance(subtree, list) else subtree.splitlines())
+    bounded, keys = True, set()
+    for r in roots:
+        b, ks = _branch_bound(r, amap)
+        bounded = bounded and b
+        keys |= ks
+    if not bounded:
+        keys.add("<unbounded-branch>")
+    return sorted(keys)
+
+
+def build_side_risk(plan: str) -> list[dict]:
+    """Broadcast joins that hash-build from a persisted CORPUS relation —
+    the r7 graph_bfs_levels bug class, generalized registry-wide (r8
+    verdict task 2).
+
+    Spark costs build-side choice from statistics; a persisted relation
+    HAS stats while the tiny loop-carried frame (frontier, visited,
+    bounds literal) often has none, so the planner happily picks
+    ``BuildLeft`` over the cached corpus and hash-builds millions of rows
+    to stream a 1-row table past them — exactly backwards at 100 TB.
+    Signature flagged here: a BroadcastHashJoin / BroadcastNestedLoopJoin
+    whose BUILD side reaches an ``InMemoryRelation`` backed by a file
+    scan with NO bounding node (aggregate / top-k / limit) in between,
+    while the PROBE side touches no file scan at all (if the probe side
+    scans the corpus too, building from a bounded cached side is the
+    normal broadcast-dim pattern and stays exempt — e.g. the GOOD BFS
+    plan broadcasts the persisted frontier over the cached edge scan).
+
+    Returns one record per risky join; tests/test_plans.py pins the set
+    empty across the registry and scripts/plan_audit.py reports it."""
+
+    def cached_corpus_unbounded(node: PlanNode) -> bool:
+        t = node.text
+        if any(b in t for b in _LIMIT_MARKS) or _AGG_KEYS_RE.search(t):
+            return False
+        if "InMemoryRelation" in t or "InMemoryTableScan" in t:
+            return any(
+                any(s in n.text for s in _SCAN_MARKS) for n in node.walk()
+            )
+        return any(cached_corpus_unbounded(c) for c in node.children)
+
+    def has_corpus_scan(node: PlanNode) -> bool:
+        return any(any(s in n.text for s in _SCAN_MARKS) for n in node.walk())
+
+    risks: list[dict] = []
+    for root in parse_plan_tree(plan):
+        for node in root.walk():
+            t = node.text
+            if "BroadcastHashJoin" not in t and "BroadcastNestedLoopJoin" not in t:
+                continue
+            if len(node.children) != 2:
+                continue
+            if "BuildLeft" in t:
+                build, probe = node.children
+            elif "BuildRight" in t:
+                probe, build = node.children
+            else:
+                continue
+            if cached_corpus_unbounded(build) and not has_corpus_scan(probe):
+                risks.append({
+                    "join": t.strip()[:160],
+                    "build_head": build.text.strip()[:160],
+                })
+    return risks

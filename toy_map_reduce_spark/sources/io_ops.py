@@ -347,9 +347,15 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# revenue accumulates in DECIMAL(38,4) (r9): the per-row product is
+# IEEE-identical cross-engine and within ~1e-11 of its true 4-decimal
+# value, so the cast recovers the exact value and the sum is
+# order-independent — round(SUM(double),4) drifted past the halfway
+# margin at sf0.1 (PARITY_r9) because 600k-term double sums differ ~1e-3
+# between engines' accumulation orders.
 _ORC_ROUNDTRIP_ORACLE = """
 SELECT l_linestatus,
-       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM lineitem
@@ -375,7 +381,10 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.write.mode("overwrite").option("compression", "snappy").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("l_linestatus").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(38,4)")
+        ).cast("double").alias("revenue"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
