@@ -30,6 +30,30 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _boot_info() -> dict:
+    """Boot/host identity stamped into BENCH_DETAIL (r8 verdict task 4):
+    cross-boot runs drift ±7-20% uniformly on this class of VM, and the
+    "never chase uniform inflation" rule needs a machine-readable anchor
+    instead of tribal memory — bench_regress warns when boot ids differ."""
+    info: dict[str, object] = {}
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            info["boot_id"] = fh.read().strip()
+        with open("/proc/uptime") as fh:
+            info["uptime_sec"] = round(float(fh.read().split()[0]))
+    except OSError:
+        pass
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for ln in fh:
+                if ln.lower().startswith("model name"):
+                    info["cpu"] = ln.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return info
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("tmr-bench")
@@ -50,9 +74,8 @@ def main() -> int:
     # code). The full min/max spread still ships in the sidecar so drift
     # stays classifiable. SPARK_GRAFT_BENCH_COLD=1 reports the single cold
     # pass instead.
-    n_passes = 1 if os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1" else int(
-        os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")
-    )
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
+    n_passes = 1 if cold else int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     from toy_map_reduce_spark.functions.ranks import release_scratch
 
     # Pre-materialize the cross-query shared staging tables (shingle
@@ -61,8 +84,11 @@ def main() -> int:
     # whichever dedup query runs first pays the shared materialization and
     # its per-query minimum is an ordering artifact, not a plan signal.
     # SPARK_GRAFT_BENCH_NO_PREWARM=1 restores the r7 behavior for A/Bs.
+    # Cold mode skips prewarm AND the floor probes entirely (r8 advisor):
+    # they warm codegen/footer caches and persist the dedup staging, which
+    # silently changed what the single "cold" pass was measuring.
     staging: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_NO_PREWARM", "") != "1":
+    if not cold and os.environ.get("SPARK_GRAFT_BENCH_NO_PREWARM", "") != "1":
         from toy_map_reduce_spark.operators.dedup import prewarm_staging
 
         staging = prewarm_staging(spark, sf_dir)
@@ -73,9 +99,11 @@ def main() -> int:
     # query list, and bench_regress compares S-tier entries with the
     # floor subtracted — a streaming-logic regression can't hide under
     # the constant, and floor drift can't masquerade as one.
-    from toy_map_reduce_spark.streaming.windows import measure_streaming_floor
+    floor_sec = None
+    if not cold:
+        from toy_map_reduce_spark.streaming.windows import measure_streaming_floor
 
-    floor_sec = measure_streaming_floor(spark, sf_dir)
+        floor_sec = measure_streaming_floor(spark, sf_dir)
 
     per_pass: list[dict[str, float]] = []
     for p in range(n_passes):
@@ -129,6 +157,9 @@ def main() -> int:
         # bench_regress compares S-tier entries floor-adjusted
         "floor_sec": floor_sec,
         "s_tier": sorted(n for n, s in specs.items() if s.tier == "S"),
+        # boot/host stamp: bench_regress warns on cross-boot comparisons
+        # (uniform ±7-20% drift is machine noise, not a regression)
+        "boot": _boot_info(),
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

@@ -15,19 +15,33 @@ one.
 
 Usage:
     python scripts/bench_regress.py BENCH_DETAIL_r3.json BENCH_DETAIL.json
+    python scripts/bench_regress.py OLD.json NEW.json --adjudicate
 Exit 0 = compared and clean; 1 = regression(s); 2 = NOTHING WAS COMPARED
 (sf mismatch, missing queries_minmax, zero key overlap) so CI can tell
 "no regression" apart from "the gate never looked".
 
-Adjudicating a flagged query: run scripts/bench_warm.py <name> — the
-quiet-JVM warm re-time protocol (fresh session, staging prewarmed,
-first-pass discard, warm-min report). warm_min at or below the old noise
-band's max = noise; materially above = a real plan change.
+Adjudicating a flagged query: the quiet-JVM warm re-time protocol
+(scripts/bench_warm.py — fresh session, staging prewarmed, first-pass
+discard, warm-min report). warm_min at or below the old noise band's max
+= noise; materially above = a real plan change. ``--adjudicate`` runs
+that protocol automatically on every flagged query (one fresh subprocess
+= one quiet JVM) and re-verdicts: entries whose warm_min falls at or
+below the old max move to ``adjudicated_noise`` and no longer fail the
+gate — the one-command form of the two-step the r6-r8 READMEs assembled
+by hand.
+
+When both files carry a ``boot`` stamp (bench.py r9) and the boot ids
+differ, the summary carries ``boot_note``: cross-boot runs drift ±7-20%
+UNIFORMLY on this VM class, so uniform inflation across the board is
+machine noise — only per-query outliers against that backdrop are real.
+The note WARNS; it never fails the gate by itself.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 
 NOISE_FACTOR = 2.0  # fail only on >2x growth beyond the old noise ceiling
@@ -66,12 +80,39 @@ INTENTIONAL: dict[str, dict] = {
 }
 
 
+def _adjudicate(names: list[str], sf) -> dict[str, float]:
+    """Run the bench_warm protocol on ``names`` in ONE fresh subprocess
+    (fresh JVM = the quiet-JVM premise) and return {name: warm_min}.
+    Returns {} when the subprocess fails — callers treat missing names
+    as un-adjudicated (still regressions)."""
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_warm.py"),
+        *names,
+        "--passes=6",
+    ]
+    try:
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, timeout=1800
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        rep = json.loads(line)
+        return {n: q["warm_min"] for n, q in rep.get("queries", {}).items()}
+    except Exception as exc:  # noqa: BLE001 — adjudication is best-effort
+        print(f"adjudication failed: {exc}", file=sys.stderr)
+        return {}
+
+
 def main() -> int:
-    if len(sys.argv) != 3:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    adjudicate = "--adjudicate" in sys.argv[1:]
+    if len(args) != 2:
         print(__doc__)
         return 2
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
+    old = json.load(open(args[0]))
+    new = json.load(open(args[1]))
     if old.get("sf") != new.get("sf"):
         print(json.dumps({
             "comparable": False,
@@ -119,6 +160,26 @@ def main() -> int:
                     )
                 regressions[name] = rec
 
+    # one quiet-JVM warm pass over everything still flagged (--adjudicate):
+    # warm_min at or below the old noise ceiling reclassifies as noise
+    adjudicated_noise: dict[str, dict] = {}
+    if adjudicate and regressions:
+        warm = _adjudicate(sorted(regressions), new.get("sf"))
+        for name in list(regressions):
+            wm = warm.get(name)
+            if wm is None:
+                continue
+            rec = regressions[name]
+            rec["warm_min"] = wm
+            old_max = rec["old_minmax"][1]
+            if wm <= old_max:
+                rec["verdict"] = "noise: warm_min within the old noise band"
+                adjudicated_noise[name] = regressions.pop(name)
+            else:
+                rec["verdict"] = (
+                    "real: warm_min above the old noise ceiling — read the plan"
+                )
+
     summary = {
         "comparable": True,
         "sf": new.get("sf"),
@@ -129,12 +190,22 @@ def main() -> int:
         "regressions": regressions,
         "n_intentional": len(intentional),
         "intentional": intentional,
+        "n_adjudicated_noise": len(adjudicated_noise),
+        "adjudicated_noise": adjudicated_noise,
         "total_old": old.get("value"),
         "total_new": new.get("value"),
         "floor_old": old_floor,
         "floor_new": new_floor,
         "n_floor_adjusted": len(s_tier & set(new_q) & set(old_mm)),
     }
+    old_boot = (old.get("boot") or {}).get("boot_id")
+    new_boot = (new.get("boot") or {}).get("boot_id")
+    if old_boot and new_boot and old_boot != new_boot:
+        summary["boot_note"] = (
+            "cross-boot comparison (boot ids differ): expect ±7-20% UNIFORM "
+            "drift — do not chase across-the-board inflation; adjudicate "
+            "per-query outliers with bench_warm (see module docstring)"
+        )
     print(json.dumps(summary))
     if regressions:
         return 1

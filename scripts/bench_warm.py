@@ -43,12 +43,32 @@ from toy_map_reduce_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accepts both '--passes=N' and '--passes N' (r8 advisor: the usage
+    # string advertised the space form but only '=' parsed)
+    names: list[str] = []
     passes = 6
-    prewarm = "--no-prewarm" not in sys.argv
-    for a in sys.argv[1:]:
-        if a.startswith("--passes"):
-            passes = int(a.split("=", 1)[1])
+    prewarm = True
+    argv = sys.argv[1:]
+    i = 0
+    try:
+        while i < len(argv):
+            a = argv[i]
+            if a == "--no-prewarm":
+                prewarm = False
+            elif a == "--passes":
+                i += 1
+                passes = int(argv[i])
+            elif a.startswith("--passes="):
+                passes = int(a.split("=", 1)[1])
+            elif a.startswith("--"):
+                print(f"unknown flag: {a}", file=sys.stderr)
+                return 2
+            else:
+                names.append(a)
+            i += 1
+    except (IndexError, ValueError):
+        print(__doc__)
+        return 2
     if not names or passes < 2:
         print(__doc__)
         return 2

@@ -504,3 +504,108 @@ def test_row_count_matches_footer_and_handles_layouts(spark, sf_dir, tmp_path):
     # junk paths -> None, never an exception
     assert row_count("/nonexistent", "lineitem") is None
     assert row_count(str(tmp_path), "no_such_table") is None
+
+    # a zero-length part file left by an aborted write must not break or
+    # inflate the count (r8 advisor)
+    (tmp_path / "region.parquet" / "part-99999-stale.parquet").touch()
+    assert row_count(str(tmp_path), "region") == load(
+        spark, sf_dir, "region"
+    ).count()
+
+    # hive-partitioned (nested-subdir) layout: the top-level glob finds
+    # no part files -> None, the documented safe fallback
+    load(spark, sf_dir, "region").write.mode("overwrite").partitionBy(
+        "r_regionkey"
+    ).parquet(str(tmp_path / "region_part.parquet"))
+    assert row_count(str(tmp_path), "region_part") is None
+
+
+def test_bench_regress_boot_note_and_adjudication(tmp_path, monkeypatch, capsys):
+    """r9 bench_regress additions: differing boot ids add a WARN note
+    without failing the gate, and --adjudicate re-verdicts flagged
+    queries through the warm protocol — warm_min within the old noise
+    band moves the entry to adjudicated_noise (exit 0), above it stays a
+    regression (exit 1)."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_regress",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "bench_regress.py"),
+    )
+    br = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(br)
+
+    base = {
+        "sf": 0.1, "value": 10,
+        "queries": {"q_a": 1.0, "q_b": 1.0},
+        "queries_minmax": {"q_a": [1.0, 1.1], "q_b": [1.0, 1.1]},
+        "boot": {"boot_id": "boot-AAA", "uptime_sec": 10},
+    }
+    # both queries regress raw (>2x old max + floor); warm protocol says
+    # q_a was noise (warm_min 1.05 <= old max 1.1), q_b is real
+    new = dict(
+        base,
+        queries={"q_a": 2.6, "q_b": 2.6},
+        queries_minmax={"q_a": [2.6, 2.7], "q_b": [2.6, 2.7]},
+        boot={"boot_id": "boot-BBB", "uptime_sec": 99},
+    )
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(base))
+    pn.write_text(json.dumps(new))
+
+    monkeypatch.setattr(
+        br, "_adjudicate", lambda names, sf: {"q_a": 1.05, "q_b": 2.4}
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["bench_regress.py", str(po), str(pn), "--adjudicate"]
+    )
+    code = br.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "boot_note" in out  # cross-boot WARN present
+    assert out["n_adjudicated_noise"] == 1
+    assert out["adjudicated_noise"]["q_a"]["warm_min"] == 1.05
+    assert "q_b" in out["regressions"]
+    assert "real" in out["regressions"]["q_b"]["verdict"]
+    assert code == 1  # q_b still fails the gate
+
+    # same files without --adjudicate: both flagged, note still WARN-only
+    monkeypatch.setattr(sys, "argv", ["bench_regress.py", str(po), str(pn)])
+    code = br.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 1 and out["n_regressions"] == 2
+    assert out["n_adjudicated_noise"] == 0
+
+    # all flagged entries adjudicate as noise -> gate passes
+    monkeypatch.setattr(
+        br, "_adjudicate", lambda names, sf: {"q_a": 1.05, "q_b": 1.08}
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["bench_regress.py", str(po), str(pn), "--adjudicate"]
+    )
+    code = br.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 0 and out["n_regressions"] == 0
+    assert out["n_adjudicated_noise"] == 2
+
+
+def test_derby_base_is_per_process(monkeypatch):
+    """source_jdbc_roundtrip's Derby root must be process-scoped (r8
+    verdict task 5): embedded Derby exclusively locks its database dir,
+    so a shared path made pytest and a parity sweep mutually exclusive
+    on one SF dir. The key is the pid by default, overridable via
+    SPARK_GRAFT_DERBY_KEY."""
+    import os
+
+    from toy_map_reduce_spark.sources.lakehouse import _derby_base
+
+    monkeypatch.delenv("SPARK_GRAFT_DERBY_KEY", raising=False)
+    assert f"derby_{os.getpid()}" in _derby_base("/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_DERBY_KEY", "other-proc")
+    assert "derby_other-proc" in _derby_base("/root/testdata/sf0.001")
+    # distinct keys -> distinct database dirs -> no lock collision
+    a = _derby_base("/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_DERBY_KEY", "second")
+    assert _derby_base("/root/testdata/sf0.001") != a

@@ -70,6 +70,25 @@ def write_jdbc(
 
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
+
+def _derby_base(sf_dir: str) -> str:
+    """Per-process Derby database root (r8 verdict task 5): embedded
+    Derby takes an exclusive filesystem lock on its database directory,
+    so a single shared ``.scratch/<sf>/derby`` made pytest and a parity
+    sweep mutually exclusive on one SF dir. Keying the path by pid (or
+    SPARK_GRAFT_DERBY_KEY for a stable override) gives every process its
+    own database — concurrent runs can't collide, and re-runs within one
+    process (same pid, same JVM) still reuse one engine as Derby
+    requires. The per-pid dirs live under the scratch root and go away
+    with it."""
+    import os as _os
+
+    from toy_map_reduce_spark.sources.io_ops import _scratch
+
+    key = _os.environ.get("SPARK_GRAFT_DERBY_KEY", str(_os.getpid()))
+    return _scratch(sf_dir, f"derby_{key}")
+
+
 _JDBC_ROUNDTRIP_ORACLE = """
 SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
        CAST(COUNT(*) AS BIGINT) AS n_nations,
@@ -95,13 +114,12 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     not JDBC — JDBC sources are for dimension/metadata feeds."""
     from pyspark.sql import functions as F
 
-    from toy_map_reduce_spark.sources.io_ops import _scratch
     from toy_map_reduce_spark.tables import load
 
     if not _jvm_class_exists(spark, _DERBY_DRIVER):
         raise ConnectorUnavailable("JDBC (Derby)", "org.apache.derby:derby:<ver>")
 
-    base = _scratch(sf_dir, "derby")
+    base = _derby_base(sf_dir)
     # keep derby.log inside the scratch dir (set once per JVM, before the
     # engine boots on first connection)
     spark._jvm.java.lang.System.setProperty("derby.system.home", base)  # type: ignore[union-attr]

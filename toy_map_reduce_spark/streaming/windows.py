@@ -168,6 +168,10 @@ def measure_streaming_floor(
         t0 = _time.perf_counter()
         run_to_table(df, f"floor_probe_{i}", "complete", sf_dir)
         ts.append(_time.perf_counter() - t0)
+    for i in range(passes):
+        # the memory sink registers a temp view per probe; drop them so a
+        # bench session's catalog stays clean (r8 verdict task 8)
+        spark.catalog.dropTempView(_sink_name(f"floor_probe_{i}", sf_dir))
     return round(min(ts), 4)
 
 

@@ -80,9 +80,17 @@ def row_count(sf_dir: str, name: str) -> int | None:
     count is a usable upper bound on the frame's cardinality: it saves
     the persist + count() action a size-aware rank otherwise pays, which
     in a 2-pass bench regime is the difference between converging to the
-    warm plan on pass 2 and never reaching it. Returns None when the
-    path isn't a plain parquet file/dir (caller falls back to counting
-    or to the shuffle-partitions default)."""
+    warm plan on pass 2 and never reaching it.
+
+    Directory layouts (r8 advisor): only Spark-named ``part-*.parquet``
+    files count (falling back to ``*.parquet`` for single-file-in-dir
+    fixtures), and zero-length leftovers from an aborted write are
+    skipped — stale part files must not inflate the partition sizing.
+    Returns None when the path isn't a plain parquet file/dir, INCLUDING
+    hive-partitioned (nested-subdir) layouts, whose files the top-level
+    glob deliberately misses — the caller falls back to counting or to
+    the shuffle-partitions default, which is always safe (parts_for caps
+    the effect to partition sizing)."""
     import glob as _glob
 
     try:
@@ -90,7 +98,10 @@ def row_count(sf_dir: str, name: str) -> int | None:
 
         p = table_path(sf_dir, name)
         if os.path.isdir(p):
-            parts = _glob.glob(os.path.join(p, "*.parquet"))
+            parts = _glob.glob(os.path.join(p, "part-*.parquet")) or _glob.glob(
+                os.path.join(p, "*.parquet")
+            )
+            parts = [f for f in parts if os.path.getsize(f) > 0]
             if not parts:
                 return None
             return sum(pq.ParquetFile(f).metadata.num_rows for f in parts)
