@@ -117,15 +117,26 @@ def run_to_table(stream_df: DataFrame, base_name: str, output_mode: str, sf_dir:
     executor count × a small factor, once, at first deployment.)
 
     Fixed-cost floor (r7 audit): a bare availableNow COUNT(*) on the same
-    source — no windows, no state — costs ~0.6 s warm, i.e. more than
+    source — no windows, no state — costs ~0.5 s warm, i.e. more than
     half of a typical S-tier bench entry is Spark's streaming
-    query-start/stop itself (temp checkpoint dir, micro-batch planning,
-    offset WAL), not this harness. The remaining shave would require
-    reusing a live query or its checkpoint across bench passes, which
-    breaks both the two-batch replay semantics pinned in
-    tests/test_streaming.py (a reused checkpoint re-emits nothing in
-    append mode) and the honest cold-query measurement, so it is
-    deliberately not done.
+    query-start/stop itself, not this harness. r9 decomposed it from
+    StreamingQueryProgress.durationMs on the warm probe (ONE micro-batch,
+    4 shuffle partitions): queryPlanning ~100 ms (incremental planning
+    runs per query start), offset/commit bookkeeping ~105 ms
+    (latestOffset + getBatch + walCommit + commitOffsets), addBatch
+    ~180 ms (state-store provider init plus the batch job itself), and
+    ~70 ms of query-thread start/stop outside triggerExecution. Every
+    component is tied to the one-query-one-checkpoint lifecycle that
+    exactly-once replay requires: a tmpfs checkpoint root shaves only
+    ~10% (the WAL writes are small; the cost is round trips, not fsync),
+    disabling no-data micro-batches saves ~40 ms but changes
+    watermark-emission semantics for the append-mode queries, and
+    reusing a live query or its checkpoint across bench passes breaks
+    both the two-batch replay semantics pinned in tests/test_streaming.py
+    (a reused checkpoint re-emits nothing in append mode) and the honest
+    cold-query measurement. The floor is therefore measured and
+    subtracted (measure_streaming_floor + bench_regress's S-tier
+    adjustment) rather than shaved.
     """
     name = _sink_name(base_name, sf_dir)
     spark = stream_df.sparkSession
