@@ -4,7 +4,9 @@
 # (VERDICT r4 item 2). It runs, in order:
 #
 #   1. the FULL pytest suite at the fixture scale (sf0.001)
-#   2. the all-query oracle parity sweep at BOTH sf0.001 and sf0.01
+#   2. the all-query oracle parity sweep at sf0.001 + sf0.01 + sf0.1
+#      (sf0.1 since r9 — the first bench-scale sweep caught five value
+#      drifts both smaller SFs were green on)
 #   3. the per-query bench regression gate (only if a fresh
 #      BENCH_DETAIL.json exists next to a prior round's file)
 #
@@ -18,7 +20,7 @@ fail=0
 echo "== handoff gate 1/3: full pytest (sf0.001) =="
 python -m pytest tests/ -q || fail=1
 
-echo "== handoff gate 2/3: parity sweep (sf0.001 + sf0.01) =="
+echo "== handoff gate 2/3: parity sweep (sf0.001 + sf0.01 + sf0.1) =="
 ./scripts/parity_gate.sh || fail=1
 
 echo "== handoff gate 3/3: bench regression =="

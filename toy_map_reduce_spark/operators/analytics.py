@@ -2091,8 +2091,8 @@ _DISCOUNT_BANDS_ORACLE = """
 SELECT CAST(round(l_discount * 100) AS INTEGER) AS discount_pct,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        round(AVG(l_quantity), 4) AS avg_qty,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
-       round(SUM(l_extendedprice * l_discount), 2) AS discount_given
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS net_revenue,
+       CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE) AS discount_given
 FROM lineitem
 GROUP BY 1
 """
@@ -2115,8 +2115,10 @@ def orders_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("net_revenue"),
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("discount_given"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(38,4)")).cast("double").alias("net_revenue"),
+            F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                  .cast("decimal(38,4)")).cast("double").alias("discount_given"),
         )
     )
 

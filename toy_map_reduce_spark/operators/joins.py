@@ -139,7 +139,7 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_BROADCAST_ORACLE = """
 SELECT p.p_brand,
        round(SUM(l.l_quantity), 2) AS sum_qty,
-       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -158,7 +158,8 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(38,4)")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )

@@ -86,8 +86,8 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_BASIC_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        round(SUM(l_quantity), 2) AS sum_qty,
-       round(SUM(l_extendedprice), 2) AS sum_base_price,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
        round(AVG(l_quantity), 6) AS avg_qty,
        round(MIN(l_discount), 6) AS min_disc,
        round(MAX(l_discount), 6) AS max_disc,
@@ -103,8 +103,10 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
+        .cast("double").alias("sum_base_price"),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(38,4)")).cast("double").alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.min("l_discount"), 6).alias("min_disc"),
         F.round(F.max("l_discount"), 6).alias("max_disc"),
@@ -287,7 +289,7 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q5_SQL = """
 SELECT n_name,
-       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
 FROM {c}, {o}, {l}, {s}, {n}, {r}
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -349,7 +351,7 @@ def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TPCH_Q6_SQL = """
-SELECT round(SUM(l_extendedprice * l_discount), 4) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM {l}
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -404,10 +406,11 @@ def sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q14_SQL = """
 WITH joined AS (
-  SELECT round(SUM(CASE WHEN p_type LIKE 'PROMO%'
+  SELECT CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
                         THEN l_extendedprice * (1 - l_discount)
-                        ELSE 0 END), 4) AS promo_revenue,
-         round(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+                        ELSE 0 END AS DECIMAL(38,4))) AS DOUBLE) AS promo_revenue,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+              AS DOUBLE) AS total_revenue
   FROM {l} JOIN {p} ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'

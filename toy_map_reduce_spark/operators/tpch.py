@@ -12,9 +12,16 @@ unit price (Q2), stock value → shipped cents (Q11), available quantity →
 shipped quantity share (Q20), receipt lateness → ship latency vs order
 date (Q21), and Q9's cost basis → 60% of p_retailprice.
 
-Cross-engine float discipline (SURVEY.md §7.4): revenue sums round to 4
-decimals (true precision of price*(1-discount) — no halfway points);
-ratios are floored micro-ints computed AFTER both operands are rounded;
+Cross-engine float discipline (SURVEY.md §7.4, tightened in r9): revenue
+sums over LARGE groups accumulate in DECIMAL(38,4) — the per-row product
+is IEEE-identical cross-engine and within ~1e-11 of its true 4-decimal
+value, so the cast recovers the exact value and the sum is
+order-independent (r9's sf0.1 sweep proved the old round-after-double-sum
+form drifts past the halfway margin once sums span ~100k rows; the same
+property is what makes the answers stable under a 1000-node cluster's
+nondeterministic partial-sum order). Small-group revenue (per-order Q3,
+per-customer Q10) keeps round(,4): drift over <10 terms is ~1e-14.
+Ratios are floored micro-ints computed AFTER both operands are exact;
 every correlated-average comparison (Q17, Q22) is rewritten into exact
 integer arithmetic (qty*5*N < sum; cents*N > total_cents) so no filter
 can flip on a cross-engine ulp.
@@ -38,7 +45,7 @@ def _views(spark: SparkSession, sf_dir: str, prefix: str, **tables: str) -> dict
 
 _TPCH_Q7_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-       round(SUM(volume), 4) AS revenue
+       CAST(SUM(CAST(volume AS DECIMAL(38,4))) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -94,9 +101,9 @@ WITH all_nations AS (
 ),
 per_year AS (
   SELECT o_year,
-         round(SUM(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END), 4)
-           AS nation_volume,
-         round(SUM(volume), 4) AS total_volume
+         CAST(SUM(CAST(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END
+                       AS DECIMAL(38,4))) AS DOUBLE) AS nation_volume,
+         CAST(SUM(CAST(volume AS DECIMAL(38,4))) AS DOUBLE) AS total_volume
   FROM all_nations
   GROUP BY o_year
 )
@@ -277,7 +284,7 @@ def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TPCH_Q19_SQL = """
-SELECT round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM {l} JOIN {p} ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -391,7 +398,7 @@ def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TPCH_Q9_SQL = """
-SELECT nation, o_year, round(SUM(amount), 4) AS sum_profit
+SELECT nation, o_year, CAST(SUM(CAST(amount AS DECIMAL(38,4))) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n_name AS nation,
          CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -536,7 +536,7 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SORTED_CLUSTERED_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS cnt,
-       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -574,7 +574,8 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return filtered.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(38,4)")).cast("double").alias("revenue"),
     )
 
 
