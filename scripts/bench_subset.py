@@ -11,16 +11,37 @@ import os
 import sys
 import time
 
-from toy_map_reduce_spark.registry import all_specs
-from toy_map_reduce_spark.session import get_spark
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from toy_map_reduce_spark.registry import all_specs  # noqa: E402
+from toy_map_reduce_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accepts both '--passes=N' and '--passes N' (same fix as
+    # bench_warm.py, r8 advisor: the usage string advertised the space
+    # form but only '=' parsed, and the N leaked into the query list)
+    args: list[str] = []
     passes = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--passes"):
-            passes = int(a.split("=", 1)[1])
+    argv = sys.argv[1:]
+    i = 0
+    try:
+        while i < len(argv):
+            a = argv[i]
+            if a == "--passes":
+                i += 1
+                passes = int(argv[i])
+            elif a.startswith("--passes="):
+                passes = int(a.split("=", 1)[1])
+            elif a.startswith("--"):
+                print(f"unknown flag: {a}", file=sys.stderr)
+                return 2
+            else:
+                args.append(a)
+            i += 1
+    except (IndexError, ValueError):
+        print(__doc__)
+        return 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("tmr-bench-subset")
     specs = all_specs()
