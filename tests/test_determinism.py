@@ -61,6 +61,15 @@ MARGIN_GUARDED = [
     "agg_stats",
     "stat_winsorize",
     "pipeline_shard_skew_report",
+    "agg_corr_pairs",
+    "stat_t_test",
+    "stat_spearman",
+    "stat_psi",
+    "stat_ks_test",
+    "stat_chi_square",
+    "window_outlier_zscore",
+    "timeseries_cross_corr",
+    "embedding_covariance",
 ]
 
 
