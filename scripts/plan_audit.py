@@ -33,6 +33,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 from toy_map_reduce_spark.plans import (
     build_side_risk,
     explain_str,
