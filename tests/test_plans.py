@@ -1032,3 +1032,60 @@ def test_prewarm_staging_plans_match_query_staging(spark, sf_dir):
         # drop the staged caches so later tests in the session measure
         # their own shapes, not this test's leftovers
         spark.catalog.clearCache()
+
+
+def test_parse_plan_tree_on_real_cached_plan_output():
+    """Pin parse_plan_tree against a verbatim Spark 4 explain capture with
+    the awkward constructs the depth heuristic must survive: ':' rails,
+    an InMemoryRelation whose embedded cached plan indents +6 and drops
+    the rails, bare (marker-free) '== Final Plan ==' / 'ResultQueryStage'
+    lines, and '*(n)' codegen prefixes. A regression here silently blinds
+    both the corpus-grain classifier and the build-side audit."""
+    from toy_map_reduce_spark.plans import build_side_risk, parse_plan_tree
+
+    plan = """== Physical Plan ==
+AdaptiveSparkPlan isFinalPlan=false
++- Project [k#1L, count#2L]
+   +- BroadcastHashJoin [k#1L], [k#74L], Inner, BuildRight, false
+      :- Filter isnotnull(k#1L)
+      :  +- InMemoryTableScan [k#1L, count#2L], [isnotnull(k#1L)]
+      :        +- InMemoryRelation [k#1L, count#2L], StorageLevel(disk, memory, deserialized, 1 replicas)
+      :              +- AdaptiveSparkPlan isFinalPlan=true
+                        +- == Final Plan ==
+                           ResultQueryStage 1
+                           +- *(2) HashAggregate(keys=[k#1L], functions=[count(1)])
+                              +- ShuffleQueryStage 0
+                                 +- Exchange hashpartitioning(k#1L, 4), ENSURE_REQUIREMENTS, [plan_id=46]
+                                    +- *(1) HashAggregate(keys=[k#1L], functions=[partial_count(1)])
+                                       +- *(1) Project [(id#0L % 7) AS k#1L]
+                                          +- *(1) Range (0, 100, step=1, splits=4)
+                        +- == Initial Plan ==
+                           HashAggregate(keys=[k#1L], functions=[count(1)])
+                           +- Exchange hashpartitioning(k#1L, 4), ENSURE_REQUIREMENTS, [plan_id=15]
+                              +- HashAggregate(keys=[k#1L], functions=[partial_count(1)])
+                                 +- Project [(id#0L % 7) AS k#1L]
+                                    +- Range (0, 100, step=1, splits=4)
+      +- BroadcastExchange HashedRelationBroadcastMode(List(input[0, bigint, false]),false), [plan_id=105]
+         +- Filter isnotnull(k#74L)
+            +- Scan ExistingRDD[k#74L]"""
+
+    roots = parse_plan_tree(plan)
+    # "== Physical Plan ==" header and the AdaptiveSparkPlan are separate
+    # depth-0 roots; the tree hangs off the latter
+    adaptive = [r for r in roots if r.text.startswith("AdaptiveSparkPlan")][0]
+    (project,) = adaptive.children
+    (join,) = project.children
+    assert "BroadcastHashJoin" in join.text
+    assert len(join.children) == 2  # ':-' probe branch + '+-' build branch
+    probe, build = join.children
+    assert "Filter" in probe.text and "BroadcastExchange" in build.text
+    # the cached plan's contents nest somewhere under the probe's
+    # InMemoryRelation — the marker-free section lines must not have
+    # escaped to the root level
+    probe_texts = [n.text for n in probe.walk()]
+    assert any("InMemoryRelation" in t for t in probe_texts)
+    assert any("Range (0, 100" in t for t in probe_texts)
+    assert sum(1 for r in roots for n in r.walk() if "Range (0, 100" in n.text) == 2
+    # and the build-side audit reads this plan as benign: the build side
+    # is a literal RDD scan, not a cached corpus
+    assert build_side_risk(plan) == []
