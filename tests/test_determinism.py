@@ -72,6 +72,25 @@ MARGIN_GUARDED = [
     "embedding_covariance",
 ]
 
+# Deterministic-by-construction representatives of the other families:
+# exact counting, exact percentiles/weighted-median, the distributed
+# exact-rank primitive (whose RANGE BOUNDARIES legitimately move with
+# partition sizing — the results must not), iterative graph traversal,
+# exact dedup, brute-force cosine top-k, and hash-based splits/shards.
+STRUCTURAL = [
+    "wordcount",
+    "agg_percentile",
+    "agg_weighted",
+    "orders_rfm",
+    "text_zipf_slope",
+    "dedup_exact",
+    "sim_topk",
+    "graph_bfs_levels",
+    "stat_mann_whitney",
+    "dataset_split",
+    "shard_assign",
+]
+
 
 def _rows_under(spark, sf_dir, name, max_partition_bytes, shuffle_parts):
     overrides = {
@@ -89,7 +108,7 @@ def _rows_under(spark, sf_dir, name, max_partition_bytes, shuffle_parts):
         release_scratch()
 
 
-@pytest.mark.parametrize("name", HARDENED + MARGIN_GUARDED)
+@pytest.mark.parametrize("name", HARDENED + MARGIN_GUARDED + STRUCTURAL)
 def test_result_invariant_under_layout_perturbation(spark, sf_dir, name):
     coarse = _rows_under(spark, sf_dir, name, "128m", "4")
     fine = _rows_under(spark, sf_dir, name, "131072", "17")
