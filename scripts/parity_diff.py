@@ -40,9 +40,16 @@ def main() -> int:
         only_o = list((orows - srows).elements())
         print(f"== {name}: {len(only_s)} spark-only / {len(only_o)} oracle-only "
               f"of {len(sdf)} rows; cols={sorted(sdf.columns)}")
-        for i, (s, o) in enumerate(zip(sorted(only_s), sorted(only_o))):
-            if i >= 8:
-                break
+        # print the two sides independently (r9 advisor): zip() truncates
+        # to the shorter list, silently hiding missing/extra rows — the
+        # rows-only failure class — and positional pairing after sort can
+        # associate unrelated rows
+        import itertools
+
+        for s, o in itertools.islice(
+            itertools.zip_longest(sorted(only_s), sorted(only_o), fillvalue="<absent>"),
+            8,
+        ):
             print(f"  spark : {s}")
             print(f"  oracle: {o}")
     return 0

@@ -975,6 +975,33 @@ def test_build_side_risk_classifier_parsing():
     ])
     assert build_side_risk(bounded) == []
 
+    # aggregate INSIDE the cached plan (r9 advisor): a persisted
+    # aggregated frame (InMemoryRelation -> HashAggregate -> FileScan) is
+    # bounded-by-construction — broadcasting it over a scan-free
+    # loop-carried probe is exactly the GOOD pattern, and the bounding
+    # check must keep applying below the cache boundary
+    agg_in_cache = "\n".join([
+        "+- BroadcastHashJoin [k#3L], [k#9L], Inner, BuildLeft, false",
+        "   :- BroadcastExchange HashedRelationBroadcastMode(...), [plan_id=3]",
+        "   :  +- InMemoryTableScan [k#3L]",
+        "   :        +- InMemoryRelation [k#3L], StorageLevel(memory)",
+        "   :              +- HashAggregate(keys=[k#3L], functions=[count(1)])",
+        "   :                 +- FileScan parquet [k#3L]",
+        "   +- LocalTableScan [k#9L]",
+    ])
+    assert build_side_risk(agg_in_cache) == []
+
+    # ...but an UN-cached plain file scan on the build side is not the
+    # flagged class either (Spark has real stats for it); only a cached
+    # corpus with no bounding node in between is the bug signature
+    plain_scan_build = "\n".join([
+        "+- BroadcastHashJoin [k#3L], [k#9L], Inner, BuildLeft, false",
+        "   :- BroadcastExchange HashedRelationBroadcastMode(...), [plan_id=3]",
+        "   :  +- FileScan parquet [k#3L]",
+        "   +- LocalTableScan [k#9L]",
+    ])
+    assert build_side_risk(plain_scan_build) == []
+
     # no build-side marker (BroadcastNestedLoopJoin Cross without
     # BuildLeft/Right text) or non-broadcast joins -> no record
     assert build_side_risk("+- SortMergeJoin [a#1], [b#2], Inner") == []

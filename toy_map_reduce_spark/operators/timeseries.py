@@ -449,10 +449,14 @@ def timeseries_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # native stddev_samp uses different accumulation algorithms per engine
 # (sub-ulp drift), which flipped round(,6) on one 7-day window at sf0.1
 # (PARITY_r9). Here the daily revenue becomes an exact BIGINT in cents,
-# the window sums s1=SUM(c) and s2=SUM(c*c) are exact DECIMALs, and the
-# variance formula (s2 - s1^2/n)/(n-1) runs as the identical double
-# expression over identical inputs on both engines — bit-stable, and
-# order-independent at any cluster size.
+# the window sums s1=SUM(c) and s2=SUM(c*c) are exact 128-bit integers
+# (HUGEINT / DECIMAL(38,0)), and — r10, per the r9 advisor — so is the
+# whole variance NUMERATOR n*s2 - s1^2 (>= 0 by Cauchy-Schwarz, so no
+# clamp). Exactly ONE int->double conversion remains per row; it is
+# sub-ulp (~1e-16 relative) even where the numerator exceeds 2^53 and
+# the engines' conversion rounding could differ, and the following
+# double ops (two divisions, sqrt) are the identical IEEE expression on
+# both engines. Order-independent at any cluster size by construction.
 _MOVING_STATS_ORACLE = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
@@ -462,8 +466,8 @@ WITH daily AS (
 ),
 win AS (
   SELECT day, rev_c,
-         CAST(SUM(CAST(rev_c AS DECIMAL(18,0))) OVER w AS DOUBLE) AS s1,
-         CAST(SUM(CAST(rev_c AS DECIMAL(18,0)) * rev_c) OVER w AS DOUBLE) AS s2,
+         SUM(CAST(rev_c AS HUGEINT)) OVER w AS s1,
+         SUM(CAST(rev_c AS HUGEINT) * rev_c) OVER w AS s2,
          CAST(MIN(rev_c) OVER w AS DOUBLE) AS mn,
          CAST(MAX(rev_c) OVER w AS DOUBLE) AS mx,
          CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
@@ -472,12 +476,12 @@ win AS (
 )
 SELECT day,
        CAST(rev_c AS DOUBLE) / 100 AS rev,
-       round(s1 / 100 / n_in_window, 6) AS mov_avg7,
+       round(CAST(s1 AS DOUBLE) / 100 / n_in_window, 6) AS mov_avg7,
        round(mn / 100, 2) AS mov_min7,
        round(mx / 100, 2) AS mov_max7,
        round(CASE WHEN n_in_window > 1 THEN
-               sqrt(greatest(s2 / 10000 - (s1 / 100) * (s1 / 100) / n_in_window, 0)
-                    / (n_in_window - 1))
+               sqrt(CAST(n_in_window * s2 - s1 * s1 AS DOUBLE)
+                    / 10000.0 / (n_in_window * (n_in_window - 1)))
              END, 6) AS mov_std7,
        n_in_window
 FROM win
@@ -506,29 +510,27 @@ def timeseries_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rc = F.col("rev_c").cast("decimal(18,0)")
     win = daily.select(
         "day", "rev_c",
-        F.sum(rc).over(w).cast("double").alias("s1"),
-        F.sum(rc * F.col("rev_c")).over(w).cast("double").alias("s2"),
+        # exact integer window sums: decimal(28,0) / decimal(38,0) —
+        # Spark's 128-bit stand-in for DuckDB's HUGEINT
+        F.sum(rc).over(w).alias("s1d"),
+        F.sum(rc * F.col("rev_c")).over(w).alias("s2d"),
         F.min("rev_c").over(w).cast("double").alias("mn"),
         F.max("rev_c").over(w).cast("double").alias("mx"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
     n = F.col("n_in_window")
-    s1, s2 = F.col("s1"), F.col("s2")
+    s1d, s2d = F.col("s1d"), F.col("s2d")
+    # n*s2 - s1^2 stays exact in decimal(38,0) (values <= ~1e24 here);
+    # the single cast to double is the only conversion in the pipeline
+    num = (n.cast("decimal(20,0)") * s2d - s1d * s1d).cast("double")
     return win.select(
         "day",
         (F.col("rev_c").cast("double") / 100).alias("rev"),
-        F.round(s1 / 100 / n, 6).alias("mov_avg7"),
+        F.round(s1d.cast("double") / 100 / n, 6).alias("mov_avg7"),
         F.round(F.col("mn") / 100, 2).alias("mov_min7"),
         F.round(F.col("mx") / 100, 2).alias("mov_max7"),
         F.round(
-            F.when(
-                n > 1,
-                F.sqrt(
-                    F.greatest(
-                        s2 / 10000 - (s1 / 100) * (s1 / 100) / n, F.lit(0.0)
-                    ) / (n - 1)
-                ),
-            ),
+            F.when(n > 1, F.sqrt(num / F.lit(10000.0) / (n * (n - 1)))),
             6,
         ).alias("mov_std7"),
         "n_in_window",

@@ -304,15 +304,19 @@ def build_side_risk(plan: str) -> list[dict]:
     Returns one record per risky join; tests/test_plans.py pins the set
     empty across the registry and scripts/plan_audit.py reports it."""
 
-    def cached_corpus_unbounded(node: PlanNode) -> bool:
+    def cached_corpus_unbounded(node: PlanNode, in_cache: bool = False) -> bool:
+        # Top-down per-node walk that keeps applying the bounding-node
+        # check INSIDE the cached plan too (r9 advisor): an
+        # InMemoryRelation whose embedded plan aggregates before its scan
+        # (a persisted aggregated frontier) is bounded and exempt — the
+        # old form stopped checking at the cache boundary and flagged it.
         t = node.text
         if any(b in t for b in _LIMIT_MARKS) or _AGG_KEYS_RE.search(t):
             return False
-        if "InMemoryRelation" in t or "InMemoryTableScan" in t:
-            return any(
-                any(s in n.text for s in _SCAN_MARKS) for n in node.walk()
-            )
-        return any(cached_corpus_unbounded(c) for c in node.children)
+        if in_cache and any(s in t for s in _SCAN_MARKS):
+            return True
+        in_cache = in_cache or "InMemoryRelation" in t or "InMemoryTableScan" in t
+        return any(cached_corpus_unbounded(c, in_cache) for c in node.children)
 
     def has_corpus_scan(node: PlanNode) -> bool:
         return any(any(s in n.text for s in _SCAN_MARKS) for n in node.walk())
