@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 from toy_map_reduce_spark.plans import (
     build_side_risk,
     explain_str,
+    missed_broadcast,
     single_partition_sites,
 )
 from toy_map_reduce_spark.registry import all_specs
@@ -65,6 +66,7 @@ def main() -> int:
         return 2
     report: dict[str, list[dict]] = {}
     builds: dict[str, list[dict]] = {}
+    missed: dict[str, list[dict]] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(all_specs().items()):
         if spec.tier == "S":
@@ -77,6 +79,7 @@ def main() -> int:
                 plan = explain_str(spec.builder(spark, sf_dir), "simple")
                 sites = single_partition_sites(plan)
                 brisk = build_side_risk(plan)
+                mb = missed_broadcast(plan)
             except Exception as e:
                 errors[key] = f"{type(e).__name__}: {e}"[:200]
                 continue
@@ -84,6 +87,8 @@ def main() -> int:
                 report[key] = sites
             if brisk:
                 builds[key] = brisk
+            if mb:
+                missed[key] = mb
     risky = {n: s for n, s in report.items() if any(x["raw_corpus_risk"] for x in s)}
     grainy = {n: s for n, s in report.items() if any(x["corpus_grain_keys"] for x in s)}
     if as_json:
@@ -91,6 +96,7 @@ def main() -> int:
             "risky": risky,
             "grain_risky": grainy,
             "build_side_risk": builds,
+            "missed_broadcast": missed,
             "all": report,
             "errors": errors,
         }, indent=1))
@@ -99,6 +105,7 @@ def main() -> int:
         print(f"  of which raw-corpus risk (scan, no aggregate below): {len(risky)}")
         print(f"  of which corpus-grain/unbounded-branch keyed: {len(grainy)}")
         print(f"broadcast joins building from persisted corpus: {len(builds)}")
+        print(f"shuffle joins over an always-small dim (missed broadcast): {len(missed)}")
         for n, sites in sorted(report.items()):
             bad = any(x["raw_corpus_risk"] for x in sites) or n in grainy
             flag = "RISK" if bad else "ok  "
@@ -111,9 +118,11 @@ def main() -> int:
                             print(f"         | {l}")
         for n, b in sorted(builds.items()):
             print(f"  [BUILD] {n}: {b}")
+        for n, b in sorted(missed.items()):
+            print(f"  [SHUF ] {n}: {b}")
         for n, e in sorted(errors.items()):
             print(f"  [err ] {n}: {e}")
-    return 1 if risky or grainy or builds or errors else 0
+    return 1 if risky or grainy or builds or missed or errors else 0
 
 
 if __name__ == "__main__":

@@ -684,12 +684,17 @@ def test_no_single_partition_exchange_feeds_from_raw_scan(spark, sf_dir):
     # queries carry SinglePartition exchanges, every one fed by a
     # cardinality-bounding aggregate (bounds tables, per-pid offsets,
     # final summaries). This pin keeps the risky set empty.
-    from toy_map_reduce_spark.plans import build_side_risk, single_partition_sites
+    from toy_map_reduce_spark.plans import (
+        build_side_risk,
+        missed_broadcast,
+        single_partition_sites,
+    )
     from toy_map_reduce_spark.registry import all_specs
 
     risky: list[str] = []
     grain_risky: list[tuple[str, list]] = []
     build_risky: list[tuple[str, list]] = []
+    shuffle_risky: list[tuple[str, list]] = []
     for name, spec in all_specs().items():
         if spec.tier == "S":
             continue
@@ -715,6 +720,15 @@ def test_no_single_partition_exchange_feeds_from_raw_scan(spark, sf_dir):
         brisk = build_side_risk(plan)
         if brisk:
             build_risky.append((name, brisk))
+        # r10 (r9 verdict task 4): the INVERSE of build_side_risk — a
+        # SortMergeJoin/ShuffledHashJoin whose one side only scans a
+        # constant-cardinality dim (region 5 rows, nation 25 at every
+        # SF) shuffles the fact table to meet a table a broadcast would
+        # have met at the scan. Audited r10: zero sites registry-wide;
+        # this keeps the set empty.
+        mb = missed_broadcast(plan)
+        if mb:
+            shuffle_risky.append((name, mb))
     assert not risky, (
         f"single-partition exchange over an unaggregated scan in: {risky} "
         "— rewrite with functions/ranks.py or aggregate before the funnel"
@@ -728,6 +742,11 @@ def test_no_single_partition_exchange_feeds_from_raw_scan(spark, sf_dir):
         f"broadcast join hash-builds from a persisted corpus relation in: "
         f"{build_risky} — hint F.broadcast on the bounded side "
         "(graph.py:246-254 is the canonical fix)"
+    )
+    assert not shuffle_risky, (
+        f"shuffle join over an always-small dimension table in: "
+        f"{shuffle_risky} — F.broadcast the dim side instead of shuffling "
+        "the fact table to meet a constant-cardinality table"
     )
 
 
@@ -1005,6 +1024,68 @@ def test_build_side_risk_classifier_parsing():
     # no build-side marker (BroadcastNestedLoopJoin Cross without
     # BuildLeft/Right text) or non-broadcast joins -> no record
     assert build_side_risk("+- SortMergeJoin [a#1], [b#2], Inner") == []
+
+
+def test_missed_broadcast_classifier_parsing():
+    """Pure-string behavior of the missed-broadcast audit (r9 verdict
+    task 4): a shuffle join whose one side only scans an always-small
+    dim (region/nation) is flagged; big-big shuffle joins (the bucketed
+    lineitem ⋈ orders merge join), broadcast joins, and dim branches
+    that ALSO reach a scaling table are exempt."""
+    from toy_map_reduce_spark.plans.explain import missed_broadcast
+
+    # THE MISS: fact table shuffled on n_nationkey to sort-merge against
+    # a 25-row nation scan that should have been broadcast
+    miss = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=false",
+        "+- SortMergeJoin [c_nationkey#3L], [n_nationkey#9L], Inner",
+        "   :- Sort [c_nationkey#3L ASC NULLS FIRST], false, 0",
+        "   :  +- Exchange hashpartitioning(c_nationkey#3L, 4)",
+        "   :     +- FileScan parquet [c_custkey#1L,c_nationkey#3L] Location: InMemoryFileIndex[file:/root/testdata/sf0.001/customer.parquet]",
+        "   +- Sort [n_nationkey#9L ASC NULLS FIRST], false, 0",
+        "      +- Exchange hashpartitioning(n_nationkey#9L, 4)",
+        "         +- FileScan parquet [n_nationkey#9L,n_name#10] Location: InMemoryFileIndex[file:/root/testdata/sf0.001/nation.parquet]",
+    ])
+    risks = missed_broadcast(miss)
+    assert len(risks) == 1 and risks[0]["tables"] == ["nation"] and risks[0]["side"] == "right"
+
+    # the layout-cache path form ({table}_{size}_{mtime}_{k}.parquet)
+    # must resolve to the same table name
+    cached = miss.replace(
+        "file:/root/testdata/sf0.001/nation.parquet",
+        "file:/root/repo/.layout_cache/_root_testdata_sf0_001/nation_8192_1755200000_4.parquet",
+    )
+    assert [r["tables"] for r in missed_broadcast(cached)] == [["nation"]]
+
+    # big-big shuffle join: both sides scan scaling tables -> exempt
+    bigbig = "\n".join([
+        "+- SortMergeJoin [l_orderkey#1L], [o_orderkey#9L], Inner",
+        "   :- Sort [l_orderkey#1L ASC NULLS FIRST], false, 0",
+        "   :  +- FileScan parquet [l_orderkey#1L] Location: InMemoryFileIndex[file:/root/testdata/sf0.001/lineitem.parquet]",
+        "   +- Sort [o_orderkey#9L ASC NULLS FIRST], false, 0",
+        "      +- FileScan parquet [o_orderkey#9L] Location: InMemoryFileIndex[file:/root/testdata/sf0.001/orders.parquet]",
+    ])
+    assert missed_broadcast(bigbig) == []
+
+    # dim branch that also reaches a scaling table (nation pre-joined to
+    # customer before the shuffle join) -> that side is fact-sized, exempt
+    mixed = "\n".join([
+        "+- SortMergeJoin [k#1L], [k#9L], Inner",
+        "   :- FileScan parquet [k#1L] Location: InMemoryFileIndex[file:/root/testdata/sf0.001/orders.parquet]",
+        "   +- BroadcastHashJoin [n#2L], [n#3L], Inner, BuildRight, false",
+        "      :- FileScan parquet [n#2L] Location: InMemoryFileIndex[file:/root/testdata/sf0.001/customer.parquet]",
+        "      +- FileScan parquet [n#3L] Location: InMemoryFileIndex[file:/root/testdata/sf0.001/nation.parquet]",
+    ])
+    assert missed_broadcast(mixed) == []
+
+    # broadcast join over the dim -> the GOOD plan, no record
+    good = "\n".join([
+        "+- BroadcastHashJoin [c_nationkey#3L], [n_nationkey#9L], Inner, BuildRight, false",
+        "   :- FileScan parquet [c_nationkey#3L] Location: InMemoryFileIndex[file:/root/testdata/sf0.001/customer.parquet]",
+        "   +- BroadcastExchange HashedRelationBroadcastMode(...), [plan_id=3]",
+        "      +- FileScan parquet [n_nationkey#9L] Location: InMemoryFileIndex[file:/root/testdata/sf0.001/nation.parquet]",
+    ])
+    assert missed_broadcast(good) == []
 
 
 def test_corpus_grain_classifier_catches_live_alias(spark, sf_dir):

@@ -283,6 +283,65 @@ def _corpus_grain_keys(subtree: list[str]) -> list[str]:
     return sorted(keys)
 
 
+# Constant-cardinality dimension tables: bounded at ANY scale factor
+# (region is 5 rows, nation 25 — TPC-H fixes them independent of SF), so
+# shuffling one through a SortMergeJoin / ShuffledHashJoin is wrong at
+# every scale, 100 TB included. The SF-scaling tables (customer, part,
+# supplier, ...) are deliberately absent: whether they broadcast is a
+# threshold question the planner answers from stats, not a plan bug.
+_ALWAYS_SMALL_DIMS = frozenset({"region", "nation"})
+
+_SCAN_TABLE_RE = _re.compile(r"([A-Za-z_][A-Za-z0-9_]*?)(?:_\d+_\d+_\d+)?\.parquet")
+
+
+def _scan_tables(node: PlanNode) -> set[str]:
+    """Fixture-table names scanned anywhere in this subtree, parsed from
+    FileScan location paths (both the raw ``{table}.parquet`` fixture
+    form and the layout cache's ``{table}_{size}_{mtime}_{k}.parquet``)."""
+    out: set[str] = set()
+    for n in node.walk():
+        if any(s in n.text for s in _SCAN_MARKS):
+            out.update(m.group(1) for m in _SCAN_TABLE_RE.finditer(n.text))
+    return out
+
+
+def missed_broadcast(plan: str, small_tables: frozenset[str] = _ALWAYS_SMALL_DIMS) -> list[dict]:
+    """Shuffle joins whose one side only scans always-small dimension
+    tables — the INVERSE of :func:`build_side_risk` (r9 verdict task 4):
+    that audit catches broadcasting the BIG side; this one catches
+    SHUFFLING a side that is bounded at any scale and should have been
+    broadcast. At 100 TB a SortMergeJoin shuffles the fact table on the
+    join key purely to meet a 5-row region table that a broadcast would
+    have met for free at the scan.
+
+    Signature: a SortMergeJoin / ShuffledHashJoin where one input
+    branch's file-scan leaves are all in ``small_tables`` (non-empty) —
+    i.e. the branch derives from constant-cardinality dims only. Joins
+    where BOTH sides reach a scaling table (the bucketed lineitem ⋈
+    orders merge join, big-big skew joins) are exempt by construction,
+    as are branches with no file scan at all (loop-carried frames).
+
+    tests/test_plans.py pins the set empty registry-wide;
+    scripts/plan_audit.py reports it."""
+    risks: list[dict] = []
+    for root in parse_plan_tree(plan):
+        for node in root.walk():
+            t = node.text
+            if "SortMergeJoin" not in t and "ShuffledHashJoin" not in t:
+                continue
+            if len(node.children) != 2:
+                continue
+            for side, child in zip(("left", "right"), node.children):
+                tabs = _scan_tables(child)
+                if tabs and tabs <= small_tables:
+                    risks.append({
+                        "join": t.strip()[:160],
+                        "side": side,
+                        "tables": sorted(tabs),
+                    })
+    return risks
+
+
 def build_side_risk(plan: str) -> list[dict]:
     """Broadcast joins that hash-build from a persisted CORPUS relation —
     the r7 graph_bfs_levels bug class, generalized registry-wide (r8
