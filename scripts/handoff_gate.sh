@@ -6,8 +6,11 @@
 #   1. the FULL pytest suite at the fixture scale (sf0.001)
 #   2. the all-query oracle parity sweep at sf0.001 + sf0.01 + sf0.1
 #      (sf0.1 since r9 — the first bench-scale sweep caught five value
-#      drifts both smaller SFs were green on)
-#   3. the per-query bench regression gate (only if a fresh
+#      drifts both smaller SFs were green on), plus the two perturbed
+#      sf0.01 sweeps (forced SMJ, AQE off — r10)
+#   3. the registry-wide order-independence sweep at sf0.001 (r10 —
+#      every oracle-backed query layout-perturbation-invariant)
+#   4. the per-query bench regression gate (only if a fresh
 #      BENCH_DETAIL.json exists next to a prior round's file)
 #
 # Exit non-zero if anything is red. Cite the one-line result in the round's
@@ -17,13 +20,16 @@ cd "$(dirname "$0")/.."
 
 fail=0
 
-echo "== handoff gate 1/3: full pytest (sf0.001) =="
+echo "== handoff gate 1/4: full pytest (sf0.001) =="
 python -m pytest tests/ -q || fail=1
 
-echo "== handoff gate 2/3: parity sweep (sf0.001 + sf0.01 + sf0.1) =="
+echo "== handoff gate 2/4: parity sweep (3 SFs + perturbed-plan sf0.01) =="
 ./scripts/parity_gate.sh || fail=1
 
-echo "== handoff gate 3/3: bench regression =="
+echo "== handoff gate 3/4: order-independence sweep (sf0.001) =="
+python scripts/determinism_report.py DETERMINISM.json || fail=1
+
+echo "== handoff gate 4/4: bench regression =="
 # highest ROUND, not newest mtime: a fresh checkout gives every r*.json
 # the same mtime and ls -t tie-breaks arbitrarily (observed: picked r4
 # over r5, resurrecting regressions the r5 baseline already absorbs)

@@ -11,6 +11,13 @@
 #
 #   ./scripts/parity_gate.sh                 # all three SFs (~25 min)
 #   SF=/root/testdata/sf0.1 ./scripts/parity_gate.sh   # one explicit SF
+#
+# r10: the default run also repeats the sf0.01 sweep under two PERTURBED
+# physical configs (r9 verdict task 2) — broadcast joins disabled (forces
+# SortMergeJoin everywhere a hint doesn't override) and AQE disabled (no
+# runtime re-plan/skew-split/coalesce). Answers must be join-strategy- and
+# re-plan-invariant; this is the only gate that can catch a broadcast-vs-
+# SMJ semantic dependence before a cluster does.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 if [[ -n "${SF:-}" ]]; then
@@ -21,4 +28,12 @@ else
     echo "parity gate @ ${sf}"
     SPARK_GRAFT_TEST_SF_DIR="${sf}" python -m pytest tests/test_parity_all.py -q
   done
+  echo "parity gate @ sf0.01 [forced SMJ: autoBroadcastJoinThreshold=-1]"
+  SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
+    SPARK_GRAFT_TEST_CONF="spark.sql.autoBroadcastJoinThreshold=-1" \
+    python -m pytest tests/test_parity_all.py -q
+  echo "parity gate @ sf0.01 [AQE off]"
+  SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
+    SPARK_GRAFT_TEST_CONF="spark.sql.adaptive.enabled=false" \
+    python -m pytest tests/test_parity_all.py -q
 fi

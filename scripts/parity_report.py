@@ -16,6 +16,19 @@ Usage:
     python scripts/parity_report.py PARITY_r5.json    # sf0.001 + sf0.01
     SF=/root/testdata/sf0.1 python scripts/parity_report.py out.json
     SF=/root/testdata/sf0.001,/root/testdata/sf0.01 python scripts/parity_report.py out.json
+
+Plan-perturbation sweeps (r9 verdict task 2) — re-run parity under a
+perturbed PHYSICAL configuration so a correctness dependence on join
+strategy or AQE re-planning can't hide behind the default-config green:
+
+    SF=/root/testdata/sf0.01 python scripts/parity_report.py --merge \\
+        --label smj --conf spark.sql.autoBroadcastJoinThreshold=-1 PARITY_r10.json
+    SF=/root/testdata/sf0.01 python scripts/parity_report.py --merge \\
+        --label noaqe --conf spark.sql.adaptive.enabled=false PARITY_r10.json
+
+``--conf k=v`` (repeatable) sets runtime-settable session confs for the
+sweep; ``--label X`` names the artifact section ``{sf}@X``; ``--merge``
+appends sections to an existing artifact instead of overwriting it.
 """
 
 from __future__ import annotations
@@ -98,20 +111,53 @@ def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY.json"
+    args = sys.argv[1:]
+    label, confs, merge, pos = None, {}, False, []
+    i = 0
+    while i < len(args):
+        if args[i] == "--label":
+            label = args[i + 1]
+            i += 2
+        elif args[i] == "--conf":
+            k, v = args[i + 1].split("=", 1)
+            confs[k] = v
+            i += 2
+        elif args[i] == "--merge":
+            merge = True
+            i += 1
+        else:
+            pos.append(args[i])
+            i += 1
+    out_path = pos[0] if pos else "PARITY.json"
     sf_dirs = os.environ.get("SF", DEFAULT_SFS).split(",")
 
     from toy_map_reduce_spark.session import get_spark
 
     spark = get_spark("parity-report", cores=8)
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+
     out: dict = {"_summary": []}
+    if merge and os.path.exists(out_path):
+        with open(out_path) as f:
+            out = json.load(f)
+        out.setdefault("_summary", [])
     any_fail = False
-    for sf_dir in sf_dirs:
-        summary, report = run_sweep(spark, sf_dir)
-        out["_summary"].append(summary)
-        out[os.path.basename(sf_dir.rstrip("/"))] = report
-        any_fail = any_fail or summary["fail"] > 0
-        print(json.dumps(summary))
+    try:
+        for sf_dir in sf_dirs:
+            summary, report = run_sweep(spark, sf_dir)
+            if label:
+                summary["label"] = label
+                summary["conf"] = confs
+            out["_summary"].append(summary)
+            section = os.path.basename(sf_dir.rstrip("/")) + (f"@{label}" if label else "")
+            out[section] = report
+            any_fail = any_fail or summary["fail"] > 0
+            print(json.dumps(summary))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=False)
