@@ -26,6 +26,11 @@ def _cell(v) -> str:
         return repr(round(v, 9))
     if isinstance(v, (pd.Timestamp, datetime)):
         ts = pd.Timestamp(v)
+        if ts is pd.NaT:
+            # NULL dates render as NaT when the column is datetime64
+            # (DuckDB DATE, any timestamp) but as None when it is object
+            # (Spark DATE) — same NULL, one sentinel
+            return "<NULL>"
         if ts.tzinfo is not None:
             ts = ts.tz_convert("UTC").tz_localize(None)
         return ts.isoformat()

@@ -110,8 +110,14 @@ def stat_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
-    p = F.greatest(F.col("n_ref") / F.col("t_ref").cast("double"), F.lit(PSI_EPS))
-    q = F.greatest(F.col("n_cur") / F.col("t_cur").cast("double"), F.lit(PSI_EPS))
+    # try_divide: an empty reference/current side (t = 0) has no share —
+    # NULL, which greatest() then floors to PSI_EPS on both engines
+    p = F.greatest(
+        F.try_divide(F.col("n_ref"), F.col("t_ref").cast("double")), F.lit(PSI_EPS)
+    )
+    q = F.greatest(
+        F.try_divide(F.col("n_cur"), F.col("t_cur").cast("double")), F.lit(PSI_EPS)
+    )
     return (
         cells.crossJoin(F.broadcast(tot))
         .select(

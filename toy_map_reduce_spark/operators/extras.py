@@ -598,6 +598,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+HAVING COUNT(*) > 0
 """
 
 
@@ -612,6 +613,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS cnt
         FROM {v}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        HAVING COUNT(*) > 0
         """
     )
 
@@ -735,6 +737,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM {t}
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
 
 

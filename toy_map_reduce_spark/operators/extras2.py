@@ -292,6 +292,11 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     count + local pivot."""
     li = load(spark, sf_dir, "lineitem")
     ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    # crosstab emits one column per OBSERVED value; a degenerate corpus
+    # missing a status must still satisfy the {F, O} contract schema
+    for c in ("F", "O"):
+        if c not in ct.columns:
+            ct = ct.withColumn(c, F.lit(0))
     return ct.select(
         "l_returnflag_l_linestatus",
         F.col("F").cast("bigint").alias("F"),
@@ -587,7 +592,15 @@ def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
-    return a.transpose()
+    t = a.transpose()
+    # transpose's output schema is DATA-dependent (one column per observed
+    # flag); the contract schema is the {A, N, R} domain — a degenerate
+    # corpus missing a flag (or carrying a NULL/empty one) must still
+    # produce exactly those columns, like the oracle's fixed subselects
+    for c in ("A", "N", "R"):
+        if c not in t.columns:
+            t = t.withColumn(c, F.lit(None).cast("double"))
+    return t.select("key", "A", "N", "R")
 
 
 _MV_JOIN_INCREMENTAL_ORACLE = """
@@ -686,8 +699,12 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     latest = log.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return latest.agg(
-        F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).cast("long").alias("n_live"),
-        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("long").alias("n_tombstoned"),
+        # coalesce: COUNT semantics (0, not NULL) on a zero-row changelog,
+        # matching the oracle's COUNT-based counters
+        F.coalesce(F.sum(F.when(F.col("op") != "D", 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("n_live"),
+        F.coalesce(F.sum(F.when(F.col("op") == "D", 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("n_tombstoned"),
         F.round(F.sum(F.when(F.col("op") != "D", F.col("value"))), 2).alias("sum_value_live"),
     )
 
@@ -746,4 +763,7 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'lo', round({lo[i]}, 2), 'hi', round({hi[i]}, 2))"
         for i in range(1, nb + 1)
     )
-    return one.selectExpr(f"inline(array({structs}))")
+    # cnt > 0: with fewer rows than buckets, ntile leaves trailing buckets
+    # EMPTY — the oracle's GROUP BY never emits them, and the arithmetic
+    # scaffold must not either (no-op at any real scale: cnt >= n/nb >= 1)
+    return one.selectExpr(f"inline(array({structs}))").where(F.col("cnt") > 0)

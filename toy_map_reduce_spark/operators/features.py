@@ -61,13 +61,20 @@ def feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_extendedprice").alias("p_avg"),
         F.stddev_samp("l_extendedprice").alias("p_std"),
     )
+    # try_divide: a one-row group has q_max = q_min (zero range) and a
+    # NULL sample stddev — both scalings are undefined there (NULL, the
+    # DuckDB division result), not an ANSI error
     return li.join(F.broadcast(stats), "l_returnflag").select(
         "l_orderkey", "l_linenumber", "l_returnflag",
         F.round(
-            (F.col("l_quantity") - F.col("q_min")) / (F.col("q_max") - F.col("q_min")), 6
+            F.try_divide(
+                F.col("l_quantity") - F.col("q_min"),
+                F.col("q_max") - F.col("q_min"),
+            ),
+            6,
         ).alias("qty_minmax"),
         F.round(
-            (F.col("l_extendedprice") - F.col("p_avg")) / F.col("p_std"), 6
+            F.try_divide(F.col("l_extendedprice") - F.col("p_avg"), F.col("p_std")), 6
         ).alias("price_z"),
     )
 
@@ -128,7 +135,13 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'lo', round({lo[i]}, 2), 'hi', round({hi[i]}, 2))"
         for i in range(1, N_BUCKETS + 1)
     )
-    return one.selectExpr(f"inline(array({structs}))").orderBy("bucket")
+    # n > 0: trailing ntile buckets are empty when rows < buckets — the
+    # oracle's GROUP BY never emits them (no-op at any real scale)
+    return (
+        one.selectExpr(f"inline(array({structs}))")
+        .where(F.col("n") > 0)
+        .orderBy("bucket")
+    )
 
 
 CHURN_HOLDOUT_DAYS = 14

@@ -348,7 +348,8 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("A", "keep"), ("N", "keep"), ("R", "return")], ["flag", "kind"]
     ).write.mode("overwrite").parquet(dim_path)
 
-    fact = spark.read.parquet(path)
+    # explicit schema: a zero-row write leaves no part files to infer from
+    fact = spark.read.schema(li.schema).parquet(path)
     dim = spark.read.parquet(dim_path)
     joined = fact.join(
         F.broadcast(dim.where(F.col("kind") == "return")),

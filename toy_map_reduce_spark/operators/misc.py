@@ -328,13 +328,24 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     long_df = orders.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {pairs}) as (col_name, v)"
     )
-    return long_df.groupBy("col_name").agg(
+    profiled = long_df.groupBy("col_name").agg(
         F.count(F.lit(1)).alias("n"),
         (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
         F.countDistinct("v").alias("n_distinct"),
         F.min("v").alias("min_str"),
         F.max("v").alias("max_str"),
         F.round(F.avg(F.length("v")), 4).alias("avg_len"),
+    )
+    # a zero-row table still has a profile row per column (n=0) — the
+    # oracle's per-column global aggregates emit them, the stack+groupBy
+    # form does not; right-join the static column list to restore them
+    cols = spark.createDataFrame([(c,) for c in _PROFILE_COLS], "col_name string")
+    return profiled.join(F.broadcast(cols), "col_name", "right").select(
+        "col_name",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("n_null", F.lit(0)).alias("n_null"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        "min_str", "max_str", "avg_len",
     )
 
 

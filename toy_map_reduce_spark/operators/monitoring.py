@@ -249,11 +249,13 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "pts",
         F.size("pts").cast("long").alias("n_days"),
-        (
-            F.aggregate(F.col("pts"), F.lit(0.0), lambda acc, p: acc + p["n"])
-            / F.size("pts")
+        F.try_divide(
+            F.aggregate(F.col("pts"), F.lit(0.0), lambda acc, p: acc + p["n"]),
+            F.size("pts"),
         ).alias("mu"),
-    )
+        # empty series: the global agg still yields one (empty-array) row,
+        # but the oracle's recursive CTE yields none — drop it to match
+    ).where(F.size("pts") > 0)
     init = F.struct(
         F.lit(0.0).alias("s"),
         F.lit(-1.0).alias("best_s"),
@@ -607,8 +609,10 @@ def meta_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()  # the pipeline's own action
     m = obs.get
+    # zero matching rows: SUM observes NULL — propagate instead of float(None)
+    price = float(m["sum_price"]) if m["sum_price"] is not None else None
     return spark.createDataFrame(
-        [("lineitem_scan", m["n_rows"], float(m["sum_price"]), m["n_discounted"])],
+        [("lineitem_scan", m["n_rows"], price, m["n_discounted"])],
         "observation string, n_rows long, sum_price double, n_discounted long",
     )
 
@@ -810,4 +814,8 @@ def profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof(o, "o_custkey", "orders.o_custkey")
         .unionByName(prof(li, "l_orderkey", "lineitem.l_orderkey"))
         .unionByName(prof(li, "l_partkey", "lineitem.l_partkey"))
+        # a zero-row table has no key profile: the oracle's GROUP BY
+        # key_name emits nothing there, while a global agg always emits
+        # its one row — drop the empty-table scaffold rows to match
+        .where(F.col("n_keys") > 0)
     )

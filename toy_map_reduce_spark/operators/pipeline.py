@@ -776,7 +776,10 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("share").desc(), "lang")
         .limit(1)
     )
-    metrics = base.crossJoin(F.broadcast(top_share)).select(
+    # LEFT join (not crossJoin): an empty corpus has no top language, and
+    # the 1-row card must survive the empty 1-row-vs-0-row product with a
+    # NULL share — the oracle's scalar MAX(share) subquery does the same
+    metrics = base.join(F.broadcast(top_share), F.lit(True), "left").select(
         F.explode(
             F.map_from_arrays(
                 F.array(
@@ -789,8 +792,12 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("mean_doc_tokens"),
                     F.col("n_langs").cast("double"),
                     F.round("share", 6),
+                    # try_divide: n_docs = 0 on an empty corpus — the dup
+                    # rate is undefined (NULL), matching DuckDB's x/0
                     F.round(
-                        F.lit(1.0) - F.col("n_hashes").cast("double") / F.col("n_docs"), 6
+                        F.lit(1.0)
+                        - F.try_divide(F.col("n_hashes").cast("double"), F.col("n_docs")),
+                        6,
                     ),
                 ),
             )
@@ -1279,27 +1286,33 @@ def pipeline_seqlen_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonically; fill_rate is the single number to maximize."""
     docs = load(spark, sf_dir, "documents")
     sized = docs.select(F.size(_tokens("text")).alias("n_toks"))
-    choices = F.explode(
-        F.array(*[F.lit(L) for L in SEQLEN_CHOICES])
-    ).alias("max_len")
-    per = sized.select("n_toks", choices)
-    return (
-        per.groupBy("max_len")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("n_toks") > F.col("max_len"), 1).otherwise(0))
-            .cast("long").alias("n_truncated"),
-            F.sum(F.greatest(F.col("n_toks") - F.col("max_len"), F.lit(0)))
-            .cast("long").alias("truncation_waste"),
-            F.sum(F.col("max_len") - F.least(F.col("n_toks"), F.col("max_len")))
-            .cast("long").alias("padding_waste"),
+    # one GLOBAL aggregate carrying all three lengths as conditional
+    # sums (not an explode + groupBy on max_len): one scan, no 3x row
+    # expand, and — like the oracle's per-L global aggregates — the
+    # report rows exist even for a zero-row corpus, where a groupBy on
+    # the exploded choice column would emit nothing
+    aggs = []
+    for L in SEQLEN_CHOICES:
+        nt = F.col("n_toks")
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"n_docs_{L}"),
+            F.sum(F.when(nt > L, 1).otherwise(0)).cast("long").alias(f"n_trunc_{L}"),
+            F.sum(F.greatest(nt - L, F.lit(0))).cast("long").alias(f"t_waste_{L}"),
+            F.sum(F.lit(L) - F.least(nt, F.lit(L))).cast("long").alias(f"p_waste_{L}"),
             F.round(
-                F.sum(F.least(F.col("n_toks"), F.col("max_len")))
-                / (F.count(F.lit(1)) * F.max("max_len")).cast("double"),
+                F.sum(F.least(nt, F.lit(L)))
+                / (F.count(F.lit(1)) * F.lit(L)).cast("double"),
                 6,
-            ).alias("fill_rate"),
-        )
+            ).alias(f"fill_{L}"),
+        ]
+    one = sized.agg(*aggs)
+    structs = ", ".join(
+        f"named_struct('max_len', {L}, 'n_docs', `n_docs_{L}`, "
+        f"'n_truncated', `n_trunc_{L}`, 'truncation_waste', `t_waste_{L}`, "
+        f"'padding_waste', `p_waste_{L}`, 'fill_rate', `fill_{L}`)"
+        for L in SEQLEN_CHOICES
     )
+    return one.selectExpr(f"inline(array({structs}))")
 
 
 MIX_TEMPERATURE = 0.3  # alpha: share^alpha sampling (multilingual-corpus convention)
@@ -1362,7 +1375,9 @@ vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM clean),
 src AS (SELECT tok, COUNT(*) AS n FROM clean GROUP BY tok),
 src_tot AS (SELECT SUM(n) AS t FROM src),
 tgt AS (SELECT tok, COUNT(*) AS n FROM clean WHERE lang = 'en' GROUP BY tok),
-tgt_tot AS (SELECT SUM(n) AS t FROM tgt),
+-- COALESCE: a corpus with no target-language slice has t = 0 (the add-1
+-- smoothed LM stays defined), matching the conditional-aggregate form
+tgt_tot AS (SELECT COALESCE(SUM(n), 0) AS t FROM tgt),
 w AS (
   SELECT s.tok,
          ln((COALESCE(g.n, 0) + 1) / CAST(tgt_tot.t + vocab.v AS DOUBLE))
@@ -1451,7 +1466,7 @@ toks AS (
   SELECT AVG(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS mean_tokens
   FROM documents
 )
-SELECT metric, round(value, 6) AS value FROM (
+SELECT metric, round(value, 6) + 0.0 AS value FROM (
   SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value, 1 AS ord FROM n
   UNION ALL
   SELECT 'exact_dup_rate', dup.removable / CAST(n.n_docs AS DOUBLE), 2
@@ -1508,8 +1523,10 @@ def pipeline_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit("lang_entropy_bits").alias("metric"), F.col("lang_entropy").alias("value")),
         F.struct(F.lit("mean_doc_tokens").alias("metric"), F.col("mean_tokens").alias("value")),
     )
+    # + 0.0 canonicalizes IEEE negative zero: a single-language corpus
+    # has entropy -SUM(1*0) = -0.0 on one engine and 0.0 on the other
     return row.select(F.explode(metrics).alias("m")).select(
-        "m.metric", F.round("m.value", 6).alias("value")
+        "m.metric", (F.round("m.value", 6) + F.lit(0.0)).alias("value")
     )
 
 

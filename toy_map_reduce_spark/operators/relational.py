@@ -154,6 +154,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
 
 
@@ -161,10 +162,14 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
           doc="ROLLUP grouping-set hierarchy (subtotals + grand total)")
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # cnt > 0 on both sides pins the empty-input contract: Spark's
+    # grouping sets emit nothing for a zero-row input, DuckDB emits the
+    # standard's grand-total row — the filter is a no-op on real data
+    # (every Spark group has >= 1 row) and aligns the degenerate case
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
-    )
+    ).where(F.col("cnt") > 0)
 
 
 _AGG_CUBE_ORACLE = """
@@ -174,6 +179,7 @@ SELECT c_mktsegment, c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM customer
 GROUP BY CUBE (c_mktsegment, c_nationkey)
+HAVING COUNT(*) > 0
 """
 
 
@@ -181,11 +187,12 @@ GROUP BY CUBE (c_mktsegment, c_nationkey)
           doc="CUBE over all grouping-set combinations")
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
+    # cnt > 0: empty-input contract, see agg_rollup
     return cust.cube("c_mktsegment", "c_nationkey").agg(
         F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
         F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
         F.count(F.lit(1)).alias("cnt"),
-    )
+    ).where(F.col("cnt") > 0)
 
 
 _SORT_LIMIT_ORACLE = """

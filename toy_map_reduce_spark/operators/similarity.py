@@ -1126,9 +1126,14 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             # covariance rounds to -0.0, which string-compares unequal to
             # the other engine's 0.0)
             (
+                # try_divide: a single-vector corpus has n - 1 = 0 — the
+                # sample covariance is undefined (NULL), DuckDB's x/0
                 F.round(
-                    (F.col("sxy") - F.col("sva") * F.col("svb") / F.col("n"))
-                    / (F.col("n") - 1),
+                    F.try_divide(
+                        F.col("sxy")
+                        - F.try_divide(F.col("sva") * F.col("svb"), F.col("n")),
+                        F.col("n") - 1,
+                    ),
                     6,
                 )
                 + F.lit(0.0)

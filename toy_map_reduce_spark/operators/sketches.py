@@ -324,17 +324,24 @@ def agg_gk_accuracy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("o_totalprice", 0.99, acc).alias(f"p99_{acc}"),
         ]
     row = o.agg(*aggs).first()
+
+    def r2(v):  # empty input: every percentile is NULL — propagate, don't crash
+        return round(v, 2) if v is not None else None
+
+    def err2(a, b):
+        return round(abs(a - b), 2) if a is not None and b is not None else None
+
     out = []
     for acc in GK_ACCURACIES:
         out.append(
             (
                 acc,
-                round(row["exact_p50"], 2),
-                round(row[f"p50_{acc}"], 2),
-                round(abs(row[f"p50_{acc}"] - row["exact_p50"]), 2),
-                round(row["exact_p99"], 2),
-                round(row[f"p99_{acc}"], 2),
-                round(abs(row[f"p99_{acc}"] - row["exact_p99"]), 2),
+                r2(row["exact_p50"]),
+                r2(row[f"p50_{acc}"]),
+                err2(row[f"p50_{acc}"], row["exact_p50"]),
+                r2(row["exact_p99"]),
+                r2(row[f"p99_{acc}"]),
+                err2(row[f"p99_{acc}"], row["exact_p99"]),
             )
         )
     return spark.createDataFrame(

@@ -1041,7 +1041,8 @@ s AS (
          MAX(CASE WHEN arm = 1 THEN conv END) AS c2
   FROM arms
 )
-SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+SELECT CAST(COALESCE(n1, 0) AS BIGINT) AS n1,
+       CAST(COALESCE(n2, 0) AS BIGINT) AS n2,
        round(c1 / CAST(n1 AS DOUBLE), 6) AS p1,
        round(c2 / CAST(n2 AS DOUBLE), 6) AS p2,
        round((c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE))
@@ -1072,16 +1073,28 @@ def stat_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(arm == 1, 1)).alias("n2"),
         F.sum(F.when(arm == 1, is_conv)).alias("c2"),
     )
-    p1 = F.col("c1") / F.col("n1").cast("double")
-    p2 = F.col("c2") / F.col("n2").cast("double")
-    pp = (F.col("c1") + F.col("c2")) / (F.col("n1") + F.col("n2")).cast("double")
+    # try_divide throughout: an empty arm divides by zero, and NULL (the
+    # DuckDB division-by-zero result the oracle produces natively) is the
+    # right undefined-statistic answer — ANSI's error is not
+    p1 = F.try_divide(F.col("c1"), F.col("n1").cast("double"))
+    p2 = F.try_divide(F.col("c2"), F.col("n2").cast("double"))
+    pp = F.try_divide(
+        F.col("c1") + F.col("c2"), (F.col("n1") + F.col("n2")).cast("double")
+    )
     return s.select(
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         F.round(p1, 6).alias("p1"),
         F.round(p2, 6).alias("p2"),
         F.round(
-            (p1 - p2) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+            F.try_divide(
+                p1 - p2,
+                F.sqrt(
+                    pp * (1 - pp)
+                    * (F.try_divide(F.lit(1.0), F.col("n1"))
+                       + F.try_divide(F.lit(1.0), F.col("n2")))
+                ),
+            ),
             6,
         ).alias("z"),
     )
@@ -1186,13 +1199,22 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("b").alias("b_pos"),
     )
     n = F.col("n").cast("double")
-    po = F.col("agree") / n
-    pe = (F.col("a_pos") * F.col("b_pos") + (F.col("n") - F.col("a_pos")) * (F.col("n") - F.col("b_pos"))) / n / F.col("n")
+    # try_divide: perfect chance agreement (pe = 1) makes kappa 0/0 —
+    # undefined (NULL, DuckDB's division result), not an ANSI error
+    po = F.try_divide(F.col("agree"), n)
+    pe = F.try_divide(
+        F.try_divide(
+            F.col("a_pos") * F.col("b_pos")
+            + (F.col("n") - F.col("a_pos")) * (F.col("n") - F.col("b_pos")),
+            n,
+        ),
+        F.col("n"),
+    )
     return s.select(
         F.col("n").cast("long").alias("n"),
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        F.round(F.try_divide(po - pe, 1 - pe), 6).alias("kappa"),
     )
 
 

@@ -689,8 +689,14 @@ def timeseries_growth_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_months").cast("long").alias("n_months"),
         F.round("first_rev", 2).alias("first_rev"),
         F.round("last_rev", 2).alias("last_rev"),
+        # try_divide: a single-month series has no growth window
+        # (n_months - 1 = 0) and a zero first month has no ratio — NULL,
+        # the DuckDB division result, not an ANSI error
         F.round(
-            F.pow(F.col("last_rev") / F.col("first_rev"), 12.0 / (F.col("n_months") - 1)) - 1,
+            F.pow(
+                F.try_divide(F.col("last_rev"), F.col("first_rev")),
+                F.try_divide(F.lit(12.0), F.col("n_months") - 1),
+            ) - 1,
             6,
         ).alias("cagr_annualized"),
     )
@@ -776,7 +782,10 @@ def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("acc.l") + HOLT_HORIZON * F.col("acc.b"), 4).alias(
             f"forecast_{HOLT_HORIZON}d"
         ),
-    )
+        # empty series: the oracle's recursive seed row never exists, so
+        # its final CROSS JOIN is empty — match it (global agg would
+        # otherwise emit one all-NULL row here)
+    ).where(F.col("n_days") > 0)
 
 
 _YOY_ORACLE = """

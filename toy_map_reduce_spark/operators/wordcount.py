@@ -113,9 +113,8 @@ def wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy(37, first_char_partition)
         .reduceByKey(lambda a, b: a + b)
     )
-    return spark.createDataFrame(counts, ["word", "cnt"]).select(
-        "word", F.col("cnt").cast("long").alias("cnt")
-    )
+    # explicit schema: inference samples the RDD and raises on an empty one
+    return spark.createDataFrame(counts, "word string, cnt long")
 
 
 @register("wordcount_partitioned", "R", oracle=_WORDCOUNT_PART_ORACLE,

@@ -115,7 +115,8 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _scratch(sf_dir, "part_parquet")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    back = spark.read.parquet(path)
+    # explicit schema: a zero-row write leaves no part files to infer from
+    back = spark.read.schema(orders.schema).parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("price"), 2).alias("sum_price"),
@@ -494,7 +495,8 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         patch.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    back = spark.read.parquet(path)
+    # explicit schema: a zero-row write leaves no part files to infer from
+    back = spark.read.schema(li.schema).parquet(path)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
@@ -871,11 +873,14 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts.append(stats)
     out = parts[0].unionByName(parts[1])
+    # DESCRIBE renders absent stats as the literal string 'NULL' (e.g. on
+    # a zero-row table); try_cast maps that to SQL NULL instead of an
+    # ANSI CAST_INVALID_INPUT crash
     return out.select(
         "col",
-        F.col("num_nulls").cast("long").alias("null_count"),
-        F.col("min").cast("long").alias("min_v"),
-        F.col("max").cast("long").alias("max_v"),
+        F.col("num_nulls").try_cast("long").alias("null_count"),
+        F.col("min").try_cast("long").alias("min_v"),
+        F.col("max").try_cast("long").alias("max_v"),
     )
 
 
