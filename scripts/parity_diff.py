@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 def main() -> int:
     import duckdb
 
-    from parity import canonical_rows
+    from parity import canonical_rows, fetch_oracle
     from toy_map_reduce_spark.registry import all_specs
     from toy_map_reduce_spark.session import get_spark
     from toy_map_reduce_spark.tables import TABLES, table_path
@@ -34,7 +34,7 @@ def main() -> int:
     for name in sys.argv[1:]:
         spec = specs[name]
         sdf = spec.builder(spark, sf_dir).toPandas()
-        odf = duck.sql(spec.oracle).df()
+        odf = fetch_oracle(duck, spec.oracle)
         srows, orows = Counter(canonical_rows(sdf)), Counter(canonical_rows(odf))
         only_s = list((srows - orows).elements())
         only_o = list((orows - srows).elements())

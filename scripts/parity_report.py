@@ -46,7 +46,7 @@ DEFAULT_SFS = "/root/testdata/sf0.001,/root/testdata/sf0.01"
 def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
     import duckdb
 
-    from parity import canonical_rows
+    from parity import canonical_rows, fetch_oracle
     from toy_map_reduce_spark.registry import all_specs
     from toy_map_reduce_spark.tables import TABLES, table_path
 
@@ -74,7 +74,7 @@ def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
                 rec["err"] = "no_oracle"
                 n_rows_only += 1
             else:
-                odf = duck.sql(spec.oracle).df()
+                odf = fetch_oracle(duck, spec.oracle)
                 rec["oracle_rows"] = int(len(odf))
                 rec["rows_match"] = len(sdf) == len(odf)
                 rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)

@@ -10,20 +10,42 @@ expected to round aggregated doubles *inside the query on both sides*
 
 from __future__ import annotations
 
+import decimal
 import math
 from datetime import date, datetime
 
 import pandas as pd
 
 
+def fetch_oracle(duck, sql: str) -> pd.DataFrame:
+    """Run oracle SQL and fetch WITHOUT pandas' int64->float64 NULL
+    coercion: a BIGINT column containing one NULL silently becomes
+    float64 under plain .df(), destroying 54+-bit integers (observed on
+    the 60-bit surrogate-key ints under degenerate NULL rows). The arrow
+    path keeps integer columns exact as object arrays of int/None."""
+    return duck.sql(sql).arrow().to_pandas(integer_object_nulls=True)
+
+
 def _cell(v) -> str:
     if v is None:
         return "<NULL>"
+    if isinstance(v, decimal.Decimal):
+        # arrow fetch surfaces DuckDB DECIMAL as Decimal objects where
+        # .df() converted to float64 — keep the historical float canon
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "<NULL>"
-        # round to 9 decimals to absorb sub-ulp cross-engine noise
-        return repr(round(v, 9))
+        # integral floats render as ints: pandas silently converts an
+        # int64 column to float64 when it contains a NULL, so the same
+        # BIGINT column reads back as 85 from one engine and 85.0 from
+        # the other on degenerate (NULL-bearing) inputs. -0.0 is kept
+        # distinct from 0 — negative-zero drift is a real failure class
+        # (r9) that queries canonicalize with + 0.0, not the comparator.
+        r = round(v, 9)  # 9 decimals absorbs sub-ulp cross-engine noise
+        if r == int(r) and not (r == 0 and math.copysign(1, r) < 0):
+            return str(int(r))
+        return repr(r)
     if isinstance(v, (pd.Timestamp, datetime)):
         ts = pd.Timestamp(v)
         if ts is pd.NaT:
@@ -83,7 +105,7 @@ def run_parity(spark, duck, spec, sf_dir: str) -> None:
         if spec.oracle is None:
             assert len(sdf) >= 0  # rows-only: builder ran and produced a frame
             return
-        odf = duck.sql(spec.oracle).df()
+        odf = fetch_oracle(duck, spec.oracle)
         assert_frames_match(sdf, odf, name=spec.name)
     finally:
         release_scratch()

@@ -1,0 +1,72 @@
+"""Degenerate-input totality sweep (r9 verdict task 3).
+
+Every oracle-backed query must agree with its DuckDB twin — and every
+rows-only query must at least RUN — on three pathological fixture dirs
+(scripts/make_degenerate.py):
+
+  empty — zero-row tables: empty-group argmax (MIN(struct(...))),
+          lag-seeded folds, window frames over empty partitions, and the
+          1-row-vs-0-row global-aggregate contract are the classic
+          divergence sites.
+  one   — single-row tables: stddev of one sample, self-joins meeting
+          themselves, percentiles of a point mass, n-1 denominators.
+  edge  — three rows: one real, one all-NULL payload (non-key columns),
+          one empty-payload ('' strings, [] embedding, zero numerics):
+          ANSI division/index errors, NULL ordering drift (Spark NULLS
+          FIRST vs DuckDB NULLS LAST), concat/split/hash NULL semantics,
+          struct comparison with NULL members.
+
+The r10 sweep found and fixed ~90 such divergences (try_divide adoption,
+NULL-ordering pins, empty-input row-cardinality contracts, NULL-aware
+UDF batches); this suite is the tripwire that keeps the whole class
+closed. All fixes are no-ops at real scale — the standard parity gates
+pin that separately.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+from tests.parity import run_parity
+from toy_map_reduce_spark.registry import all_specs
+from toy_map_reduce_spark.tables import TABLES, table_path
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"))
+
+SPECS = all_specs()
+VARIANTS = ("empty", "one", "edge")
+
+
+@pytest.fixture(scope="session")
+def degen_root() -> str:
+    from make_degenerate import ensure_degenerate
+
+    return ensure_degenerate()
+
+
+@pytest.fixture(scope="session")
+def degen_ducks(degen_root):
+    cons = {}
+    for variant in VARIANTS:
+        con = duckdb.connect()
+        d = os.path.join(degen_root, variant)
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(d, t)}')"
+            )
+        cons[variant] = con
+    yield cons
+    for con in cons.values():
+        con.close()
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+@pytest.mark.parametrize("name", sorted(SPECS), ids=sorted(SPECS))
+def test_degenerate_parity(spark, degen_root, degen_ducks, variant, name):
+    run_parity(
+        spark, degen_ducks[variant], SPECS[name], os.path.join(degen_root, variant)
+    )

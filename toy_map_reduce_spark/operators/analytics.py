@@ -843,7 +843,7 @@ WITH cust AS (
 ranked AS (
   SELECT cents,
          CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
-  FROM cust
+  FROM cust WHERE cents IS NOT NULL
 ),
 sums AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -879,7 +879,7 @@ def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = register_scratch(
         orders.groupBy("o_custkey").agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
-        ).persist()
+        ).where(F.col("cents").isNotNull()).persist()
     )
     ranked = with_global_order(
         cust, [F.col("cents"), F.col("o_custkey")], rn_col="i",
@@ -1077,13 +1077,15 @@ def orders_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUMULATIVE_USERS_ORACLE = """
 WITH firsts AS (
-  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+  WHERE ts IS NOT NULL GROUP BY user_id
 ),
 new_by_day AS (
   SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY first_day
 ),
 dau AS (
-  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau FROM events GROUP BY day
+  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau FROM events
+  WHERE ts IS NOT NULL GROUP BY day
 )
 SELECT d.day,
        CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
@@ -1105,7 +1107,7 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative SUM over the tiny daily rollup. Two keyed groupBys + one
     days-length window — the scalable form of a growth dashboard's
     headline curve."""
-    ev = load(spark, sf_dir, "events").select(
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull()).select(
         "user_id", F.to_date("ts").alias("day")
     )
     firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
@@ -1423,10 +1425,10 @@ halves AS (
 SELECT event_type,
        CAST(n_first AS BIGINT) AS n_first,
        CAST(n_second AS BIGINT) AS n_second,
-       CAST(rank() OVER (ORDER BY n_first DESC, event_type) AS INTEGER) AS rank_first,
-       CAST(rank() OVER (ORDER BY n_second DESC, event_type) AS INTEGER) AS rank_second,
-       CAST(CAST(rank() OVER (ORDER BY n_first DESC, event_type) AS INTEGER)
-            - CAST(rank() OVER (ORDER BY n_second DESC, event_type) AS INTEGER)
+       CAST(rank() OVER (ORDER BY n_first DESC, event_type NULLS LAST) AS INTEGER) AS rank_first,
+       CAST(rank() OVER (ORDER BY n_second DESC, event_type NULLS LAST) AS INTEGER) AS rank_second,
+       CAST(CAST(rank() OVER (ORDER BY n_first DESC, event_type NULLS LAST) AS INTEGER)
+            - CAST(rank() OVER (ORDER BY n_second DESC, event_type NULLS LAST) AS INTEGER)
             AS INTEGER) AS rank_gain
 FROM halves
 """
@@ -1460,8 +1462,8 @@ def events_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("ts") >= F.col("m"), 1).otherwise(0)).alias("n_second"),
         )
     )
-    w1 = Window.orderBy(F.col("n_first").desc(), "event_type")
-    w2 = Window.orderBy(F.col("n_second").desc(), "event_type")
+    w1 = Window.orderBy(F.col("n_first").desc(), F.col("event_type").asc_nulls_last())
+    w2 = Window.orderBy(F.col("n_second").desc(), F.col("event_type").asc_nulls_last())
     return halves.select(
         "event_type",
         F.col("n_first").cast("long").alias("n_first"),
@@ -1633,7 +1635,8 @@ def orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.max("n_supp").cast("long").alias("n_suppliers"),
-            F.round(F.sum(F.pow(F.col("r") / F.col("t"), 2)) * 10000)
+            # try_divide: a part with zero total revenue has no shares
+            F.round(F.sum(F.pow(F.try_divide(F.col("r"), F.col("t")), 2)) * 10000)
             .cast("long").alias("hhi"),
         )
         .where(F.col("n_suppliers") >= 2)

@@ -524,14 +524,14 @@ WITH d AS (
 ),
 n AS (
   SELECT vec_id, label, e,
-         sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e]), (a, b) -> a + b)) AS nrm
   FROM d
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_reduce([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)], (x, y) -> x + y)
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)]), (x, y) -> x + y)
              / (a.nrm * b.nrm), 6) AS cosine
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_reduce([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)], (x, y) -> x + y)
+WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)]), (x, y) -> x + y)
       / (a.nrm * b.nrm) >= 0.8
 """
 
@@ -559,7 +559,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cosine = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    # try_divide: a zero-norm (empty/zero) vector has no cosine — NULL,
+    # which the >= threshold then rejects on both engines
+    cosine = F.try_divide(dot, F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .where(cosine >= 0.8)

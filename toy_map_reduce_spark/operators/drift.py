@@ -384,7 +384,8 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
-            F.round(F.col("pw_sum") / F.col("w_total"), 4).alias("wmean"),
+            # try_divide: an all-zero-weight group has no weighted mean
+            F.round(F.try_divide(F.col("pw_sum"), F.col("w_total")), 4).alias("wmean"),
             F.round("wmedian", 2).alias("wmedian"),
         )
         .orderBy("l_returnflag")

@@ -70,6 +70,7 @@ SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price,
        round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
 FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 GROUP BY l_returnflag
 """
 
@@ -515,7 +516,9 @@ def ntile_size(i: int, n, n_buckets: int):
               "for EXACT quantiles (agg_approx_percentile is the sketch-only "
               "path)")
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
     return _exact_percentiles_hybrid(
         li,
         "l_returnflag",

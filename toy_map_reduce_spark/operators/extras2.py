@@ -230,7 +230,11 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     base = agg(orders.where(F.col("o_orderdate") < watershed))
-    delta = agg(orders.where(F.col("o_orderdate") >= watershed))
+    delta = agg(
+        orders.where(
+            (F.col("o_orderdate") >= watershed) | F.col("o_orderdate").isNull()
+        )
+    )
     merged = base.unionByName(delta)
     return merged.groupBy("o_custkey").agg(
         F.sum("n_orders").cast("long").alias("n_orders"),
@@ -271,7 +275,7 @@ def subquery_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CROSSTAB_ORACLE = """
-SELECT l_returnflag AS l_returnflag_l_linestatus,
+SELECT COALESCE(l_returnflag, 'null') AS l_returnflag_l_linestatus,
        CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
        CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
 FROM lineitem
@@ -368,7 +372,8 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GEOMEAN_ORACLE = """
 SELECT l_returnflag,
-       round(exp(AVG(ln(l_extendedprice))), 4) AS geo_mean_price,
+       round(exp(AVG(CASE WHEN l_extendedprice > 0
+                          THEN ln(l_extendedprice) END)), 4) AS geo_mean_price,
        round(AVG(l_extendedprice), 4) AS arith_mean_price,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
@@ -403,8 +408,9 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HARMONIC_ORACLE = """
 SELECT l_returnflag,
-       round(COUNT(*) / SUM(1.0 / l_extendedprice), 4) AS harm_mean_price,
-       round(exp(AVG(ln(l_extendedprice))), 4) AS geo_mean_price,
+       round(COUNT(*) / SUM(1.0 / nullif(l_extendedprice, 0)), 4) AS harm_mean_price,
+       round(exp(AVG(CASE WHEN l_extendedprice > 0
+                          THEN ln(l_extendedprice) END)), 4) AS geo_mean_price,
        round(AVG(l_extendedprice), 4) AS arith_mean_price
 FROM lineitem
 GROUP BY l_returnflag
@@ -425,8 +431,13 @@ def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
+            # try_divide: a zero price has no reciprocal (NULL, skipped
+            # by SUM — the oracle's 1/NULLIF(x,0) does the same)
             F.round(
-                F.count(F.lit(1)) / F.sum(1.0 / F.col("l_extendedprice")), 4
+                F.try_divide(
+                    F.count(F.lit(1)),
+                    F.sum(F.try_divide(F.lit(1.0), F.col("l_extendedprice"))),
+                ), 4
             ).alias("harm_mean_price"),
             F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias("geo_mean_price"),
             F.round(F.avg("l_extendedprice"), 4).alias("arith_mean_price"),
@@ -715,7 +726,7 @@ _EQUIDEPTH_ORACLE = f"""
 WITH t AS (
   SELECT o_totalprice,
          ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
 SELECT CAST(bucket AS INTEGER) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -741,7 +752,7 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutes rows WITHIN equal prices, so it cannot change any bucket's
     min/max/count. This is the exact 100 TB plan; approx_percentile
     (agg_approx_percentile) remains the sketch-only variant."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
     nb = EQUIDEPTH_BUCKETS
     windows = [
         (

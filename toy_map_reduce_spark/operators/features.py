@@ -84,7 +84,7 @@ WITH b AS (
   SELECT l_extendedprice,
          ntile({N_BUCKETS}) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
            AS bucket
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 )
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -111,7 +111,9 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     two fully partial-aggregated scans, no Window, no shuffle of the
     fact. The old plan's single-task global sort is gone; this is the
     100 TB plan, exactly (not approximately)."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
     # N-1 interior boundary windows, each walked ONCE at start-1 serving
     # BOTH adjacent order statistics (v1 = hi_i at start-1, v2 = lo_{i+1}
     # at start); the outer bounds are plain min/max

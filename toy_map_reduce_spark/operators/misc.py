@@ -73,13 +73,13 @@ GROUP BY c_mktsegment
               "driver's canonicalizer can hash the cell")
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
+    keys = F.sort_array(F.collect_set("c_nationkey"))
     return cust.groupBy("c_mktsegment").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_set("c_nationkey")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
+        # NULL (not '') when the group has no non-NULL keys — LISTAGG/
+        # string_agg semantics, which the oracle produces natively
+        F.when(
+            F.size(keys) > 0,
+            F.array_join(F.transform(keys, lambda x: x.cast("string")), ","),
         ).alias("nations"),
         F.count(F.lit(1)).alias("cnt"),
     )
@@ -99,8 +99,10 @@ GROUP BY n_regionkey
               "sort_array(collect_list) ≡ string_agg ... ORDER BY")
 def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
+    names = F.sort_array(F.collect_list("n_name"))
     return nation.groupBy("n_regionkey").agg(
-        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations_csv"),
+        # NULL (not '') for an all-NULL group — string_agg semantics
+        F.when(F.size(names) > 0, F.concat_ws(",", names)).alias("nations_csv"),
         F.count(F.lit(1)).alias("cnt"),
     )
 

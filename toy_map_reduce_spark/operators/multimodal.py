@@ -407,7 +407,8 @@ def multimodal_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     def blob_sizes(batches):
         for batch in batches:
             sizes = pa.array(
-                [len(v.as_py()) for v in batch.column(0)], type=pa.int64()
+                [None if v.as_py() is None else len(v.as_py()) for v in batch.column(0)],
+                type=pa.int64(),
             )
             yield pa.RecordBatch.from_arrays([sizes], names=["n_bytes"])
 

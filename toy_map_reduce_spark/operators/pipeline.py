@@ -29,8 +29,12 @@ def _fingerprint():
         _tokens("text"),
         lambda s: (F.length(s) * 131 + F.ascii(F.substring(s, 1, 1))).cast("long"),
     )
+    # coalesce: split(NULL) is NULL, but the oracle's list_prepend(0, NULL)
+    # folds to the 0 seed — a NULL doc fingerprints as 0 on both engines
     return F.aggregate(
-        tok_codes, F.lit(0).cast("long"), lambda h, x: (h * 1000003 + x) % 2147483647
+        F.coalesce(tok_codes, F.array().cast("array<long>")),
+        F.lit(0).cast("long"),
+        lambda h, x: (h * 1000003 + x) % 2147483647,
     )
 
 
@@ -639,7 +643,8 @@ CURRICULUM_HEAD = 3  # first docs surfaced per band in the shuffled order
 
 _CURRICULUM_ORACLE = f"""
 WITH d AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS difficulty FROM documents
+  SELECT doc_id, len(string_split(COALESCE(text, ''), ' ')) AS difficulty
+  FROM documents
 ),
 banded AS (
   SELECT doc_id, difficulty,
@@ -683,7 +688,9 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = register_scratch(
         load(spark, sf_dir, "documents").select(
-            "doc_id", F.size(F.split("text", " ")).alias("difficulty")
+            "doc_id",
+            F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+            .alias("difficulty"),
         ).persist()
     )
     n_docs = docs.count()
@@ -822,7 +829,7 @@ SELECT shard,
        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        MIN(doc_id) AS min_doc_id,
        MAX(doc_id) AS max_doc_id,
-       md5(string_agg(h, '' ORDER BY doc_id)) AS shard_digest
+       md5(COALESCE(string_agg(h, '' ORDER BY doc_id), '')) AS shard_digest
 FROM d GROUP BY shard
 """
 
@@ -1263,7 +1270,11 @@ FROM sized"""
 
 _SEQLEN_ORACLE = f"""
 WITH sized AS (
-  SELECT len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks
+  -- unfiltered split: the Spark side counts split(text, ' ', -1) tokens
+  -- (empty tokens KEPT, reference tokenizer semantics) — filtering
+  -- empties here would silently diverge on any doc with consecutive
+  -- spaces or an empty body
+  SELECT len(string_split(text, ' ')) AS n_toks
   FROM documents
 )
 {_SEQLEN_UNION}

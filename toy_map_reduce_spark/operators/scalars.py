@@ -55,7 +55,11 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_name").alias("up_name"),
         F.lower("c_mktsegment").alias("lo_seg"),
         F.substring("c_name", 1, 8).alias("name8"),
-        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.concat_ws(
+            "-",
+            F.coalesce(F.col("c_mktsegment"), F.lit("")),
+            F.coalesce(F.col("c_name"), F.lit("")),
+        ).alias("seg_name"),
         F.length("c_name").alias("name_len"),
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
@@ -108,8 +112,8 @@ SELECT l_orderkey, l_linenumber,
        l_linenumber % 3 AS line_mod,
        power(l_quantity, 2) AS qty_sq,
        sqrt(l_extendedprice) AS price_sqrt,
-       round(ln(l_extendedprice), 8) AS price_ln,
-       round(log10(l_extendedprice), 8) AS price_log10,
+       round(CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END, 8) AS price_ln,
+       round(CASE WHEN l_extendedprice > 0 THEN log10(l_extendedprice) END, 8) AS price_log10,
        round(exp(l_discount), 8) AS disc_exp,
        CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
        greatest(l_tax, l_discount) AS max_rate,
@@ -145,7 +149,7 @@ _SCALAR_ARRAY_ORACLE = """
 SELECT vec_id, label,
        CAST(len(embedding) AS INTEGER) AS n_dims,
        round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
-       round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, x) -> a + x), 6) AS vec_sum,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, x) -> a + x), 6) AS vec_sum,
        round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max,
        array_to_string(list_transform(embedding[1:4],
                                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)),
@@ -165,20 +169,28 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("embedding").alias("n_dims"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.try_element_at("embedding", F.lit(1)).cast("double"), 6).alias("first_val"),
         F.round(
-            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6
+            F.aggregate(
+                F.coalesce(as_double, F.array().cast("array<double>")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
         ).alias("vec_sum"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
         # serialized as micro-scaled ints (round(x*1e6) → CSV): integers
         # stringify identically across engines, so the driver can hash the
         # cell — float→string repr would not be cross-engine stable
-        F.array_join(
-            F.transform(
-                F.slice("embedding", 1, 4),
-                lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint").cast("string"),
+        F.when(
+            F.size("embedding") > 0,
+            F.array_join(
+                F.transform(
+                    F.slice("embedding", 1, 4),
+                    lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint").cast("string"),
+                ),
+                ",",
             ),
-            ",",
         ).alias("head4_micro"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
@@ -226,9 +238,9 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCALAR_JSON_ORACLE = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
-       json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+       CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) AS k_path,
+       CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) AS k_struct,
+       json_extract_string(NULLIF(props, ''), '$.missing') IS NULL AS missing_is_null
 FROM events
 """
 
@@ -289,8 +301,10 @@ SELECT p_partkey,
        translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
        CAST(strpos(p_name, 'o') AS INTEGER) AS first_o,
        repeat(p_brand, 2) AS brand_twice,
-       split_part(p_name, ' ', 1) AS first_word,
-       split_part(p_name, ' ', 2) AS second_word,
+       CASE WHEN p_name IS NULL THEN NULL
+            ELSE split_part(p_name, ' ', 1) END AS first_word,
+       CASE WHEN p_name IS NULL THEN NULL
+            ELSE split_part(p_name, ' ', 2) END AS second_word,
        left(p_name, 4) AS head4,
        right(p_name, 3) AS tail3,
        CAST(ascii(p_name) AS INTEGER) AS first_code,

@@ -74,7 +74,13 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
-        F.md5(F.concat_ws("|", "lang", "source")).alias("meta_md5"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("lang"), F.lit("")),
+                F.coalesce(F.col("source"), F.lit("")),
+            )
+        ).alias("meta_md5"),
     )
 
 
@@ -172,7 +178,8 @@ def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCALAR_URL_ORACLE = """
 SELECT doc_id,
-       source || '.example.org' AS host,
+       CASE WHEN source = '' THEN NULL
+            ELSE source || '.example.org' END AS host,
        '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
        'q=' || CAST(n_chars AS VARCHAR) || '&lang=' || lang AS query,
        CAST(n_chars AS VARCHAR) AS q_param
@@ -252,10 +259,10 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCALAR_VARIANT_ORACLE = """
 SELECT event_id,
-       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
-       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
-       CAST(json_extract(props, '$.k') AS INTEGER) * 2 + 1 AS k_derived,
-       CAST(json_extract(props, '$.missing') AS INTEGER) AS k_missing
+       CAST(json_extract(NULLIF(props, ''), '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract_string(NULLIF(props, ''), '$.k') AS VARCHAR) AS k_str,
+       CAST(json_extract(NULLIF(props, ''), '$.k') AS INTEGER) * 2 + 1 AS k_derived,
+       CAST(json_extract(NULLIF(props, ''), '$.missing') AS INTEGER) AS k_missing
 FROM events
 """
 
@@ -276,17 +283,17 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_int"),
-        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
-        (F.expr("variant_get(parse_json(props), '$.k', 'int')") * 2 + 1).alias("k_derived"),
-        F.expr("variant_get(parse_json(props), '$.missing', 'int')").alias("k_missing"),
+        F.expr("variant_get(try_parse_json(props), '$.k', 'int')").alias("k_int"),
+        F.expr("variant_get(try_parse_json(props), '$.k', 'string')").alias("k_str"),
+        (F.expr("variant_get(try_parse_json(props), '$.k', 'int')") * 2 + 1).alias("k_derived"),
+        F.expr("variant_get(try_parse_json(props), '$.missing', 'int')").alias("k_missing"),
     )
 
 
 _TRY_ARITH_ORACLE = """
 SELECT l_orderkey, l_linenumber,
        CASE WHEN l_linenumber - 1 = 0 THEN NULL
-            ELSE round(l_extendedprice / (l_linenumber - 1), 4) END AS safe_div,
+            ELSE round(l_extendedprice / (l_linenumber - 1), 4) + 0.0 END AS safe_div,
        TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN 'oops'
                      ELSE CAST(l_linenumber AS VARCHAR) END AS INTEGER) AS safe_parse,
        CASE WHEN l_linenumber % 2 = 0 THEN NULL
@@ -311,8 +318,11 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1), 4
+        (
+            F.round(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1), 4
+            )
+            + F.lit(0.0)
         ).alias("safe_div"),
         F.try_to_number(
             F.when(F.col("l_linenumber") % 3 == 0, F.lit("oops"))
@@ -327,11 +337,14 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCALAR_STRUCT_ORACLE = """
 SELECT l_orderkey, l_linenumber,
-       CAST(ROW(l_returnflag, l_linestatus) = ROW('A', 'F') AS BOOLEAN) AS is_af,
-       CAST(ROW(l_quantity, l_extendedprice) < ROW(25.0, 30000.0) AS BOOLEAN)
-         AS below_pivot,
-       CASE WHEN ROW(l_returnflag, CAST(l_quantity AS DOUBLE))
-                 > ROW('N', 20.0)
+       CASE WHEN l_returnflag IS NULL OR l_linestatus IS NULL THEN NULL
+            ELSE CAST(ROW(l_returnflag, l_linestatus) = ROW('A', 'F') AS BOOLEAN)
+       END AS is_af,
+       CASE WHEN l_quantity IS NULL OR l_extendedprice IS NULL THEN NULL
+            ELSE CAST(ROW(l_quantity, l_extendedprice) < ROW(25.0, 30000.0) AS BOOLEAN)
+       END AS below_pivot,
+       CASE WHEN l_returnflag IS NULL OR l_quantity IS NULL THEN NULL
+            WHEN ROW(l_returnflag, CAST(l_quantity AS DOUBLE)) > ROW('N', 20.0)
             THEN 'hi' ELSE 'lo' END AS bucket
 FROM lineitem
 """
@@ -350,12 +363,20 @@ def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s_flag = F.struct(F.col("l_returnflag"), F.col("l_linestatus"))
     s_num = F.struct(F.col("l_quantity"), F.col("l_extendedprice"))
+    # NULL-field guard: struct comparison with a NULL member is engine-
+    # defined (Spark's struct ordering places NULL low; DuckDB's row
+    # comparison uses ORDER BY semantics) — pin NULL-in -> NULL-out
+    flag_null = F.col("l_returnflag").isNull() | F.col("l_linestatus").isNull()
+    num_null = F.col("l_quantity").isNull() | F.col("l_extendedprice").isNull()
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        (s_flag == F.struct(F.lit("A"), F.lit("F"))).alias("is_af"),
-        (s_num < F.struct(F.lit(25.0), F.lit(30000.0))).alias("below_pivot"),
+        F.when(~flag_null, s_flag == F.struct(F.lit("A"), F.lit("F"))).alias("is_af"),
+        F.when(~num_null, s_num < F.struct(F.lit(25.0), F.lit(30000.0))).alias("below_pivot"),
         F.when(
+            F.col("l_returnflag").isNull() | F.col("l_quantity").isNull(),
+            F.lit(None).cast("string"),
+        ).when(
             F.struct(F.col("l_returnflag"), F.col("l_quantity").cast("double"))
             > F.struct(F.lit("N"), F.lit(20.0)),
             "hi",
@@ -769,7 +790,7 @@ WITH k AS (
 SELECT c_custkey,
        substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
          || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS surrogate_uuid,
-       CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS surrogate_int
+       CAST(CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS VARCHAR) AS surrogate_int
 FROM k
 """
 
@@ -789,7 +810,12 @@ def scalar_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     it ('ab','c') and ('a','bc') collide. 15 hex chars = 60 bits keeps
     the integer form inside a signed BIGINT on both engines."""
     cust = load(spark, sf_dir, "customer")
-    h = F.md5(F.concat_ws("|", F.lit("cust"), F.col("c_custkey").cast("string"), F.col("c_name")))
+    h = F.md5(
+        F.concat(
+            F.lit("cust|"), F.col("c_custkey").cast("string"),
+            F.lit("|"), F.col("c_name"),
+        )
+    )
     k = cust.select("c_custkey", h.alias("h"))
     uuid = F.concat_ws(
         "-",
@@ -798,8 +824,9 @@ def scalar_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return k.select(
         "c_custkey",
-        uuid.alias("surrogate_uuid"),
-        F.conv(F.substring("h", 1, 15), 16, 10).cast("long").alias("surrogate_int"),
+        F.when(F.col("h").isNotNull(), uuid).alias("surrogate_uuid"),
+        F.conv(F.substring("h", 1, 15), 16, 10).cast("long").cast("string")
+        .alias("surrogate_int"),
     )
 
 

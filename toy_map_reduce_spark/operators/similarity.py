@@ -61,12 +61,12 @@ WITH d AS (
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
 ),
 n AS (
-  SELECT vec_id, e, sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm FROM d
+  SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e]), (a, b) -> a + b)) AS nrm FROM d
 ),
 q AS (SELECT vec_id AS q_id, e AS q_e, nrm AS q_nrm FROM n WHERE vec_id % {QUERY_STRIDE} = 0),
 scored AS (
   SELECT q.q_id, n.vec_id,
-         list_reduce([q.q_e[i] * n.e[i] FOR i IN range(1, len(n.e) + 1)], (x, y) -> x + y)
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [q.q_e[i] * n.e[i] FOR i IN range(1, len(n.e) + 1)]), (x, y) -> x + y)
            / (q.q_nrm * n.nrm) AS sim
   FROM q, n
   WHERE n.vec_id <> q.q_id
@@ -126,11 +126,17 @@ def _make_signature_udf():
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def signatures(emb: pd.Series) -> pd.Series:
-        mat = np.stack(emb.to_numpy())  # n × D (float32 ok, upcast below)
-        bits = (mat.astype(np.float64) @ proj) > 0  # n × (L·B)
-        per_table = bits.reshape(len(mat), LSH_TABLES, LSH_BITS)
-        buckets = (per_table * weights).sum(axis=2)  # n × L
-        return pd.Series(list(buckets))
+        vals = emb.to_numpy()
+        valid = np.array([v is not None and len(v) == EMB_DIM for v in vals])
+        out = [None] * len(vals)
+        if valid.any():
+            mat = np.stack(vals[valid])  # k × D (float32 ok, upcast below)
+            bits = (mat.astype(np.float64) @ proj) > 0  # k × (L·B)
+            per_table = bits.reshape(len(mat), LSH_TABLES, LSH_BITS)
+            buckets = (per_table * weights).sum(axis=2)  # k × L
+            for idx, b in zip(np.nonzero(valid)[0], buckets):
+                out[idx] = b
+        return pd.Series(out)
 
     return signatures
 
@@ -198,7 +204,9 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # coarse quantizer: centroid per label cell (tiny → broadcast)
     dim_cols = [
-        F.avg(F.element_at("e", i + 1)).alias(f"c{i}") for i in range(EMB_DIM)
+        # try_element_at: a zero-dim vector has no i-th component (NULL),
+        # not an ANSI index error
+        F.avg(F.try_element_at("e", F.lit(i + 1))).alias(f"c{i}") for i in range(EMB_DIM)
     ]
     centroids = data.groupBy("label").agg(*dim_cols).select(
         "label", F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("c")
@@ -255,8 +263,8 @@ SELECT vec_id, label,
        CAST(floor(max_abs * 1000000 + 0.5) AS BIGINT) AS max_abs_micro,
        CAST(list_aggregate(qe, 'max') AS INTEGER) AS q_max,
        CAST(list_aggregate(qe, 'min') AS INTEGER) AS q_min,
-       CAST(floor(list_reduce(
-              [abs(e[i] - qe[i] * (max_abs / 127.0)) FOR i IN range(1, len(e) + 1)],
+       CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), 
+              [abs(e[i] - qe[i] * (max_abs / 127.0)) FOR i IN range(1, len(e) + 1)]),
               (a, b) -> a + b) * 1000000 + 0.5) AS BIGINT) AS recon_err_micro
 FROM q
 """
@@ -284,11 +292,16 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x * (F.lit(127.0) / F.col("max_abs")) + 0.5).cast("long"),
     )
     q = scaled.withColumn("qe", qe)
+    # coalesce: a NULL embedding zips to NULL, but the oracle's
+    # list_prepend fold over the NULL range yields the 0.0 seed
     recon_err = F.aggregate(
-        F.zip_with(
-            F.col("e"),
-            F.col("qe"),
-            lambda x, qx: F.abs(x - qx * (F.col("max_abs") / F.lit(127.0))),
+        F.coalesce(
+            F.zip_with(
+                F.col("e"),
+                F.col("qe"),
+                lambda x, qx: F.abs(x - qx * (F.col("max_abs") / F.lit(127.0))),
+            ),
+            F.array().cast("array<double>"),
         ),
         F.lit(0.0),
         lambda a, b: a + b,
@@ -311,11 +324,11 @@ WITH d AS (
   SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
 ),
 n AS (
-  SELECT vec_id, label, e, sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm FROM d
+  SELECT vec_id, label, e, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e]), (a, b) -> a + b)) AS nrm FROM d
 ),
 scored AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
-         list_reduce([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)], (x, y) -> x + y)
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)]), (x, y) -> x + y)
            / (a.nrm * b.nrm) AS sim
   FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
 )
@@ -444,12 +457,12 @@ WITH d AS (
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
 ),
 n AS (
-  SELECT vec_id, e, sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm FROM d
+  SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e]), (a, b) -> a + b)) AS nrm FROM d
 ),
 c AS (SELECT vec_id AS centroid_id, e AS c_e, nrm AS c_nrm FROM n WHERE vec_id < {KMEANS_K}),
 scored AS (
   SELECT n.vec_id, c.centroid_id,
-         list_reduce([n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)], (x, y) -> x + y)
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)]), (x, y) -> x + y)
            / (n.nrm * c.c_nrm) AS sim
   FROM n, c
 ),
@@ -512,8 +525,8 @@ WITH d AS (
 ),
 n AS (
   SELECT vec_id, label,
-         sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS full_norm,
-         sqrt(list_reduce([x * x FOR x IN e[1:{TRUNCATE_DIM}]], (a, b) -> a + b)) AS trunc_norm
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e]), (a, b) -> a + b)) AS full_norm,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e[1:{TRUNCATE_DIM}]]), (a, b) -> a + b)) AS trunc_norm
   FROM d
 )
 SELECT vec_id, label,
@@ -548,7 +561,8 @@ def embedding_truncate_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         "vec_id",
         "label",
-        F.round(1000000 * F.col("trunc_norm") / F.col("full_norm"))
+        # try_divide: a zero-norm vector has no fidelity ratio
+        F.round(F.try_divide(1000000 * F.col("trunc_norm"), F.col("full_norm")))
         .cast("bigint")
         .alias("fidelity_micro"),
     )
@@ -572,8 +586,8 @@ cents AS (
 ),
 dists AS (
   SELECT v.vec_id, v.half, c.cid,
-         list_reduce(list_transform(range(1, {PQ_HALF} + 1),
-                                    i -> (v.h[i] - c.c[i]) * (v.h[i] - c.c[i])),
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, {PQ_HALF} + 1),
+                                    i -> (v.h[i] - c.c[i]) * (v.h[i] - c.c[i]))),
                      (a, b) -> a + b) AS dist
   FROM halves v JOIN cents c ON c.half = v.half
 ),
@@ -672,8 +686,8 @@ cents AS (
 ),
 dists AS (
   SELECT v.vec_id, v.half, c.cid,
-         list_reduce(list_transform(range(1, {PQ_HALF} + 1),
-                                    i -> (v.h[i] - c.c[i]) * (v.h[i] - c.c[i])),
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, {PQ_HALF} + 1),
+                                    i -> (v.h[i] - c.c[i]) * (v.h[i] - c.c[i]))),
                      (a, b) -> a + b) AS dist
   FROM halves v JOIN cents c ON c.half = v.half
 ),
@@ -761,12 +775,12 @@ WITH d AS (
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
 ),
 n AS (
-  SELECT vec_id, e, sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm FROM d
+  SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e]), (a, b) -> a + b)) AS nrm FROM d
 ),
 c AS (SELECT vec_id AS centroid_id, e AS c_e, nrm AS c_nrm FROM n WHERE vec_id < {KMEANS_K}),
 scored AS (
   SELECT n.vec_id, n.e, c.centroid_id,
-         list_reduce([n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)], (x, y) -> x + y)
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)]), (x, y) -> x + y)
            / (n.nrm * c.c_nrm) AS sim
   FROM n, c
 ),
@@ -833,12 +847,12 @@ WITH d AS (
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
 ),
 n AS (
-  SELECT vec_id, e, sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm FROM d
+  SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e]), (a, b) -> a + b)) AS nrm FROM d
 ),
 c AS (SELECT vec_id AS centroid_id, e AS c_e, nrm AS c_nrm FROM n WHERE vec_id < {KMEANS_K}),
 scored AS (
   SELECT n.vec_id, c.centroid_id,
-         list_reduce([n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)], (x, y) -> x + y)
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)]), (x, y) -> x + y)
            / (n.nrm * c.c_nrm) AS sim
   FROM n, c
 ),
@@ -1090,9 +1104,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gram_partials(batches):
         for pdf in batches:
-            if len(pdf) == 0:
+            rows = [v for v in pdf["e"] if v is not None and len(v) == EMB_DIM]
+            if not rows:
                 continue
-            X = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            X = np.asarray(rows, dtype=np.float64)
             G = X.T @ X
             iu = np.triu_indices(EMB_DIM)
             yield pd.DataFrame(
@@ -1177,12 +1192,12 @@ WITH d AS (
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
 ),
 n AS (
-  SELECT vec_id, e, sqrt(list_reduce([x * x FOR x IN e], (a, b) -> a + b)) AS nrm FROM d
+  SELECT vec_id, e, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e]), (a, b) -> a + b)) AS nrm FROM d
 ),
 c AS (SELECT vec_id AS centroid_id, e AS c_e, nrm AS c_nrm FROM n WHERE vec_id < {KMEANS_K}),
 scored AS (
   SELECT n.vec_id, c.centroid_id,
-         list_reduce([n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)], (x, y) -> x + y)
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [n.e[i] * c.c_e[i] FOR i IN range(1, len(n.e) + 1)]), (x, y) -> x + y)
            / (n.nrm * c.c_nrm) AS sim
   FROM n, c
 ),
@@ -1257,12 +1272,12 @@ q AS (
 ),
 pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
-         list_reduce([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)], (x, y) -> x + y)
-           / (sqrt(list_reduce([x * x FOR x IN a.e], (x, y) -> x + y))
-              * sqrt(list_reduce([x * x FOR x IN b.e], (x, y) -> x + y))) AS cos_full,
-         list_reduce([a.de[i] * b.de[i] FOR i IN range(1, len(a.de) + 1)], (x, y) -> x + y)
-           / (sqrt(list_reduce([x * x FOR x IN a.de], (x, y) -> x + y))
-              * sqrt(list_reduce([x * x FOR x IN b.de], (x, y) -> x + y))) AS cos_q
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN a.e]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN b.e]), (x, y) -> x + y))) AS cos_full,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [a.de[i] * b.de[i] FOR i IN range(1, len(a.de) + 1)]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN a.de]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN b.de]), (x, y) -> x + y))) AS cos_q
   FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,

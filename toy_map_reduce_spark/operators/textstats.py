@@ -372,8 +372,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens("text"),
         lambda s: (F.length(s) * 131 + F.ascii(F.substring(s, 1, 1))).cast("long"),
     )
+    # coalesce: split(NULL) is NULL, but the oracle's list_prepend(0,
+    # NULL) folds to the 0 seed — a NULL doc fingerprints as 0 both sides
     fp = F.aggregate(
-        tok_codes,
+        F.coalesce(tok_codes, F.array().cast("array<long>")),
         F.lit(0).cast("long"),
         lambda h, x: (h * 1000003 + x) % 2147483647,
     )

@@ -459,10 +459,12 @@ def timeseries_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines. Order-independent at any cluster size by construction.
 _MOVING_STATS_ORACLE = """
 WITH daily AS (
+  -- NULL order dates are excluded: they have no day on the window axis,
+  -- and ASC NULL placement differs per engine (would shift every frame)
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(round(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) * 100, 0)
               AS BIGINT) AS rev_c
-  FROM orders GROUP BY day
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY day
 ),
 win AS (
   SELECT day, rev_c,
@@ -500,7 +502,7 @@ def timeseries_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see _MOVING_STATS_ORACLE note) instead of native stddev_samp, whose
     per-engine accumulation order drifted past the round(,6) boundary at
     sf0.1."""
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.round(
             F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")) * 100, 0

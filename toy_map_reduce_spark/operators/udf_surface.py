@@ -187,9 +187,12 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+        # float-with-NaN until the end: a NULL balance must yield a NULL
+        # deviation (astype(int64) would raise), and .sum() skips NaN
+        # exactly like SQL SUM skips NULL
+        cents = (pdf["c_acctbal"] * 100).round()
         out = pdf[["c_custkey", "c_mktsegment"]].copy()
-        out["dev_scaled_cents"] = len(pdf) * cents - cents.sum()
+        out["dev_scaled_cents"] = (len(pdf) * cents - cents.sum()).astype("Int64")
         return out
 
     return cust.groupBy("c_mktsegment").applyInPandas(
@@ -217,17 +220,21 @@ def _group_summary_udtf_cls():
         through SQL's FROM clause."""
 
         def __init__(self) -> None:
+            self._seen = False
             self._lang = None
             self._n = 0
-            self._chars = 0
+            self._chars = None  # SUM semantics: all-NULL group sums to NULL
 
         def eval(self, row):  # noqa: D401
+            self._seen = True
             self._lang = row["lang"]
             self._n += 1
-            self._chars += int(row["n_chars"])
+            v = row["n_chars"]
+            if v is not None:
+                self._chars = (self._chars or 0) + int(v)
 
         def terminate(self):
-            if self._lang is not None:
+            if self._seen:  # the NULL-lang group is a group too
                 yield (self._lang, self._n, self._chars)
 
     return GroupSummaryUDTF

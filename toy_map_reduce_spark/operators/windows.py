@@ -253,10 +253,12 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
+            # try_divide: an all-NULL-price customer (or corpus) has a
+            # zero/NULL denominator — share undefined (NULL, DuckDB's x/0)
             F.round(
-                F.col("o_totalprice") / F.sum("o_totalprice").over(w_cust), 6
+                F.try_divide(F.col("o_totalprice"), F.sum("o_totalprice").over(w_cust)), 6
             ).alias("share_of_customer"),
-            F.round(F.col("o_totalprice") / F.col("grand"), 9).alias("share_of_total"),
+            F.round(F.try_divide(F.col("o_totalprice"), F.col("grand")), 9).alias("share_of_total"),
         )
     )
 
@@ -285,10 +287,16 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     w_rank = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
     w_all = Window.partitionBy("o_custkey")
+    # NULL correction: dense_rank ranks a NULL priority too (rank 1 under
+    # Spark's NULLS FIRST), but COUNT(DISTINCT) ignores NULLs — subtract
+    # the one rank a NULL-bearing partition spends on it
+    has_null = F.max(
+        F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+    ).over(w_all)
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.max(F.dense_rank().over(w_rank)).over(w_all)
+        (F.max(F.dense_rank().over(w_rank)).over(w_all) - has_null)
         .cast("long").alias("n_distinct_priorities"),
     )
 
@@ -347,6 +355,7 @@ WITH seq AS (
                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL  -- session_window(ts) drops NULL event times
 ),
 tagged AS (
   -- the running sum MUST use the same total order (ts, event_id) as the

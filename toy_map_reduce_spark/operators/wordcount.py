@@ -109,7 +109,9 @@ def wordcount_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     counts = (
         docs.select("text").rdd
-        .flatMap(lambda row: [(w, 1) for w in tokenize_py(row.text)])
+        .flatMap(
+            lambda row: [] if row.text is None else [(w, 1) for w in tokenize_py(row.text)]
+        )
         .partitionBy(37, first_char_partition)
         .reduceByKey(lambda a, b: a + b)
     )

@@ -35,11 +35,11 @@ def _scratch(sf_dir: str, name: str) -> str:
 
 
 _CSV_ROUNDTRIP_ORACLE = """
-SELECT l_returnflag,
+SELECT NULLIF(l_returnflag, '') AS l_returnflag,
        round(SUM(round(l_extendedprice, 2)), 2) AS sum_price,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM lineitem
-GROUP BY l_returnflag
+GROUP BY NULLIF(l_returnflag, '')
 """
 
 
@@ -98,10 +98,11 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PARTITIONED_SINK_ORACLE = """
-SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+SELECT NULLIF(o_orderstatus, '') AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
        round(SUM(round(o_totalprice, 2)), 2) AS sum_price
 FROM orders
-GROUP BY o_orderstatus
+GROUP BY NULLIF(o_orderstatus, '')
 """
 
 
@@ -305,7 +306,7 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("_corrupt_record").alias("n_corrupt"),
-        F.count("price").alias("n_clean"),
+        (F.count(F.lit(1)) - F.count("_corrupt_record")).alias("n_clean"),
         F.round(F.sum("price"), 2).alias("clean_price_sum"),
     )
 
@@ -458,16 +459,17 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DYN_OVERWRITE_ORACLE = """
-SELECT l_returnflag,
+SELECT NULLIF(l_returnflag, '') AS l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS cnt,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM (
-  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_returnflag <> 'A'
+  SELECT l_returnflag, l_quantity FROM lineitem
+  WHERE l_returnflag <> 'A' OR l_returnflag IS NULL
   UNION ALL
   SELECT l_returnflag, l_quantity * 2 AS l_quantity
   FROM lineitem WHERE l_returnflag = 'A'
 )
-GROUP BY l_returnflag
+GROUP BY NULLIF(l_returnflag, '')
 """
 
 
@@ -583,11 +585,12 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CSV_QUOTED_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN tricky = concat(c_name, ',"', c_mktsegment, '"')
+       CAST(SUM(CASE WHEN tricky IS NOT DISTINCT FROM
+                     c_name || ',"' || c_mktsegment || '"'
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_intact
 FROM (
   SELECT c_name, c_mktsegment,
-         concat(c_name, ',"', c_mktsegment, '"') AS tricky
+         c_name || ',"' || c_mktsegment || '"' AS tricky
   FROM customer
 )
 """
@@ -613,15 +616,23 @@ def source_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("c_name"), F.lit(',"'), F.col("c_mktsegment"), F.lit('"')).alias("tricky"),
     )
     path = _scratch(sf_dir, "csv_quoted")
-    cust.write.mode("overwrite").option("header", "true").csv(path)
+    # explicit nullValue token: without it CSV writes NULL and '' both as
+    # an empty field and the read collapses '' to NULL — the one lossy
+    # corner of the codec, closed exactly the way a production feed does
+    cust.write.mode("overwrite").option("header", "true").option(
+        "nullValue", "\\N"
+    ).csv(path)
     schema = "c_custkey long, c_name string, c_mktsegment string, tricky string"
-    back = spark.read.schema(schema).option("header", "true").csv(path)
+    back = spark.read.schema(schema).option("header", "true").option(
+        "nullValue", "\\N"
+    ).csv(path)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
             F.when(
-                F.col("tricky")
-                == F.concat(F.col("c_name"), F.lit(',"'), F.col("c_mktsegment"), F.lit('"')),
+                F.col("tricky").eqNullSafe(
+                    F.concat(F.col("c_name"), F.lit(',"'), F.col("c_mktsegment"), F.lit('"'))
+                ),
                 1,
             ).otherwise(0)
         ).cast("bigint").alias("n_intact"),
@@ -652,10 +663,7 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", F.round("o_totalprice", 2).alias("price")
     )
-    good = F.concat(
-        F.lit('{"o_orderkey": '), F.col("o_orderkey").cast("string"),
-        F.lit(', "price": '), F.col("price").cast("string"), F.lit("}"),
-    )
+    good = F.to_json(F.struct("o_orderkey", "price"))
     lines = orders.select(
         F.when(F.col("o_orderkey") % 89 == 7,
                F.substring(good, 1, 20)).otherwise(good).alias("value")
@@ -676,7 +684,7 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("_corrupt_record").alias("n_corrupt"),
-        F.count("price").alias("n_clean"),
+        (F.count(F.lit(1)) - F.count("_corrupt_record")).alias("n_clean"),
         F.round(F.sum("price"), 2).alias("clean_price_sum"),
     )
 

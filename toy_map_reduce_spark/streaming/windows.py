@@ -192,6 +192,7 @@ SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS window_start,
        CAST(COUNT(*) AS BIGINT) AS cnt,
        round(SUM(value), 2) AS sum_value
 FROM events
+WHERE ts IS NOT NULL  -- window(ts) drops NULL event times; so does the oracle
 GROUP BY 1, 2
 """
 
@@ -223,6 +224,7 @@ FROM (
          ]) AS window_start,
          event_type, value
   FROM events
+  WHERE ts IS NOT NULL  -- window(ts) drops NULL event times; so does the oracle
 )
 GROUP BY 1, 2
 """
@@ -252,6 +254,7 @@ WITH ordered AS (
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL  -- session_window(ts) drops NULL event times
 ),
 sessions AS (
   SELECT user_id, ts,
@@ -388,7 +391,9 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_STATEFUL_ORACLE = """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       round(SUM(value), 2) AS sum_value
+       -- COALESCE: the stateful processor's running total starts at 0.0
+       -- and pandas' sum skips NULLs, so an all-NULL group totals 0.0
+       round(COALESCE(SUM(value), 0.0), 2) AS sum_value
 FROM events
 GROUP BY user_id
 """
