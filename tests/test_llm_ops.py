@@ -737,11 +737,15 @@ def test_bbit_minhash_estimator_separates_pairs(spark, planted):
     def agree(a, b):
         return 64 - bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
 
-    # 1-bit agreement expectation is J + (1-J)/2: the long planted pair
-    # (J≈0.87) lands near 60/64, the short pair (J≈0.65, fewer shingles)
-    # near 53/64, unrelated (J≈0) at the 32/64 coin-flip line
-    assert agree(0, 1) >= 56, agree(0, 1)
-    assert agree(2, 3) >= 50, agree(2, 3)
+    # 1-bit agreement expectation is J + (1-J)/2. Exact shingle Jaccards of
+    # this fixture: pair (0,1) J = 0.769 → E[agree] = 56.6, σ ≈ 1.9; pair
+    # (2,3) J = 0.647 → E[agree] = 52.7, σ ≈ 3.0; unrelated J = 0 sits at
+    # the 32/64 coin-flip line, σ = 4. Bounds are ~3σ off expectation so a
+    # legitimate hash-family change (r10: xxhash64 → md5-seeded CW, for
+    # DuckDB parity) re-draws the estimator noise without tripping them,
+    # while the planted/unrelated separation (≥51 vs ≤48) stays strict.
+    assert agree(0, 1) >= 51, agree(0, 1)
+    assert agree(2, 3) >= 46, agree(2, 3)
     assert agree(0, 2) <= 48, agree(0, 2)
 
 

@@ -1128,9 +1128,12 @@ def test_prewarm_staging_plans_match_query_staging(spark, sf_dir):
     from toy_map_reduce_spark.registry import get_spec
 
     staging = prewarm_staging(spark, sf_dir)
-    assert set(staging) == {"shingle_stage", "capped_shingles", "simhash_blocks"}
+    assert set(staging) == {
+        "shingle_stage", "capped_shingles", "simhash_blocks", "minhash_sig",
+    }
     try:
-        for name in ("dedup_containment", "dedup_near", "dedup_simhash_pairs"):
+        for name in ("dedup_containment", "dedup_near", "dedup_near_verified",
+                     "dedup_simhash_pairs"):
             plan = explain_str(get_spec(name).builder(spark, sf_dir), "simple")
             assert "InMemoryTableScan" in plan, (
                 f"{name}: no cache hit after prewarm_staging — the "
