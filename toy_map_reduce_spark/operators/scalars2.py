@@ -830,12 +830,58 @@ def scalar_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scalar_phonetic", "G", oracle=None, bench=False,
+# DuckDB has no soundex builtin, so the oracle carries a full SQL
+# implementation of Spark's algorithm (r10), fuzz-validated against
+# F.soundex on 2.6k adversarial strings (empty/NULL, non-letter-initial
+# identity return, digits/punctuation as code-0 separators, Y separator,
+# H/W transparency incl. through-H duplicate suppression, first-letter
+# code seeding the dedup, non-ASCII). Mechanism: classify each char after
+# the first into its soundex class ('1'-'6', '0' separator, 'H'
+# transparent), then fold left with a 'OUT:LAST' string accumulator —
+# list_reduce visits elements in order, exactly the sequential scan the
+# JVM implementation performs.
+_SX_M1 = "('B','F','P','V')"
+_SX_M2 = "('C','G','J','K','Q','S','X','Z')"
+_SX_CLS = (f"CASE WHEN c IN {_SX_M1} THEN '1' WHEN c IN {_SX_M2} THEN '2' "
+           f"WHEN c IN ('D','T') THEN '3' WHEN c = 'L' THEN '4' "
+           f"WHEN c IN ('M','N') THEN '5' WHEN c = 'R' THEN '6' "
+           f"WHEN c IN ('H','W') THEN 'H' ELSE '0' END")
+_SX_FC = (f"CASE WHEN u[1] IN {_SX_M1} THEN '1' WHEN u[1] IN {_SX_M2} THEN '2' "
+          f"WHEN u[1] IN ('D','T') THEN '3' WHEN u[1] = 'L' THEN '4' "
+          f"WHEN u[1] IN ('M','N') THEN '5' WHEN u[1] = 'R' THEN '6' ELSE '0' END")
+_SX_LAMBDA = ("(st, d) -> CASE "
+              "WHEN d = 'H' THEN st "
+              "WHEN d = '0' THEN split_part(st, ':', 1) || ':0' "
+              "WHEN d = split_part(st, ':', 2) THEN st "
+              "WHEN length(split_part(st, ':', 1)) >= 4 THEN split_part(st, ':', 1) || ':' || d "
+              "ELSE split_part(st, ':', 1) || d || ':' || d END")
+
+_PHONETIC_ORACLE = f"""
+WITH inp AS (SELECT upper(c_name) AS u FROM customer),
+cls AS (SELECT u, [{_SX_CLS} FOR c IN string_split(u, '')[2:]] AS ds FROM inp),
+sx AS (
+  SELECT CASE
+    WHEN u IS NULL THEN NULL
+    WHEN u = '' THEN ''
+    WHEN NOT (u[1] BETWEEN 'A' AND 'Z') THEN u
+    ELSE rpad(split_part(list_reduce(list_prepend(u[1] || ':' || {_SX_FC}, ds), {_SX_LAMBDA}), ':', 1), 4, '0')
+  END AS code
+  FROM cls
+)
+SELECT code,
+       CAST(COUNT(*) AS BIGINT) AS n_names,
+       CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS n_block_pairs
+FROM sx GROUP BY code
+"""
+
+
+@register("scalar_phonetic", "G", oracle=_PHONETIC_ORACLE, bench=False,
           doc="Phonetic matching surface: soundex codes over customer "
               "names plus same-code blocking pair counts — the classic "
               "fuzzy-entity-resolution blocking key beside levenshtein "
-              "(dedup_editdistance) and fingerprinting. Rows-only "
-              "(DuckDB has no soundex); codes golden-pinned in pytest")
+              "(dedup_editdistance) and fingerprinting. Exact-oracle "
+              "since r10 (full soundex re-implemented in DuckDB SQL, "
+              "fuzz-validated); codes also golden-pinned in pytest")
 def scalar_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soundex collapses spelling variants to a 4-char code, making it a
     blocking key: candidate pairs only form within a code bucket —

@@ -191,25 +191,88 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_topk_ivf", "X", oracle=None, bench=True,
-          doc="ANN top-k via IVF coarse cells: per-label centroids as the "
-              "quantizer, query probes nprobe=3 nearest cells, scans only "
-              "those inverted lists. Rows-only; recall pytest-verified")
+IVF_NPROBE = 3
+# centroid quantization step: components round to 1e-6 before the exact
+# integer sum (see the quantizer note in sim_topk_ivf)
+_IVF_QUANT = "1000000.0"
+
+_SIM_TOPK_IVF_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e]), (a, b) -> a + b)) AS nrm
+  FROM d
+),
+cent0 AS (
+  SELECT label,
+         {", ".join(f"SUM(CAST(round(e[{i + 1}] * {_IVF_QUANT}) AS BIGINT)) AS c{i}" for i in range(EMB_DIM))}
+  FROM n GROUP BY label
+),
+cent AS (
+  SELECT label, [{", ".join(f"CAST(c{i} AS DOUBLE)" for i in range(EMB_DIM))}] AS c FROM cent0
+),
+centn AS (
+  SELECT label, c,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN c]), (a, b) -> a + b)) AS c_nrm
+  FROM cent
+),
+q AS (SELECT vec_id AS q_id, e AS q_e, nrm AS q_nrm FROM n WHERE vec_id % {QUERY_STRIDE} = 0),
+qc AS (
+  SELECT q.q_id, q.q_e, q.q_nrm, cn.label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [q.q_e[i] * cn.c[i] FOR i IN range(1, len(cn.c) + 1)]), (x, y) -> x + y)
+           / (q.q_nrm * cn.c_nrm) AS c_sim
+  FROM q, centn cn
+),
+probed AS (
+  SELECT q_id, q_e, q_nrm, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, label ASC) AS rn FROM qc
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.q_id, n.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [p.q_e[i] * n.e[i] FOR i IN range(1, len(n.e) + 1)]), (x, y) -> x + y)
+           / (p.q_nrm * n.nrm) AS sim
+  FROM probed p JOIN n ON n.label = p.label AND n.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rnk, round(sim, 6) AS sim FROM (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("sim_topk_ivf", "X", oracle=_SIM_TOPK_IVF_ORACLE, bench=True,
+          doc="ANN top-k via IVF coarse cells: per-label integer-quantized "
+              "centroid sums as the quantizer, query probes nprobe=3 "
+              "nearest cells, scans only those inverted lists. Exact-oracle "
+              "since r10; recall pytest-verified")
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nprobe = 3
+    nprobe = IVF_NPROBE
     emb = load(spark, sf_dir, "embeddings")
     data = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e")).withColumn(
         "nrm", _norm(F.col("e"))
     )
 
-    # coarse quantizer: centroid per label cell (tiny → broadcast)
+    # coarse quantizer (r10): the cell vector is the SUM of components
+    # quantized to 1e-6 integers, not the float avg. Cosine is invariant
+    # to positive scaling, so dropping the 1/n (and the 1e-6 step) leaves
+    # the cell geometry intact while making the aggregate EXACT integer
+    # arithmetic — order-independent under any shuffle/partial-agg order
+    # (the property a 1000-executor cluster needs; a double avg() here was
+    # margin-sensitive in probe selection) and bit-reproducible in the
+    # DuckDB twin. try_element_at: a zero-dim vector has no i-th component
+    # (NULL, skipped by SUM), not an ANSI index error. Magnitudes: |x|≲1,
+    # so each term ≲1e6 and a cell of 2e9 vectors stays under 2^53 — the
+    # later double cast is exact at any realistic scale.
     dim_cols = [
-        # try_element_at: a zero-dim vector has no i-th component (NULL),
-        # not an ANSI index error
-        F.avg(F.try_element_at("e", F.lit(i + 1))).alias(f"c{i}") for i in range(EMB_DIM)
+        F.expr(f"sum(cast(round(try_element_at(e, {i + 1}) * {_IVF_QUANT}) as bigint))").alias(f"c{i}")
+        for i in range(EMB_DIM)
     ]
     centroids = data.groupBy("label").agg(*dim_cols).select(
-        "label", F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("c")
+        "label", F.array(*[F.col(f"c{i}").cast("double") for i in range(EMB_DIM)]).alias("c")
     ).withColumn("c_nrm", _norm(F.col("c")))
 
     q = _queries(spark, sf_dir)
