@@ -105,13 +105,28 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _plane_literals() -> list[list[list[float]]]:
-    """LSH_TABLES × LSH_BITS × EMB_DIM hyperplane tensor from a fixed-seed
-    PRNG — deterministic at plan build time (no runtime randomness; the
-    driver re-runs queries and hash-compares)."""
-    rng = random.Random(20240813)
+    """LSH_TABLES × LSH_BITS × EMB_DIM hyperplane tensor, each component
+    md5-derived (r10): plane[t][b][d] = int(first 8 hex of
+    md5('lshplane:t:b:d')) / 2³¹ − 1 ∈ [−1, 1). Deterministic at plan
+    build time (no runtime randomness; the driver re-runs queries and
+    hash-compares) AND exactly representable cross-engine — the integer
+    is exact in a double and the divisor is a power of two, so the DuckDB
+    oracle RECOMPUTES the same doubles from md5 instead of embedding 4096
+    literals. For random-hyperplane LSH the md5-uniform family is
+    distributionally equivalent to the seeded PRNG it replaced."""
+    import hashlib
+
     return [
-        [[rng.uniform(-1.0, 1.0) for _ in range(EMB_DIM)] for _ in range(LSH_BITS)]
-        for _ in range(LSH_TABLES)
+        [
+            [
+                int(hashlib.md5(f"lshplane:{t}:{b}:{d}".encode()).hexdigest()[:8], 16)
+                / 2147483648.0
+                - 1.0
+                for d in range(EMB_DIM)
+            ]
+            for b in range(LSH_BITS)
+        ]
+        for t in range(LSH_TABLES)
     ]
 
 
@@ -130,8 +145,18 @@ def _make_signature_udf():
         valid = np.array([v is not None and len(v) == EMB_DIM for v in vals])
         out = [None] * len(vals)
         if valid.any():
-            mat = np.stack(vals[valid])  # k × D (float32 ok, upcast below)
-            bits = (mat.astype(np.float64) @ proj) > 0  # k × (L·B)
+            mat = np.stack(vals[valid]).astype(np.float64)  # k × D
+            # dimension-ordered accumulation, NOT a BLAS matmul: each step
+            # rounds acc + e[d]·p[d] once, replaying the exact IEEE op
+            # sequence of a left fold over d — the same k-ordered-loop
+            # trick as knn_graph_blocked's kernel — so the sign bits are
+            # bit-identical to the DuckDB oracle's list_reduce dot (a
+            # matmul's reduction order is unspecified and can flip a
+            # near-zero projection's sign)
+            acc = np.zeros((len(mat), LSH_TABLES * LSH_BITS), dtype=np.float64)
+            for di in range(EMB_DIM):
+                acc += np.outer(mat[:, di], proj[di, :])
+            bits = acc > 0  # k × (L·B)
             per_table = bits.reshape(len(mat), LSH_TABLES, LSH_BITS)
             buckets = (per_table * weights).sum(axis=2)  # k × L
             for idx, b in zip(np.nonzero(valid)[0], buckets):
@@ -141,11 +166,64 @@ def _make_signature_udf():
     return signatures
 
 
-@register("sim_topk_lsh", "X", oracle=None, bench=True,
+# The signature CTEs recompute the SAME md5-derived plane tensor as
+# _plane_literals and fold the projection in the same d order as the
+# Arrow kernel, so bucket assignments — and therefore the candidate set —
+# are bit-identical cross-engine. Shared with the sim_ann_eval oracle.
+_LSH_SIG_CTES = f"""
+pl0 AS (
+  SELECT t.range AS t, b.range AS b, dno.range AS dno,
+         ('0x' || substr(md5('lshplane:' || t.range || ':' || b.range || ':' || dno.range), 1, 8))::BIGINT
+           / 2147483648.0 - 1.0 AS val
+  FROM range({LSH_TABLES}) t, range({LSH_BITS}) b, range({EMB_DIM}) dno
+),
+pl AS (SELECT t, b, list(val ORDER BY dno) AS p FROM pl0 GROUP BY t, b),
+vb AS (
+  SELECT n.vec_id, pl.t AS tbl,
+         SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [n.e[i] * pl.p[i] FOR i IN range(1, {EMB_DIM} + 1)]), (x, y) -> x + y) > 0
+             THEN (1::BIGINT << pl.b) ELSE 0 END) AS bucket
+  FROM n, pl
+  WHERE len(n.e) = {EMB_DIM}
+  GROUP BY n.vec_id, pl.t
+),
+qb AS (SELECT vec_id AS q_id, tbl, bucket FROM vb WHERE vec_id % {QUERY_STRIDE} = 0),
+lsh_cand AS (
+  SELECT DISTINCT qb.q_id, vb.vec_id
+  FROM vb JOIN qb ON vb.tbl = qb.tbl AND vb.bucket = qb.bucket AND vb.vec_id <> qb.q_id
+)"""
+
+_SIM_TOPK_LSH_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e]), (a, b) -> a + b)) AS nrm
+  FROM d
+),{_LSH_SIG_CTES},
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [a.e[i] * v.e[i] FOR i IN range(1, len(v.e) + 1)]), (x, y) -> x + y)
+           / (a.nrm * v.nrm) AS sim
+  FROM lsh_cand c
+  JOIN n a ON a.vec_id = c.q_id
+  JOIN n v ON v.vec_id = c.vec_id
+)
+SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rnk, round(sim, 6) AS sim FROM (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("sim_topk_lsh", "X", oracle=_SIM_TOPK_LSH_ORACLE, bench=True,
           doc="ANN top-k via multi-table random-hyperplane LSH (8 tables × "
               "8 bits, candidate if any table's bucket matches); signatures "
-              "via one vectorized Arrow-batch matmul. Approximate → "
-              "rows-only; recall vs sim_topk pytest-verified")
+              "via one dimension-ordered Arrow-batch accumulation. "
+              "Exact-oracle since r10 (md5-derived planes + IEEE-order-"
+              "pinned projection); recall vs sim_topk pytest-verified")
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures = _make_signature_udf()
 
@@ -1220,12 +1298,144 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_eval", "X", oracle=None, bench=False,
+def _ann_eval_method_sql(method: str, top_cte: str) -> str:
+    ne = "(SELECT COUNT(*) FROM exact_top)"
+    nh = (f"(SELECT COUNT(*) FROM {top_cte} t JOIN exact_top e "
+          f"ON t.q_id = e.q_id AND t.vec_id = e.vec_id)")
+    return (
+        f"SELECT '{method}' AS method, CAST({ne} AS BIGINT) AS n_exact, "
+        f"CAST({nh} AS BIGINT) AS n_hits, "
+        f"CAST(CASE WHEN {ne} = 0 THEN 1000000 ELSE (1000000 * {nh}) // {ne} END AS BIGINT) AS recall_micro"
+    )
+
+
+# One mega-oracle composing all four search paths' SQL twins (exact, LSH,
+# IVF, PQ — each textually mirroring its standalone oracle with prefixed
+# CTE names) and comparing top-k pair sets — possible since r10 because
+# LSH and IVF gained exact twins.
+_SIM_ANN_EVAL_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN e]), (a, b) -> a + b)) AS nrm
+  FROM d
+),
+q AS (SELECT vec_id AS q_id, e AS q_e, nrm AS q_nrm FROM n WHERE vec_id % {QUERY_STRIDE} = 0),
+ex_scored AS (
+  SELECT q.q_id, n.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [q.q_e[i] * n.e[i] FOR i IN range(1, len(n.e) + 1)]), (x, y) -> x + y)
+           / (q.q_nrm * n.nrm) AS sim
+  FROM q, n WHERE n.vec_id <> q.q_id
+),
+exact_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM ex_scored
+  ) WHERE rn <= {TOP_K}
+),{_LSH_SIG_CTES},
+lsh_scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [a.e[i] * v.e[i] FOR i IN range(1, len(v.e) + 1)]), (x, y) -> x + y)
+           / (a.nrm * v.nrm) AS sim
+  FROM lsh_cand c JOIN n a ON a.vec_id = c.q_id JOIN n v ON v.vec_id = c.vec_id
+),
+lsh_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM lsh_scored
+  ) WHERE rn <= {TOP_K}
+),
+cent0 AS (
+  SELECT label,
+         {", ".join(f"SUM(CAST(round(e[{i + 1}] * {_IVF_QUANT}) AS BIGINT)) AS c{i}" for i in range(EMB_DIM))}
+  FROM n GROUP BY label
+),
+centn AS (
+  SELECT label, c,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [x * x FOR x IN c]), (a, b) -> a + b)) AS c_nrm
+  FROM (SELECT label, [{", ".join(f"CAST(c{i} AS DOUBLE)" for i in range(EMB_DIM))}] AS c FROM cent0)
+),
+qc AS (
+  SELECT q.q_id, q.q_e, q.q_nrm, cn.label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [q.q_e[i] * cn.c[i] FOR i IN range(1, len(cn.c) + 1)]), (x, y) -> x + y)
+           / (q.q_nrm * cn.c_nrm) AS c_sim
+  FROM q, centn cn
+),
+probed AS (
+  SELECT q_id, q_e, q_nrm, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, label ASC) AS rn FROM qc
+  ) WHERE rn <= {IVF_NPROBE}
+),
+ivf_scored AS (
+  SELECT p.q_id, n.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [p.q_e[i] * n.e[i] FOR i IN range(1, len(n.e) + 1)]), (x, y) -> x + y)
+           / (p.q_nrm * n.nrm) AS sim
+  FROM probed p JOIN n ON n.label = p.label AND n.vec_id <> p.q_id
+),
+ivf_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM ivf_scored
+  ) WHERE rn <= {TOP_K}
+),
+halves AS (
+  SELECT vec_id, 1 AS half, e[1:{PQ_HALF}] AS h FROM d
+  UNION ALL
+  SELECT vec_id, 2 AS half, e[{PQ_HALF + 1}:{2 * PQ_HALF}] AS h FROM d
+),
+pq_cents AS (
+  SELECT vec_id AS cid, half, h AS c FROM halves WHERE vec_id < {PQ_CENTROIDS}
+),
+pq_dists AS (
+  SELECT v.vec_id, v.half, c.cid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, {PQ_HALF} + 1),
+                                    i -> (v.h[i] - c.c[i]) * (v.h[i] - c.c[i]))),
+                     (a, b) -> a + b) AS dist
+  FROM halves v JOIN pq_cents c ON c.half = v.half
+),
+pq_best AS (
+  SELECT vec_id, half, cid, dist,
+         row_number() OVER (PARTITION BY vec_id, half ORDER BY dist, cid) AS rn
+  FROM pq_dists
+),
+pq_codes AS (
+  SELECT c1.vec_id, c1.cid AS code1, c2.cid AS code2
+  FROM (SELECT vec_id, cid FROM pq_best WHERE half = 1 AND rn = 1) c1
+  JOIN (SELECT vec_id, cid FROM pq_best WHERE half = 2 AND rn = 1) c2 USING (vec_id)
+),
+pq_lut AS (
+  SELECT pd.vec_id AS q_id, pd.half, pd.cid, pd.dist
+  FROM pq_dists pd WHERE pd.vec_id % {QUERY_STRIDE} = 0
+),
+pq_scored AS (
+  SELECT l1.q_id, v.vec_id, l1.dist + l2.dist AS adist
+  FROM pq_codes v
+  JOIN pq_lut l1 ON l1.half = 1 AND l1.cid = v.code1
+  JOIN pq_lut l2 ON l2.half = 2 AND l2.cid = v.code2 AND l2.q_id = l1.q_id
+  WHERE v.vec_id <> l1.q_id
+),
+pq_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+    FROM pq_scored
+  ) WHERE rn <= {TOP_K}
+)
+{_ann_eval_method_sql("sim_topk", "exact_top")}
+UNION ALL {_ann_eval_method_sql("sim_topk_lsh", "lsh_top")}
+UNION ALL {_ann_eval_method_sql("sim_topk_ivf", "ivf_top")}
+UNION ALL {_ann_eval_method_sql("sim_topk_pq", "pq_top")}
+"""
+
+
+@register("sim_ann_eval", "X", oracle=_SIM_ANN_EVAL_ORACLE, bench=False,
           doc="ANN quality report: recall@5 of the LSH, IVF, and PQ-ADC "
               "search paths against exact brute-force cosine top-k, as "
               "micro-ints per method — the tuning feedback loop for the "
               "ANN family (dedup_lsh_eval's counterpart for similarity "
-              "search). Rows-only; invariants pytest-pinned")
+              "search). Exact-oracle since r10 (all four paths have SQL "
+              "twins)")
 def sim_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How an ANN index's knobs (tables×bits, nprobe, codebook size) get
     validated before a corpus-wide run: measure recall on the query
