@@ -10,10 +10,11 @@ sf0.1 drift class). This script runs EVERY oracle-backed query twice —
 under a coarse layout (128 MB scan splits, 4 shuffle partitions) and a
 fine one (128 KB splits, 17 shuffle partitions), the two knobs that
 change accumulation order in local mode — and asserts canonically
-identical results. The 26 rows-only queries are excluded by the same
-rule the pytest suite documents: their semantics are legitimately
-layout-dependent (LSH banding, approximate sketches) or they return
-run-stamped artifacts, and each is behavior-pinned in pytest instead.
+identical results. The rows-only queries (15 since the r10 oracle
+promotions) are excluded by the same rule the pytest suite documents:
+their semantics are legitimately layout-dependent (approximate
+sketches) or they return run-stamped/engine-introspection artifacts,
+and each is behavior-pinned in pytest instead.
 
 Usage:
     python scripts/determinism_report.py DETERMINISM_r10.json

@@ -78,15 +78,28 @@ def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
                 rec["oracle_rows"] = int(len(odf))
                 rec["rows_match"] = len(sdf) == len(odf)
                 rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+                srows = canonical_rows(sdf) if rec["rows_match"] else None
+                orows = canonical_rows(odf) if rec["rows_match"] else None
                 rec["hash_match"] = (
                     rec["rows_match"]
                     and rec["schema_match"]
-                    and canonical_rows(sdf) == canonical_rows(odf)
+                    and srows == orows
                 )
                 if rec["hash_match"]:
                     n_pass += 1
                 else:
                     n_fail += 1
+                    # capture the diverging values IN the artifact: a
+                    # transient mismatch (seen once: timeseries_holt on
+                    # the edge dir, unreproducible in isolation) is
+                    # undiagnosable from a bare hash_match=false — the
+                    # actual row text is what a post-mortem needs
+                    if srows is not None and srows != orows:
+                        rec["diff_sample"] = [
+                            {"spark": list(s), "oracle": list(o)}
+                            for s, o in zip(srows, orows)
+                            if s != o
+                        ][:5]
         except Exception as exc:  # noqa: BLE001 — record, don't abort the sweep
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
             n_fail += 1

@@ -21,8 +21,10 @@ stddev/variance/covariance family passes because its round() margins are
 if a future dataset or code change erodes that margin.
 
 Queries with legitimately order-dependent semantics (approximate
-sketches whose merge order shifts estimates, LSH banding) are excluded
-— they are rows-only in the parity contract for the same reason.
+sketches whose merge order shifts estimates) are excluded — they are
+rows-only in the parity contract for the same reason. (The LSH/minhash
+family left this exclusion in r10: its md5-derived hashes are fully
+deterministic, so it is now swept like any other oracle-backed query.)
 """
 
 from __future__ import annotations
