@@ -30,7 +30,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
-    entries (no exact SQL oracle — e.g. approximate/LSH ops) are omitted."""
+    entries (no exact SQL oracle — true sketches, binary-codec multimodal
+    ops, iterative BPE, plan-introspection reports; 15 of 414 since the
+    r10 promotions) are omitted."""
     return {
         name: spec.oracle
         for name, spec in all_specs().items()

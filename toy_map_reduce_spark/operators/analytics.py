@@ -53,10 +53,10 @@ flagged AS (
                    OR lag(ts_sec) OVER w IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM ev
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec NULLS FIRST, event_id NULLS FIRST)
 ),
 sessions AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec NULLS FIRST, event_id NULLS FIRST
                               ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 )
@@ -171,13 +171,13 @@ WITH ev AS (
 ),
 dedup AS (
   SELECT * FROM (
-    SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_type
+    SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec NULLS FIRST, event_id NULLS FIRST) AS prev_type
     FROM ev
   ) WHERE prev_type IS NULL OR prev_type <> event_type
 ),
 ranged AS (
   SELECT user_id, event_type, ts_sec AS effective_from,
-         lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS effective_to
+         lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec NULLS FIRST, event_id NULLS FIRST) AS effective_to
   FROM dedup
 )
 SELECT user_id, event_type, effective_from, effective_to,
@@ -217,7 +217,7 @@ _AGG_MODE_ORACLE = """
 SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS cnt
 FROM (
   SELECT user_id, event_type, COUNT(*) AS cnt,
-         row_number() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC NULLS LAST, event_type ASC NULLS FIRST) AS rn
   FROM events
   GROUP BY user_id, event_type
 ) WHERE rn = 1
@@ -374,9 +374,9 @@ WITH rfm AS (
 ),
 scored AS (
   SELECT custkey, frequency,
-         ntile(4) OVER (ORDER BY last_order, custkey) AS r_score,
-         ntile(4) OVER (ORDER BY frequency, custkey) AS f_score,
-         ntile(4) OVER (ORDER BY monetary, custkey) AS m_score
+         ntile(4) OVER (ORDER BY last_order NULLS FIRST, custkey NULLS FIRST) AS r_score,
+         ntile(4) OVER (ORDER BY frequency NULLS FIRST, custkey NULLS FIRST) AS f_score,
+         ntile(4) OVER (ORDER BY monetary NULLS FIRST, custkey NULLS FIRST) AS m_score
   FROM rfm
 )
 SELECT CAST(r_score AS INTEGER) AS r_score,
@@ -465,7 +465,7 @@ WITH months AS (
 ),
 grp AS (
   SELECT custkey, m,
-         m - row_number() OVER (PARTITION BY custkey ORDER BY m) AS island_key
+         m - row_number() OVER (PARTITION BY custkey ORDER BY m NULLS FIRST) AS island_key
   FROM months
 )
 SELECT custkey,
@@ -511,7 +511,7 @@ _TRANSITIONS_ORACLE = """
 WITH ordered AS (
   SELECT user_id, event_type,
          lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY date_trunc('second', ts), event_id)
+                                ORDER BY date_trunc('second', ts) NULLS FIRST, event_id NULLS FIRST)
            AS next_type
   FROM events
 )
@@ -589,7 +589,7 @@ WITH cust AS (
 ),
 ranked AS (
   SELECT o_custkey, rev_cents,
-         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC NULLS LAST, o_custkey NULLS FIRST
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS cum_cents,
          CAST(SUM(rev_cents) OVER () AS BIGINT) AS total_cents
@@ -750,7 +750,7 @@ WITH pts AS (
 ),
 rated AS (
   SELECT user_id,
-         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_sec NULLS FIRST
                              RANGE BETWEEN INTERVAL 60 SECOND PRECEDING
                                    AND CURRENT ROW) AS BIGINT) AS trailing_min_cnt
   FROM pts
@@ -842,7 +842,7 @@ WITH cust AS (
 ),
 ranked AS (
   SELECT cents,
-         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+         CAST(row_number() OVER (ORDER BY cents NULLS FIRST, o_custkey NULLS FIRST) AS BIGINT) AS i
   FROM cust WHERE cents IS NOT NULL
 ),
 sums AS (
@@ -904,9 +904,9 @@ _LONGEST_STREAK_ORACLE = """
 WITH ordered AS (
   SELECT user_id, event_type,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY date_trunc('second', ts), event_id) AS rn,
+                            ORDER BY date_trunc('second', ts) NULLS FIRST, event_id NULLS FIRST) AS rn,
          row_number() OVER (PARTITION BY user_id, event_type
-                            ORDER BY date_trunc('second', ts), event_id) AS rn_t
+                            ORDER BY date_trunc('second', ts) NULLS FIRST, event_id NULLS FIRST) AS rn_t
   FROM events
 ),
 runs AS (
@@ -965,7 +965,7 @@ conv AS (
 pre AS (
   SELECT e.user_id, e.event_type, e.ts_sec, e.event_id,
          row_number() OVER (PARTITION BY e.user_id
-                            ORDER BY e.ts_sec, e.event_id) AS rn
+                            ORDER BY e.ts_sec NULLS FIRST, e.event_id NULLS FIRST) AS rn
   FROM ev e JOIN conv c ON e.user_id = c.user_id
   WHERE e.ts_sec < c.conv_ts
 ),
@@ -977,7 +977,7 @@ paths AS (
 )
 SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM paths GROUP BY path
-ORDER BY n_users DESC, path
+ORDER BY n_users DESC NULLS LAST, path NULLS FIRST
 LIMIT {PATH_TOP}
 """
 
@@ -1030,7 +1030,7 @@ WITH g AS (
   SELECT o_custkey, o_orderdate, o_orderkey,
          date_diff('day',
                    lag(CAST(o_orderdate AS DATE))
-                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey),
                    CAST(o_orderdate AS DATE)) AS gap_days
   FROM orders
 )
@@ -1089,7 +1089,7 @@ dau AS (
 )
 SELECT d.day,
        CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
-       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day NULLS FIRST
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
        CAST(d.dau AS BIGINT) AS dau
 FROM dau d LEFT JOIN new_by_day n ON d.day = n.day
@@ -1172,7 +1172,7 @@ WITH tagged AS (
 seg AS (
   SELECT *,
          SUM(is_p) OVER (PARTITION BY user_id
-                         ORDER BY ts DESC, is_p ASC, event_id DESC
+                         ORDER BY ts DESC NULLS LAST, is_p ASC NULLS FIRST, event_id DESC NULLS LAST
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS seg_id
   FROM tagged
@@ -1425,10 +1425,10 @@ halves AS (
 SELECT event_type,
        CAST(n_first AS BIGINT) AS n_first,
        CAST(n_second AS BIGINT) AS n_second,
-       CAST(rank() OVER (ORDER BY n_first DESC, event_type NULLS LAST) AS INTEGER) AS rank_first,
-       CAST(rank() OVER (ORDER BY n_second DESC, event_type NULLS LAST) AS INTEGER) AS rank_second,
-       CAST(CAST(rank() OVER (ORDER BY n_first DESC, event_type NULLS LAST) AS INTEGER)
-            - CAST(rank() OVER (ORDER BY n_second DESC, event_type NULLS LAST) AS INTEGER)
+       CAST(rank() OVER (ORDER BY n_first DESC NULLS LAST, event_type NULLS LAST) AS INTEGER) AS rank_first,
+       CAST(rank() OVER (ORDER BY n_second DESC NULLS LAST, event_type NULLS LAST) AS INTEGER) AS rank_second,
+       CAST(CAST(rank() OVER (ORDER BY n_first DESC NULLS LAST, event_type NULLS LAST) AS INTEGER)
+            - CAST(rank() OVER (ORDER BY n_second DESC NULLS LAST, event_type NULLS LAST) AS INTEGER)
             AS INTEGER) AS rank_gain
 FROM halves
 """
@@ -1646,14 +1646,14 @@ def orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MARKOV_ACC_ORACLE = """
 WITH seq AS (
   SELECT user_id, event_type,
-         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS nxt
   FROM events
 ),
 pairs AS (SELECT event_type AS cur, nxt FROM seq WHERE nxt IS NOT NULL),
 trans AS (SELECT cur, nxt, COUNT(*) AS n FROM pairs GROUP BY cur, nxt),
 pred AS (
   SELECT cur, nxt AS predicted FROM (
-    SELECT cur, nxt, row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt) AS rn
+    SELECT cur, nxt, row_number() OVER (PARTITION BY cur ORDER BY n DESC NULLS LAST, nxt NULLS FIRST) AS rn
     FROM trans
   ) WHERE rn = 1
 )
@@ -1877,17 +1877,17 @@ def orders_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COPRESENCE_ORACLE = """
 WITH seq AS (
   SELECT user_id, event_type, ts, event_id,
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                    IS NULL
                    OR date_diff('second',
-                                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
                                 ts) > 1800
               THEN 1 ELSE 0 END AS new_s
   FROM events
 ),
 tagged AS (
   SELECT user_id, event_type,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_no
   FROM seq
@@ -2183,7 +2183,7 @@ byv AS (
 ),
 mr AS (
   SELECT v, cnt, tot_v,
-         COALESCE(SUM(cnt) OVER (ORDER BY v DESC
+         COALESCE(SUM(cnt) OVER (ORDER BY v DESC NULLS LAST
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
          SUM(cnt) OVER () AS n
   FROM byv
@@ -2200,7 +2200,7 @@ SELECT g.decile,
        CAST(g.n_users AS BIGINT) AS n_users,
        round(g.rev, 2) AS revenue,
        round(g.rev / tot.grand, 6) AS revenue_share,
-       round(SUM(g.rev) OVER (ORDER BY g.decile
+       round(SUM(g.rev) OVER (ORDER BY g.decile NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.grand, 6)
          AS cum_share
 FROM g CROSS JOIN tot

@@ -53,7 +53,7 @@ df AS (
   FROM (SELECT DISTINCT doc_id, chunk FROM ch)
   GROUP BY chunk
 ),
-hot AS (SELECT chunk FROM df ORDER BY df DESC, chunk LIMIT {TOP_BOILERPLATE}),
+hot AS (SELECT chunk FROM df ORDER BY df DESC NULLS LAST, chunk NULLS FIRST LIMIT {TOP_BOILERPLATE}),
 flagged AS (
   SELECT c.doc_id, c.idx, c.chunk, h.chunk IS NOT NULL AS bp
   FROM ch c LEFT JOIN hot h ON c.chunk = h.chunk
@@ -261,7 +261,7 @@ tot AS (
   FROM flagged GROUP BY doc_id
 ),
 runs AS (
-  SELECT doc_id, idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+  SELECT doc_id, idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx NULLS FIRST) AS grp
   FROM flagged WHERE dup
 ),
 longest AS (

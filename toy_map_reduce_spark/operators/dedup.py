@@ -1211,7 +1211,7 @@ WITH p AS (
 g AS (
   SELECT md5(prefix) AS prefix_hash, doc_id, norm_len,
          row_number() OVER (PARTITION BY md5(prefix)
-                            ORDER BY norm_len DESC, doc_id ASC) AS rn,
+                            ORDER BY norm_len DESC NULLS LAST, doc_id ASC) AS rn,
          COUNT(*) OVER (PARTITION BY md5(prefix)) AS n_docs
   FROM p WHERE length(prefix) = {PREFIX_LEN}
 )

@@ -139,9 +139,9 @@ WITH tagged AS (
   GROUP BY round(value, {SCORE_QUANT})
 ),
 cum AS (
-  SELECT SUM(da) OVER (ORDER BY value
+  SELECT SUM(da) OVER (ORDER BY value NULLS FIRST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
-         SUM(db) OVER (ORDER BY value
+         SUM(db) OVER (ORDER BY value NULLS FIRST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
          SUM(da) OVER () AS na,
          SUM(db) OVER () AS nb
@@ -306,7 +306,7 @@ cum AS (
   SELECT l_returnflag, l_extendedprice,
          SUM(w) OVER (
            PARTITION BY l_returnflag
-           ORDER BY l_extendedprice
+           ORDER BY l_extendedprice NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
   FROM vals
 ),

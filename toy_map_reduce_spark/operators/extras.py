@@ -673,7 +673,7 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 LEFT JOIN LATERAL (
   SELECT event_id FROM events v
   WHERE v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
-  ORDER BY v.ts DESC, v.event_id DESC
+  ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST
   LIMIT 1
 ) v ON TRUE
 """
@@ -840,7 +840,7 @@ LEFT JOIN LATERAL (
   SELECT event_id AS view_id
   FROM events
   WHERE event_type = 'view' AND user_id = c.user_id AND ts >= c.ts
-  ORDER BY ts, event_id
+  ORDER BY ts NULLS FIRST, event_id NULLS FIRST
   LIMIT 1
 ) v ON TRUE
 """
@@ -945,12 +945,12 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
 LEFT JOIN LATERAL (
   SELECT ts, event_id AS view_id FROM events
   WHERE event_type = 'view' AND user_id = c.user_id AND ts < c.ts
-  ORDER BY ts DESC, event_id DESC LIMIT 1
+  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST LIMIT 1
 ) p ON TRUE
 LEFT JOIN LATERAL (
   SELECT ts, event_id AS view_id FROM events
   WHERE event_type = 'view' AND user_id = c.user_id AND ts >= c.ts
-  ORDER BY ts ASC, event_id ASC LIMIT 1
+  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST LIMIT 1
 ) n ON TRUE
 """
 
@@ -1020,7 +1020,7 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
 LEFT JOIN LATERAL (
   SELECT event_id AS view_id, ts FROM events
   WHERE event_type = 'view' AND user_id = c.user_id AND ts <= c.ts
-  ORDER BY ts DESC, event_id DESC LIMIT 1
+  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST LIMIT 1
 ) v ON TRUE
 """
 

@@ -21,9 +21,9 @@ from toy_map_reduce_spark.tables import load
 
 _WINDOW_RANGE_ORACLE = """
 SELECT o_custkey, o_orderkey, o_totalprice,
-       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice NULLS FIRST
                            RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_similar,
-       round(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+       round(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice NULLS FIRST
                                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS sum_similar
 FROM orders
 """
@@ -676,7 +676,7 @@ latest AS (
   SELECT user_id, op, value FROM (
     SELECT user_id, op, value,
            row_number() OVER (PARTITION BY user_id
-                              ORDER BY ts DESC, event_id DESC) AS rn
+                              ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
     FROM log
   ) WHERE rn = 1
 )
@@ -725,7 +725,7 @@ EQUIDEPTH_BUCKETS = 8
 _EQUIDEPTH_ORACLE = f"""
 WITH t AS (
   SELECT o_totalprice,
-         ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+         ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS bucket
   FROM orders WHERE o_totalprice IS NOT NULL
 )
 SELECT CAST(bucket AS INTEGER) AS bucket,

@@ -82,7 +82,7 @@ def feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTILE_BUCKET_ORACLE = f"""
 WITH b AS (
   SELECT l_extendedprice,
-         ntile({N_BUCKETS}) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+         ntile({N_BUCKETS}) OVER (ORDER BY l_extendedprice NULLS FIRST, l_orderkey, l_linenumber NULLS FIRST)
            AS bucket
   FROM lineitem WHERE l_extendedprice IS NOT NULL
 )

@@ -408,7 +408,7 @@ FROM {c} AS c,
 LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS top_price
          FROM {o}
          WHERE o_custkey = c.c_custkey
-         ORDER BY o_totalprice DESC, o_orderkey
+         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
          LIMIT 2) AS o
 """
 
@@ -685,7 +685,7 @@ cand AS (
 ),
 best AS (
   SELECT *, row_number() OVER (PARTITION BY mention_id
-                               ORDER BY dist, name) AS rn
+                               ORDER BY dist NULLS FIRST, name NULLS FIRST) AS rn
   FROM cand
 )
 SELECT m.mention_id, m.mention, b.name AS matched,
@@ -896,7 +896,7 @@ FROM customer c,
      LATERAL (
        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
        FROM orders o WHERE o.o_custkey = c.c_custkey
-       ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 2
+       ORDER BY o.o_totalprice DESC NULLS LAST, o.o_orderkey ASC LIMIT 2
      ) t
 """
 

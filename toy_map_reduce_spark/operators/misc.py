@@ -36,7 +36,7 @@ SELECT o_custkey, o_orderkey,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cume
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC)
 """
 
 
@@ -125,13 +125,13 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SORT_OFFSET_ORACLE = """
 SELECT o_orderkey, o_totalprice
 FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC
+ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
 LIMIT 50 OFFSET 100
 """
 
 
 @register("sort_limit_offset", "G", oracle=_SORT_OFFSET_ORACLE,
-          doc="Keyset-free pagination: ORDER BY ... LIMIT with OFFSET "
+          doc="Keyset-free pagination: ORDER BY ... NULLS FIRST LIMIT with OFFSET "
               "(deterministic via unique-key tiebreak)")
 def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")

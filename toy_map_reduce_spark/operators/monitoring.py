@@ -81,7 +81,7 @@ WITH monthly AS (
 ),
 f AS (
   SELECT month, revenue,
-         lag(revenue, {SEASON_LAG}) OVER (ORDER BY month) AS forecast
+         lag(revenue, {SEASON_LAG}) OVER (ORDER BY month NULLS FIRST) AS forecast
   FROM monthly
 )
 SELECT month,
@@ -138,7 +138,7 @@ _BOT_ORACLE = f"""
 WITH gaps AS (
   SELECT user_id, ts,
          date_diff('microsecond',
-                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
                    ts) AS gap_us
   FROM events
 ),
@@ -206,7 +206,7 @@ WITH RECURSIVE d0 AS (
   FROM events GROUP BY 1
 ),
 daily AS (
-  SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM d0
+  SELECT day, n, row_number() OVER (ORDER BY day NULLS FIRST) AS rn FROM d0
 ),
 mu AS (SELECT AVG(n) AS mu, COUNT(*) AS n_days FROM daily),
 c AS (
@@ -216,7 +216,7 @@ c AS (
   SELECT d.rn, d.day, GREATEST(0, c.s + d.n - m.mu) AS s
   FROM c JOIN daily d ON d.rn = c.rn + 1, mu m
 ),
-peak AS (SELECT day, s FROM c ORDER BY s DESC, day ASC LIMIT 1)
+peak AS (SELECT day, s FROM c ORDER BY s DESC NULLS LAST, day ASC NULLS FIRST LIMIT 1)
 SELECT CAST(m.n_days AS BIGINT) AS n_days,
        round(m.mu, 4) AS mu,
        round(p.s, 4) AS max_cusum,
@@ -290,7 +290,7 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MONOTONIC_ORACLE = """
 WITH seq AS (
   SELECT user_id, event_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id NULLS FIRST) AS prev_ts
   FROM events
 )
 SELECT user_id,
@@ -338,9 +338,9 @@ WITH daily AS (
 ),
 cum AS (
   SELECT day, n, n_err,
-         SUM(n) OVER (ORDER BY day
+         SUM(n) OVER (ORDER BY day NULLS FIRST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
-         SUM(n_err) OVER (ORDER BY day
+         SUM(n_err) OVER (ORDER BY day NULLS FIRST
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_err
   FROM daily
 )

@@ -135,7 +135,7 @@ WITH sized AS (
 ),
 ranked AS (
   SELECT doc_id, n_tokens,
-         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
+         row_number() OVER (ORDER BY n_tokens DESC NULLS LAST, doc_id ASC) AS rn
   FROM sized
 )
 SELECT CAST((rn - 1) % 8 AS INTEGER) AS shard,
@@ -648,13 +648,13 @@ WITH d AS (
 ),
 banded AS (
   SELECT doc_id, difficulty,
-         ntile({CURRICULUM_BANDS}) OVER (ORDER BY difficulty, doc_id) AS band,
+         ntile({CURRICULUM_BANDS}) OVER (ORDER BY difficulty NULLS FIRST, doc_id) AS band,
          md5(CAST(doc_id AS VARCHAR) || '#epoch0') AS shuffle_key
   FROM d
 ),
 ranked AS (
   SELECT band, doc_id, difficulty,
-         row_number() OVER (PARTITION BY band ORDER BY shuffle_key) AS rn
+         row_number() OVER (PARTITION BY band ORDER BY shuffle_key NULLS FIRST) AS rn
   FROM banded
 )
 SELECT band,
@@ -734,7 +734,7 @@ WITH t AS (
 ),
 lang_top AS (
   SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM t) AS share
-  FROM t GROUP BY lang ORDER BY share DESC, lang LIMIT 1
+  FROM t GROUP BY lang ORDER BY share DESC NULLS LAST, lang NULLS FIRST LIMIT 1
 )
 SELECT metric, value FROM (
   SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM t
@@ -1178,7 +1178,7 @@ scored AS (
 ),
 run AS (
   SELECT doc_id, lang, n_toks, score,
-         SUM(n_toks) OVER (ORDER BY score DESC, doc_id ASC
+         SUM(n_toks) OVER (ORDER BY score DESC NULLS LAST, doc_id ASC
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum
   FROM scored

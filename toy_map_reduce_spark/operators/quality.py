@@ -572,7 +572,7 @@ _CHAT_FORMAT_ORACLE = f"""
 WITH turns(conv_id, turn_idx, role, content) AS (VALUES {_CHAT_VALUES}),
 lagged AS (
   SELECT conv_id, turn_idx, role, content,
-         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST) AS prev_role
   FROM turns
 )
 SELECT conv_id,

@@ -198,13 +198,13 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SORT_LIMIT_ORACLE = """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
 FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC
+ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
 LIMIT 100
 """
 
 
 @register("sort_limit", "G", oracle=_SORT_LIMIT_ORACLE,
-          doc="Top-k: ORDER BY ... LIMIT plans TakeOrderedAndProject (per-"
+          doc="Top-k: ORDER BY ... NULLS FIRST LIMIT plans TakeOrderedAndProject (per-"
               "partition heap, no global sort); o_orderkey tiebreak makes it deterministic")
 def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")

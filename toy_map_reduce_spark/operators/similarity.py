@@ -73,7 +73,7 @@ scored AS (
 )
 SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rnk, round(sim, 6) AS sim FROM (
   SELECT q_id, vec_id, sim,
-         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC NULLS LAST, vec_id ASC) AS rn
   FROM scored
 ) WHERE rn <= {TOP_K}
 """
@@ -212,7 +212,7 @@ scored AS (
 )
 SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rnk, round(sim, 6) AS sim FROM (
   SELECT q_id, vec_id, sim,
-         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC NULLS LAST, vec_id ASC) AS rn
   FROM scored
 ) WHERE rn <= {TOP_K}
 """
@@ -305,7 +305,7 @@ qc AS (
 ),
 probed AS (
   SELECT q_id, q_e, q_nrm, label FROM (
-    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, label ASC) AS rn FROM qc
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC NULLS LAST, label ASC NULLS FIRST) AS rn FROM qc
   ) WHERE rn <= {IVF_NPROBE}
 ),
 scored AS (
@@ -316,7 +316,7 @@ scored AS (
 )
 SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rnk, round(sim, 6) AS sim FROM (
   SELECT q_id, vec_id, sim,
-         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC NULLS LAST, vec_id ASC) AS rn
   FROM scored
 ) WHERE rn <= {TOP_K}
 """
@@ -475,7 +475,7 @@ scored AS (
 )
 SELECT src, dst, CAST(rn AS INTEGER) AS rnk, round(sim, 6) AS sim FROM (
   SELECT src, dst, sim,
-         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rn
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC NULLS LAST, dst ASC NULLS FIRST) AS rn
   FROM scored
 ) WHERE rn <= {KNN_K}
 """
@@ -610,7 +610,7 @@ scored AS (
 assigned AS (
   SELECT vec_id, centroid_id, sim FROM (
     SELECT vec_id, centroid_id, sim,
-           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) AS rn
     FROM scored
   ) WHERE rn = 1
 )
@@ -734,7 +734,7 @@ dists AS (
 ),
 best AS (
   SELECT vec_id, half, cid,
-         row_number() OVER (PARTITION BY vec_id, half ORDER BY dist, cid) AS rn
+         row_number() OVER (PARTITION BY vec_id, half ORDER BY dist NULLS FIRST, cid) AS rn
   FROM dists
 )
 SELECT c1.cid AS code1, c2.cid AS code2, CAST(COUNT(*) AS BIGINT) AS n_vectors
@@ -834,7 +834,7 @@ dists AS (
 ),
 best AS (
   SELECT vec_id, half, cid, dist,
-         row_number() OVER (PARTITION BY vec_id, half ORDER BY dist, cid) AS rn
+         row_number() OVER (PARTITION BY vec_id, half ORDER BY dist NULLS FIRST, cid) AS rn
   FROM dists
 ),
 codes AS (
@@ -855,7 +855,7 @@ scored AS (
 )
 SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rnk, round(adist, 6) AS adist FROM (
   SELECT q_id, vec_id, adist,
-         row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+         row_number() OVER (PARTITION BY q_id ORDER BY adist ASC NULLS FIRST, vec_id ASC) AS rn
   FROM scored
 ) WHERE rn <= {TOP_K}
 """
@@ -928,7 +928,7 @@ scored AS (
 assigned AS (
   SELECT vec_id, e, centroid_id FROM (
     SELECT vec_id, e, centroid_id,
-           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) AS rn
     FROM scored
   ) WHERE rn = 1
 ),
@@ -1000,7 +1000,7 @@ scored AS (
 assigned AS (
   SELECT vec_id, centroid_id, round(sim, 9) AS sim FROM (
     SELECT vec_id, centroid_id, sim,
-           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) AS rn
     FROM scored
   ) WHERE rn = 1
 ),
@@ -1331,7 +1331,7 @@ ex_scored AS (
 ),
 exact_top AS (
   SELECT q_id, vec_id FROM (
-    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC NULLS LAST, vec_id ASC) AS rn
     FROM ex_scored
   ) WHERE rn <= {TOP_K}
 ),{_LSH_SIG_CTES},
@@ -1343,7 +1343,7 @@ lsh_scored AS (
 ),
 lsh_top AS (
   SELECT q_id, vec_id FROM (
-    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC NULLS LAST, vec_id ASC) AS rn
     FROM lsh_scored
   ) WHERE rn <= {TOP_K}
 ),
@@ -1365,7 +1365,7 @@ qc AS (
 ),
 probed AS (
   SELECT q_id, q_e, q_nrm, label FROM (
-    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, label ASC) AS rn FROM qc
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC NULLS LAST, label ASC NULLS FIRST) AS rn FROM qc
   ) WHERE rn <= {IVF_NPROBE}
 ),
 ivf_scored AS (
@@ -1376,7 +1376,7 @@ ivf_scored AS (
 ),
 ivf_top AS (
   SELECT q_id, vec_id FROM (
-    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC NULLS LAST, vec_id ASC) AS rn
     FROM ivf_scored
   ) WHERE rn <= {TOP_K}
 ),
@@ -1397,7 +1397,7 @@ pq_dists AS (
 ),
 pq_best AS (
   SELECT vec_id, half, cid, dist,
-         row_number() OVER (PARTITION BY vec_id, half ORDER BY dist, cid) AS rn
+         row_number() OVER (PARTITION BY vec_id, half ORDER BY dist NULLS FIRST, cid) AS rn
   FROM pq_dists
 ),
 pq_codes AS (
@@ -1418,7 +1418,7 @@ pq_scored AS (
 ),
 pq_top AS (
   SELECT q_id, vec_id FROM (
-    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC NULLS FIRST, vec_id ASC) AS rn
     FROM pq_scored
   ) WHERE rn <= {TOP_K}
 )
@@ -1477,7 +1477,7 @@ scored AS (
 assigned AS (
   SELECT vec_id, centroid_id, sim FROM (
     SELECT vec_id, centroid_id, sim,
-           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) AS rn
     FROM scored
   ) WHERE rn = 1
 )

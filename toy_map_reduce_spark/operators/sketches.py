@@ -84,7 +84,7 @@ SELECT wc.word, CAST(wc.c AS BIGINT) AS exact_count,
        CAST(est.cm_est AS BIGINT) AS cm_estimate,
        CAST(est.cm_est - wc.c AS BIGINT) AS overestimate
 FROM wc JOIN est ON wc.word = est.word
-ORDER BY wc.c DESC, wc.word
+ORDER BY wc.c DESC NULLS LAST, wc.word NULLS FIRST
 LIMIT {CM_TOP}
 """
 

@@ -202,7 +202,7 @@ rev AS (
 SELECT CAST((cohort_m - 1) // 12 AS BIGINT) AS cohort_year,
        CAST((cohort_m - 1) % 12 + 1 AS BIGINT) AS cohort_month,
        midx, revenue,
-       round(SUM(revenue) OVER (PARTITION BY cohort_m ORDER BY midx
+       round(SUM(revenue) OVER (PARTITION BY cohort_m ORDER BY midx NULLS FIRST
                                 ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
 FROM rev
 ORDER BY cohort_year, cohort_month, midx
@@ -250,9 +250,9 @@ WITH hourly AS (
 ),
 lagged AS (
   SELECT s,
-         lag(s, 1) OVER (ORDER BY h) AS s1,
-         lag(s, 2) OVER (ORDER BY h) AS s2,
-         lag(s, 3) OVER (ORDER BY h) AS s3
+         lag(s, 1) OVER (ORDER BY h NULLS FIRST) AS s1,
+         lag(s, 2) OVER (ORDER BY h NULLS FIRST) AS s2,
+         lag(s, 3) OVER (ORDER BY h NULLS FIRST) AS s3
   FROM hourly
 )
 SELECT * FROM (
@@ -432,7 +432,7 @@ byv AS (
 ),
 cum AS (
   SELECT np, nn,
-         COALESCE(SUM(nn) OVER (ORDER BY score
+         COALESCE(SUM(nn) OVER (ORDER BY score NULLS FIRST
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                   0) AS nn_before,
          SUM(np) OVER () AS tot_p,
@@ -501,7 +501,7 @@ WITH lab AS (
 ),
 binned AS (
   SELECT label, score,
-         ntile(10) OVER (ORDER BY score, event_id) AS bin
+         ntile(10) OVER (ORDER BY score NULLS FIRST, event_id NULLS FIRST) AS bin
   FROM lab
 )
 SELECT bin,
@@ -588,7 +588,7 @@ def stat_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt_here = "COALESCE(" + ", ".join(
         f"CASE WHEN score = `b{i}` THEN `lt{i}` END" for i in range(1, nb)
     ) + ")"
-    rank = f"({lt_here} + row_number() OVER (PARTITION BY score ORDER BY event_id) - 1)"
+    rank = f"({lt_here} + row_number() OVER (PARTITION BY score ORDER BY event_id NULLS FIRST) - 1)"
     # a NULL below-count (GK bracket-violation fallback) must yield a
     # NULL bin the parity gate catches, not a silent bin-1 assignment
     tie_bin = "CASE WHEN _rank IS NULL THEN NULL ELSE 1 + " + " + ".join(
@@ -749,7 +749,7 @@ byv AS (
 ),
 ranked AS (
   SELECT c1, cnt,
-         COALESCE(SUM(cnt) OVER (ORDER BY v
+         COALESCE(SUM(cnt) OVER (ORDER BY v NULLS FIRST
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                   0) AS cum_before,
          SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2,
@@ -919,7 +919,7 @@ _KM_ORACLE = """
 WITH seq AS (
   SELECT o_custkey, o_orderdate,
          lead(o_orderdate) OVER (PARTITION BY o_custkey
-                                 ORDER BY o_orderdate, o_orderkey) AS nxt
+                                 ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS nxt
   FROM orders
 ),
 mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
@@ -935,19 +935,19 @@ byt AS (
 ),
 risk AS (
   SELECT t, d, c,
-         SUM(cnt) OVER (ORDER BY t DESC
+         SUM(cnt) OVER (ORDER BY t DESC NULLS LAST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
   FROM byt
 ),
 km AS (
   SELECT t, d, c, n_risk,
          CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
-                   OVER (ORDER BY t ASC
+                   OVER (ORDER BY t ASC NULLS FIRST
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
               THEN 0.0
               ELSE exp(SUM(CASE WHEN d > 0 AND d < n_risk
                                 THEN ln(1 - d / CAST(n_risk AS DOUBLE)) END)
-                       OVER (ORDER BY t ASC
+                       OVER (ORDER BY t ASC NULLS FIRST
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          END AS s
   FROM risk
@@ -1225,7 +1225,7 @@ def _midrank_cte(col: str) -> str:
     return f"""
   SELECT v, cum_before + (cnt + 1) / 2.0 AS mr FROM (
     SELECT {col} AS v, COUNT(*) AS cnt,
-           COALESCE(SUM(COUNT(*)) OVER (ORDER BY {col}
+           COALESCE(SUM(COUNT(*)) OVER (ORDER BY {col} NULLS FIRST
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS cum_before
     FROM lineitem GROUP BY {col}
@@ -1312,7 +1312,7 @@ byv AS (
 ),
 mr AS (
   SELECT score, cnt, pos,
-         COALESCE(SUM(cnt) OVER (ORDER BY score DESC
+         COALESCE(SUM(cnt) OVER (ORDER BY score DESC NULLS LAST
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS cum_before,
          SUM(cnt) OVER () AS n
@@ -1332,7 +1332,7 @@ tot AS (SELECT SUM(n_pos) AS all_pos FROM g)
 SELECT g.decile,
        CAST(g.n_rows AS BIGINT) AS n_rows,
        CAST(g.n_pos AS BIGINT) AS n_pos,
-       round(SUM(g.n_pos) OVER (ORDER BY g.decile
+       round(SUM(g.n_pos) OVER (ORDER BY g.decile NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              / CAST(tot.all_pos AS DOUBLE), 6) AS cum_gain
 FROM g CROSS JOIN tot

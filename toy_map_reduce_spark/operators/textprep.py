@@ -406,7 +406,7 @@ clean AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
 vocab AS (
   SELECT tok FROM (
     SELECT tok, COUNT(*) AS freq FROM clean GROUP BY tok
-  ) ORDER BY freq DESC, tok ASC LIMIT {VOCAB_SIZE}
+  ) ORDER BY freq DESC NULLS LAST, tok ASC NULLS FIRST LIMIT {VOCAB_SIZE}
 ),
 per_doc AS (
   SELECT c.doc_id, c.lang,

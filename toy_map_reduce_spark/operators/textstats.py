@@ -211,7 +211,7 @@ bi AS (
 )
 SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi
 GROUP BY bigram
-ORDER BY cnt DESC, bigram ASC
+ORDER BY cnt DESC NULLS LAST, bigram ASC NULLS FIRST
 LIMIT 100
 """
 
@@ -330,7 +330,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KEYWORDS_ORACLE = _TFIDF_CTE + """
 SELECT doc_id, CAST(rn AS INTEGER) AS rnk, term, tfidf FROM (
   SELECT doc_id, term, tfidf,
-         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC NULLS LAST, term ASC NULLS FIRST) AS rn
   FROM scored
 ) WHERE rn <= 3
 """
@@ -390,7 +390,7 @@ FROM (
        LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) u
 )
 GROUP BY trigram
-ORDER BY freq DESC, trigram ASC
+ORDER BY freq DESC NULLS LAST, trigram ASC NULLS FIRST
 LIMIT 50
 """
 
@@ -486,7 +486,7 @@ pairs AS (
   GROUP BY 1, 2
 )
 SELECT w1, w2, n FROM pairs
-ORDER BY n DESC, w1, w2
+ORDER BY n DESC NULLS LAST, w1 NULLS FIRST, w2 NULLS FIRST
 LIMIT {COOC_TOP_N}
 """
 
@@ -543,7 +543,7 @@ pairs AS (
   GROUP BY substr(word, i, 2)
 )
 SELECT pair, n FROM pairs
-ORDER BY n DESC, pair
+ORDER BY n DESC NULLS LAST, pair NULLS FIRST
 LIMIT {BPE_TOP_N}
 """
 
@@ -687,7 +687,7 @@ WITH freq AS (
   ) WHERE word <> '' GROUP BY word
 ),
 ranked AS (
-  SELECT f, row_number() OVER (ORDER BY f DESC, word) AS rnk FROM freq
+  SELECT f, row_number() OVER (ORDER BY f DESC NULLS LAST, word NULLS FIRST) AS rnk FROM freq
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
        round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,

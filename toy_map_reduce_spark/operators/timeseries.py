@@ -165,7 +165,7 @@ bracketed AS (
          last_value(val IGNORE NULLS) OVER w_next AS next_val,
          last_value(obs_ts IGNORE NULLS) OVER w_next AS next_ts
   FROM joined
-  WINDOW w_prev AS (PARTITION BY event_type ORDER BY minute_start ASC
+  WINDOW w_prev AS (PARTITION BY event_type ORDER BY minute_start ASC NULLS FIRST
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          w_next AS (PARTITION BY event_type ORDER BY minute_start DESC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -266,9 +266,9 @@ WITH pts AS (
          event_id,
          round(value, 2) AS v,
          row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
-                            ORDER BY date_trunc('second', ts), event_id) AS rn_asc,
+                            ORDER BY date_trunc('second', ts) NULLS FIRST, event_id NULLS FIRST) AS rn_asc,
          row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
-                            ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn_desc
+                            ORDER BY date_trunc('second', ts) DESC NULLS LAST, event_id DESC NULLS LAST) AS rn_desc
   FROM events
 )
 SELECT event_type, day,
@@ -392,8 +392,8 @@ WITH pts AS (
 ),
 nbr AS (
   SELECT event_type, ts_sec, v,
-         lag(v)  OVER (PARTITION BY event_type ORDER BY ts_sec, event_id) AS prev_v,
-         lead(v) OVER (PARTITION BY event_type ORDER BY ts_sec, event_id) AS next_v
+         lag(v)  OVER (PARTITION BY event_type ORDER BY ts_sec NULLS FIRST, event_id NULLS FIRST) AS prev_v,
+         lead(v) OVER (PARTITION BY event_type ORDER BY ts_sec NULLS FIRST, event_id NULLS FIRST) AS next_v
   FROM pts
 )
 SELECT event_type,
@@ -474,7 +474,7 @@ win AS (
          CAST(MAX(rev_c) OVER w AS DOUBLE) AS mx,
          CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
   FROM daily
-  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+  WINDOW w AS (ORDER BY day NULLS FIRST ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT day,
        CAST(rev_c AS DOUBLE) / 100 AS rev,
@@ -556,7 +556,7 @@ deltas AS (
 ),
 daily AS (SELECT day, SUM(delta) AS d FROM deltas GROUP BY day)
 SELECT day,
-       CAST(SUM(d) OVER (ORDER BY day
+       CAST(SUM(d) OVER (ORDER BY day NULLS FIRST
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS open_orders
 FROM daily
@@ -713,7 +713,7 @@ WITH RECURSIVE d0 AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
   FROM events GROUP BY 1
 ),
-daily AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d0),
+daily AS (SELECT day, x, row_number() OVER (ORDER BY day NULLS FIRST) AS rn FROM d0),
 h AS (
   -- seed b must be CAST to DOUBLE: DuckDB types recursive-CTE columns
   -- from the FIRST branch, and a bare 0.0 is DECIMAL(2,1) — every
@@ -841,7 +841,7 @@ _MAX_GAP_ORACLE = """
 WITH seq AS (
   SELECT event_type, date_trunc('second', ts) AS t,
          lag(date_trunc('second', ts))
-           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+           OVER (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_t
   FROM events
 ),
 gaps AS (
@@ -851,8 +851,8 @@ gaps AS (
          -- ROW/LIST key): (gap DESC, end-time DESC) reproduces Spark's
          -- max_by(prev_t, struct(gap_s, t)) lexicographic-max tiebreak
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY date_diff('second', prev_t, t) DESC,
-                                     t DESC) AS rn
+                            ORDER BY date_diff('second', prev_t, t) DESC NULLS LAST,
+                                     t DESC NULLS LAST) AS rn
   FROM seq WHERE prev_t IS NOT NULL
 ),
 agg AS (
@@ -897,7 +897,7 @@ _TWAP_ORACLE = """
 WITH seq AS (
   SELECT event_type, value, date_trunc('second', ts) AS t,
          lead(date_trunc('second', ts))
-           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+           OVER (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS nxt
   FROM events
 ),
 held AS (
@@ -952,20 +952,20 @@ WITH daily AS (
 ),
 cum AS (
   SELECT day, rev,
-         SUM(rev) OVER (ORDER BY day
+         SUM(rev) OVER (ORDER BY day NULLS FIRST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
   FROM daily
 ),
 dd AS (
   SELECT day, equity,
-         MAX(equity) OVER (ORDER BY day
+         MAX(equity) OVER (ORDER BY day NULLS FIRST
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
   FROM cum
 ),
 scored AS (
   SELECT day, equity, peak,
          (peak - equity) / peak AS drawdown,
-         row_number() OVER (ORDER BY (peak - equity) / peak DESC, day ASC) AS rn
+         row_number() OVER (ORDER BY (peak - equity) / peak DESC NULLS LAST, day ASC NULLS FIRST) AS rn
   FROM dd
 )
 SELECT CAST((SELECT COUNT(*) FROM scored) AS BIGINT) AS n_days,
@@ -1015,7 +1015,7 @@ WITH daily AS (
 ),
 pred AS (
   SELECT day, n AS actual,
-         lag(n) OVER (ORDER BY day) AS naive_pred
+         lag(n) OVER (ORDER BY day NULLS FIRST) AS naive_pred
   FROM daily
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,

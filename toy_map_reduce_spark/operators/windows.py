@@ -26,7 +26,7 @@ SELECT * FROM (
          rank()       OVER w AS rnk,
          dense_rank() OVER w AS drnk
   FROM orders
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC)
 )
 WHERE rn <= 3
 """
@@ -60,7 +60,7 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        round(AVG(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3,
        round(SUM(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC)
 """
 
 
@@ -91,7 +91,7 @@ SELECT o_custkey, o_orderkey,
        round(last_value(o_totalprice)  OVER w, 2) AS priciest,
        round(nth_value(o_totalprice, 2) OVER w, 2) AS second_cheapest
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
@@ -157,7 +157,7 @@ _LATEST_PER_KEY_ORACLE = """
 SELECT user_id, event_id, date_trunc('second', ts) AS ts_sec, event_type
 FROM (
   SELECT user_id, event_id, ts, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
   FROM events
 )
 WHERE rn = 1
@@ -310,7 +310,7 @@ WITH masked AS (
 )
 SELECT o_custkey, o_orderkey, price_sparse,
        last_value(price_sparse IGNORE NULLS)
-         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price_filled
 FROM masked
 """
@@ -350,9 +350,9 @@ WITH seq AS (
   SELECT user_id, ts, event_id, date_trunc('second', ts) AS t,
          CASE WHEN date_diff('second',
                              lag(date_trunc('second', ts))
-                               OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                               OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
                              date_trunc('second', ts)) > {SESSION_GAP_MIN * 60}
-                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WHERE ts IS NOT NULL  -- session_window(ts) drops NULL event times
@@ -363,7 +363,7 @@ tagged AS (
   -- ties in unspecified ROWS-frame order, so a tied boundary row could be
   -- assigned to the previous session nondeterministically
   SELECT user_id, t,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_no
   FROM seq

@@ -249,16 +249,16 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SESSION_ORACLE = """
 WITH ordered AS (
   SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST)
                    >= INTERVAL 5 MINUTE
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WHERE ts IS NOT NULL  -- session_window(ts) drops NULL event times
 ),
 sessions AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM ordered
 )
