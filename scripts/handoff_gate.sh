@@ -20,16 +20,19 @@ cd "$(dirname "$0")/.."
 
 fail=0
 
-echo "== handoff gate 1/4: full pytest (sf0.001) =="
+echo "== handoff gate 1/5: full pytest (sf0.001) =="
 python -m pytest tests/ -q || fail=1
 
-echo "== handoff gate 2/4: parity sweep (3 SFs + perturbed-plan sf0.01) =="
+echo "== handoff gate 2/5: parity sweep (3 SFs + perturbed-plan sf0.01) =="
 ./scripts/parity_gate.sh || fail=1
 
-echo "== handoff gate 3/4: order-independence sweep (sf0.001) =="
+echo "== handoff gate 3/5: order-independence sweep (sf0.001) =="
 python scripts/determinism_report.py DETERMINISM.json || fail=1
 
-echo "== handoff gate 4/4: bench regression =="
+echo "== handoff gate 4/5: oracle-stability sweep (30x edge + lint) =="
+python scripts/oracle_stability.py --dirs edge --repeats 30 --out ORACLE_STABILITY.json || fail=1
+
+echo "== handoff gate 5/5: bench regression =="
 # highest ROUND, not newest mtime: a fresh checkout gives every r*.json
 # the same mtime and ls -t tie-breaks arbitrarily (observed: picked r4
 # over r5, resurrecting regressions the r5 baseline already absorbs)

@@ -93,13 +93,18 @@ def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
                     # transient mismatch (seen once: timeseries_holt on
                     # the edge dir, unreproducible in isolation) is
                     # undiagnosable from a bare hash_match=false — the
-                    # actual row text is what a post-mortem needs
+                    # actual row text is what a post-mortem needs.
+                    # Set differences, not positional zip (r10 advisor):
+                    # one inserted row would misalign every later pair
+                    # and bury the real divergence under spurious diffs.
                     if srows is not None and srows != orows:
-                        rec["diff_sample"] = [
-                            {"spark": list(s), "oracle": list(o)}
-                            for s, o in zip(srows, orows)
-                            if s != o
-                        ][:5]
+                        from collections import Counter
+
+                        sc, oc = Counter(srows), Counter(orows)
+                        rec["diff_sample"] = {
+                            "spark_only": [list(r) for r in sorted((sc - oc).elements())][:5],
+                            "oracle_only": [list(r) for r in sorted((oc - sc).elements())][:5],
+                        }
         except Exception as exc:  # noqa: BLE001 — record, don't abort the sweep
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
             n_fail += 1

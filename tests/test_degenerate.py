@@ -70,3 +70,32 @@ def test_degenerate_parity(spark, degen_root, degen_ducks, variant, name):
     run_parity(
         spark, degen_ducks[variant], SPECS[name], os.path.join(degen_root, variant)
     )
+
+
+# --- oracle-evaluation stability (r10 verdict task 1/2) ---------------
+# A parity gate is only as trustworthy as its oracle: r10's edge-dir
+# "0 fail" was a coin flip because DuckDB 1.0 evaluates sorts with NULL
+# keys nondeterministically (explicit NULLS FIRST/LAST notwithstanding) —
+# five NULL-day-rollup argmax oracles flipped answers 2-13% of runs.
+# Those rollups now filter NULL timestamps on both engines (pinned
+# rule); this test is the tripwire: every oracle must produce ONE
+# canonical result across 20 repeated evaluations on the edge corpus
+# (the only dir with NULL-bearing time/sort columns). Static companion
+# lint + 30x sweep: scripts/oracle_stability.py.
+
+ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES, ids=ORACLE_NAMES)
+def test_oracle_stability_edge(degen_root, degen_ducks, name):
+    from tests.parity import canonical_rows, fetch_oracle
+
+    con = degen_ducks["edge"]
+    sql = SPECS[name].oracle
+    first = canonical_rows(fetch_oracle(con, sql))
+    for rep in range(19):
+        again = canonical_rows(fetch_oracle(con, sql))
+        assert again == first, (
+            f"{name}: oracle nondeterministic on edge corpus "
+            f"(rep {rep + 2} diverged) — NULL sort key reintroduced?"
+        )

@@ -499,3 +499,59 @@ def test_with_global_order_name_validation_and_parts_for(spark):
     assert parts_for(100, spark) == 2
     assert parts_for((1 << 16) * 3, spark) == min(3, cap)
     assert parts_for(10**12, spark) == cap
+
+
+def test_soundex_cross_engine_fuzz(spark):
+    """Spark F.soundex(upper(norm)) == the DuckDB oracle SQL over an
+    adversarial string set (r10 advisor: the claimed fuzz validation was
+    never committed, and without the _SX_NORM pre-expansion it is FALSE
+    for 'ß' — JVM upper('ß')='SS' codes the S, DuckDB upper('ß')='ẞ'
+    treats it as a separator; 'straße' was S362 vs S360). The alphabet
+    covers every soundex code class, H/W transparency, Y separators,
+    non-letter-initial identity returns, and all 15 one-to-many
+    uppercase expansions the pinned normalization handles. Out of scope
+    by documented claim: Greek/Armenian special casings and
+    post-Unicode-15 mappings where the engines' Unicode tables differ.
+    Deterministic seed so CI failures reproduce."""
+    import random
+
+    import duckdb
+
+    from toy_map_reduce_spark.operators.scalars2 import (
+        _SX_NORM,
+        soundex_oracle_query,
+        sx_norm_spark,
+    )
+
+    rng = random.Random(0x50D0)
+    alphabet = (
+        list("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+        + list("0123456789 .,'-_!#")
+        + list(_SX_NORM.keys())
+        + ["é", "ü", "ñ", "ç", "ô"]  # 1:1 uppercase, agrees cross-engine
+    )
+    strings = [
+        "", "straße", "ẞoft", "ﬁsher", "Pﬁster", "ŉdebele", "weiß",
+        "Ashcraft", "Ashcroft", "Tymczak", "Pfister", "Honeyman",
+        "Robert", "Rupert", "  lead", "123abc", "ßß", "ǰilt", "Oẘen",
+    ] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        for _ in range(2600)
+    ]
+    rows = [(i, s) for i, s in enumerate(strings)]
+
+    sdf = spark.createDataFrame(rows, "id long, s string").select(
+        "id", F.soundex(F.upper(sx_norm_spark(F.col("s")))).alias("code")
+    )
+    got = {r["id"]: r["code"] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("fuzz_strings", pd.DataFrame(rows, columns=["id", "s"]))
+    sql = soundex_oracle_query("SELECT id, s FROM fuzz_strings", "id", "s")
+    want = {int(i): c for i, c in con.sql(sql).fetchall()}
+    con.close()
+
+    bad = {i: (got[i], want[i], strings[i]) for i in want if got[i] != want[i]}
+    assert not bad, f"{len(bad)} soundex cross-engine mismatches: {dict(list(bad.items())[:10])}"

@@ -77,7 +77,7 @@ _FORECAST_ORACLE = f"""
 WITH monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
          SUM(o_totalprice) AS revenue
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ),
 f AS (
   SELECT month, revenue,
@@ -104,9 +104,18 @@ def timeseries_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     month — calendar-sized however big orders is), an explicitly
     documented post-reduction single-partition step, same as
     timeseries_lag_corr. The expensive part — raw orders to monthly —
-    is one map-side-combined aggregate."""
+    is one map-side-combined aggregate.
+
+    NULL-timestamp rows are excluded from the time-grain rollup
+    BEFORE any ordered step, identically on both engines (pinned
+    rule, r11): a NULL sort key anywhere downstream is evaluated
+    nondeterministically by DuckDB 1.0 even under explicit NULLS
+    FIRST/LAST (reproduced ~2-13%% per run on the edge corpus) —
+    see scripts/oracle_stability.py.
+    """
     monthly = (
         load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
         .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
         .agg(F.sum("o_totalprice").alias("revenue"))
     )
@@ -203,7 +212,7 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSUM_ORACLE = """
 WITH RECURSIVE d0 AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 daily AS (
   SELECT day, n, row_number() OVER (ORDER BY day NULLS FIRST) AS rn FROM d0
@@ -237,9 +246,17 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the daily rollup (calendar-sized: the collect_list holds days,
     never events — same contract as timeseries_ewma). The oracle runs
     the identical recurrence as a recursive CTE; the argmax tie rule
-    (earliest day) is pinned on both sides."""
+    (earliest day) is pinned on both sides.
+
+    NULL-timestamp rows are excluded from the time-grain rollup
+    BEFORE any ordered step, identically on both engines (pinned
+    rule, r11): a NULL sort key anywhere downstream is evaluated
+    nondeterministically by DuckDB 1.0 even under explicit NULLS
+    FIRST/LAST (reproduced ~2-13%% per run on the edge corpus) —
+    see scripts/oracle_stability.py.
+    """
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    daily = ev.where(F.col("ts").isNotNull()).groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     series = daily.agg(
@@ -334,7 +351,7 @@ WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
          COUNT(*) AS n,
          SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 cum AS (
   SELECT day, n, n_err,
@@ -364,9 +381,17 @@ def events_error_budget_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw events reduce to one row per day before the cumulative
     windows (the post-reduction rule); the budget comparison is kept in
     integer-vs-scaled-integer form (cum_err > frac*cum_n) so the flag
-    cannot flip on float noise cross-engine."""
+    cannot flip on float noise cross-engine.
+
+    NULL-timestamp rows are excluded from the time-grain rollup
+    BEFORE any ordered step, identically on both engines (pinned
+    rule, r11): a NULL sort key anywhere downstream is evaluated
+    nondeterministically by DuckDB 1.0 even under explicit NULLS
+    FIRST/LAST (reproduced ~2-13%% per run on the edge corpus) —
+    see scripts/oracle_stability.py.
+    """
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    daily = ev.where(F.col("ts").isNotNull()).groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n"),

@@ -832,14 +832,63 @@ def scalar_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB has no soundex builtin, so the oracle carries a full SQL
 # implementation of Spark's algorithm (r10), fuzz-validated against
-# F.soundex on 2.6k adversarial strings (empty/NULL, non-letter-initial
-# identity return, digits/punctuation as code-0 separators, Y separator,
-# H/W transparency incl. through-H duplicate suppression, first-letter
-# code seeding the dedup, non-ASCII). Mechanism: classify each char after
-# the first into its soundex class ('1'-'6', '0' separator, 'H'
-# transparent), then fold left with a 'OUT:LAST' string accumulator —
-# list_reduce visits elements in order, exactly the sequential scan the
-# JVM implementation performs.
+# F.soundex (tests/test_properties.py::test_soundex_cross_engine_fuzz,
+# committed r11 per advisor): empty/NULL, non-letter-initial identity
+# return, digits/punctuation as code-0 separators, Y separator, H/W
+# transparency incl. through-H duplicate suppression, first-letter code
+# seeding the dedup. Mechanism: classify each char after the first into
+# its soundex class ('1'-'6', '0' separator, 'H' transparent), then fold
+# left with a 'OUT:LAST' string accumulator — list_reduce visits
+# elements in order, exactly the sequential scan the JVM implementation
+# performs.
+#
+# Cross-engine uppercasing caveat (r10 advisor, medium): the JVM applies
+# full Unicode case mapping (one-to-many: upper('ß')='SS',
+# upper('ﬁ')='FI') while DuckDB's utf8proc upper() is per-codepoint
+# (upper('ß')='ẞ'), so upper() alone diverges on exactly the
+# SpecialCasing expansion set — 'straße' coded S362 by Spark but S360 by
+# the raw oracle. Pinned rule: BOTH engines pre-expand the Latin-script
+# one-to-many uppercase mappings (the 15 chars below, each of whose JVM
+# expansion contains A-Z letters) to their decomposed lowercase form
+# BEFORE upper(); independent uppercasing of the decomposed forms agrees
+# cross-engine, so the normalization reproduces the JVM's direct result
+# exactly. Scope of the equivalence claim: ASCII + Latin script. Greek /
+# Armenian special casings (ΐ ΰ և) and post-Unicode-15 additions (ƛ),
+# where the two engines' Unicode tables genuinely disagree, are outside
+# the claim and excluded from the fuzz alphabet.
+_SX_NORM = {
+    "\u00df": "ss",          # LATIN SMALL LETTER SHARP S -> SS
+    "\ufb00": "ff",          # LATIN SMALL LIGATURE FF
+    "\ufb01": "fi",          # LATIN SMALL LIGATURE FI
+    "\ufb02": "fl",          # LATIN SMALL LIGATURE FL
+    "\ufb03": "ffi",         # LATIN SMALL LIGATURE FFI
+    "\ufb04": "ffl",         # LATIN SMALL LIGATURE FFL
+    "\ufb05": "st",          # LATIN SMALL LIGATURE LONG S T
+    "\ufb06": "st",          # LATIN SMALL LIGATURE ST
+    "\u0149": "\u02bcn",     # N PRECEDED BY APOSTROPHE -> \u02bcN
+    "\u01f0": "j\u030c",     # J WITH CARON -> j + combining caron
+    "\u1e96": "h\u0331",     # H WITH LINE BELOW -> h + macron below
+    "\u1e97": "t\u0308",     # T WITH DIAERESIS -> t + diaeresis
+    "\u1e98": "w\u030a",     # W WITH RING ABOVE -> w + ring above
+    "\u1e99": "y\u030a",     # Y WITH RING ABOVE -> y + ring above
+    "\u1e9a": "a\u02be",     # A WITH RIGHT HALF RING -> a + half ring
+}
+
+
+def sx_norm_spark(col):
+    """Spark column: pre-expand one-to-many uppercase mappings."""
+    out = col
+    for k, v in _SX_NORM.items():
+        out = F.replace(out, F.lit(k), F.lit(v))
+    return out
+
+
+def sx_norm_sql(expr: str) -> str:
+    """Same normalization as nested DuckDB replace() calls."""
+    out = expr
+    for k, v in _SX_NORM.items():
+        out = f"replace({out}, '{k}', '{v}')"
+    return out
 _SX_M1 = "('B','F','P','V')"
 _SX_M2 = "('C','G','J','K','Q','S','X','Z')"
 _SX_CLS = (f"CASE WHEN c IN {_SX_M1} THEN '1' WHEN c IN {_SX_M2} THEN '2' "
@@ -856,8 +905,29 @@ _SX_LAMBDA = ("(st, d) -> CASE "
               "WHEN length(split_part(st, ':', 1)) >= 4 THEN split_part(st, ':', 1) || ':' || d "
               "ELSE split_part(st, ':', 1) || d || ':' || d END")
 
+def soundex_oracle_query(source_sql: str, id_col: str, str_col: str) -> str:
+    """DuckDB query: Spark-equivalent soundex of `str_col` from
+    `source_sql`, carrying `id_col` through -> (id_col, code). Shared by
+    the scalar_phonetic oracle and the cross-engine fuzz pytest so both
+    exercise the SAME SQL."""
+    return f"""
+WITH inp AS (SELECT {id_col}, upper({sx_norm_sql(str_col)}) AS u FROM ({source_sql})),
+cls AS (SELECT {id_col}, u, [{_SX_CLS} FOR c IN string_split(u, '')[2:]] AS ds FROM inp),
+sx AS (
+  SELECT {id_col}, CASE
+    WHEN u IS NULL THEN NULL
+    WHEN u = '' THEN ''
+    WHEN NOT (u[1] BETWEEN 'A' AND 'Z') THEN u
+    ELSE rpad(split_part(list_reduce(list_prepend(u[1] || ':' || {_SX_FC}, ds), {_SX_LAMBDA}), ':', 1), 4, '0')
+  END AS code
+  FROM cls
+)
+SELECT {id_col}, code FROM sx
+"""
+
+
 _PHONETIC_ORACLE = f"""
-WITH inp AS (SELECT upper(c_name) AS u FROM customer),
+WITH inp AS (SELECT upper({sx_norm_sql('c_name')}) AS u FROM customer),
 cls AS (SELECT u, [{_SX_CLS} FOR c IN string_split(u, '')[2:]] AS ds FROM inp),
 sx AS (
   SELECT CASE
@@ -889,7 +959,9 @@ def scalar_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs). Emitted per code: member count and the pair count
     a within-bucket verify stage would score."""
     cust = load(spark, sf_dir, "customer")
-    codes = cust.select(F.soundex(F.upper("c_name")).alias("code"))
+    codes = cust.select(
+        F.soundex(F.upper(sx_norm_spark(F.col("c_name")))).alias("code")
+    )
     return (
         codes.groupBy("code")
         .agg(F.count(F.lit(1)).alias("n_names"))

@@ -246,7 +246,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAG_CORR_ORACLE = """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h, round(SUM(value), 6) AS s
-  FROM events GROUP BY h
+  FROM events WHERE ts IS NOT NULL GROUP BY h
 ),
 lagged AS (
   SELECT s,
@@ -273,11 +273,19 @@ def timeseries_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ordered window runs over the *hourly rollup* (hours-of-history
     rows, ~10⁴/year), not raw events — the single-partition ORDER BY is a
     deliberate post-reduction step, same pattern as timeseries_ewma. The
-    raw-event reduction underneath is a standard one-shuffle groupBy."""
+    raw-event reduction underneath is a standard one-shuffle groupBy.
+
+    NULL-timestamp rows are excluded from the time-grain rollup
+    BEFORE any ordered step, identically on both engines (pinned
+    rule, r11): a NULL sort key anywhere downstream is evaluated
+    nondeterministically by DuckDB 1.0 even under explicit NULLS
+    FIRST/LAST (reproduced ~2-13%% per run on the edge corpus) —
+    see scripts/oracle_stability.py.
+    """
     ev = load(spark, sf_dir, "events")
-    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
-        F.round(F.sum("value"), 6).alias("s")
-    )
+    hourly = ev.where(F.col("ts").isNotNull()).groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 6).alias("s"))
     w = Window.orderBy("h")
     lagged = hourly.select(
         "s",

@@ -711,7 +711,7 @@ HOLT_HORIZON = 7
 _HOLT_ORACLE = f"""
 WITH RECURSIVE d0 AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 daily AS (SELECT day, x, row_number() OVER (ORDER BY day NULLS FIRST) AS rn FROM d0),
 h AS (
@@ -749,9 +749,17 @@ def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     never event-sized; the corpus-sized work is one partial-aggregated
     groupBy. Initialization l₁ = x₁, b₁ = 0 is pinned on both engines
     (textbook variants differ here — the oracle encodes the same
-    choice)."""
+    choice).
+
+    NULL-timestamp rows are excluded from the time-grain rollup
+    BEFORE any ordered step, identically on both engines (pinned
+    rule, r11): a NULL sort key anywhere downstream is evaluated
+    nondeterministically by DuckDB 1.0 even under explicit NULLS
+    FIRST/LAST (reproduced ~2-13%% per run on the edge corpus) —
+    see scripts/oracle_stability.py.
+    """
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    daily = ev.where(F.col("ts").isNotNull()).groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).cast("double").alias("x"))
     series = daily.agg(
@@ -948,7 +956,7 @@ _DRAWDOWN_ORACLE = """
 WITH daily AS (
   SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
          SUM(o_totalprice) AS rev
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ),
 cum AS (
   SELECT day, rev,
@@ -987,9 +995,17 @@ def timeseries_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     window contract — and an argmax with an explicit (drawdown desc,
     day asc) total order. Drawdown needs the running peak, which no
     plain aggregate provides: this is the case where an ordered window
-    IS the right tool, quarantined to the reduced series."""
+    IS the right tool, quarantined to the reduced series.
+
+    NULL-timestamp rows are excluded from the time-grain rollup
+    BEFORE any ordered step, identically on both engines (pinned
+    rule, r11): a NULL sort key anywhere downstream is evaluated
+    nondeterministically by DuckDB 1.0 even under explicit NULLS
+    FIRST/LAST (reproduced ~2-13%% per run on the edge corpus) —
+    see scripts/oracle_stability.py.
+    """
     orders = load(spark, sf_dir, "orders")
-    daily = orders.groupBy(
+    daily = orders.where(F.col("o_orderdate").isNotNull()).groupBy(
         F.date_trunc("day", "o_orderdate").cast("date").alias("day")
     ).agg(F.sum("o_totalprice").alias("rev"))
     w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1011,7 +1027,7 @@ def timeseries_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FORECAST_EVAL_ORACLE = """
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 pred AS (
   SELECT day, n AS actual,
@@ -1037,9 +1053,17 @@ def timeseries_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tomorrow = today) is the canonical hard-to-beat baseline for short
     series, and sMAPE is emitted beside MAPE because MAPE rewards
     under-forecasting (asymmetric denominator) — publishing both keeps
-    the comparison honest."""
+    the comparison honest.
+
+    NULL-timestamp rows are excluded from the time-grain rollup
+    BEFORE any ordered step, identically on both engines (pinned
+    rule, r11): a NULL sort key anywhere downstream is evaluated
+    nondeterministically by DuckDB 1.0 even under explicit NULLS
+    FIRST/LAST (reproduced ~2-13%% per run on the edge corpus) —
+    see scripts/oracle_stability.py.
+    """
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    daily = ev.where(F.col("ts").isNotNull()).groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy("day")
