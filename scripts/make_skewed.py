@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Generate the skewed-corpus fixture dirs (r10 verdict task 3).
+
+Every committed fixture (TPC-H + synthetic events/documents) is
+benign-distribution, so the skew-specific machinery (join_skew_salted,
+wordcount_salted, AQE skew-join handling, profile_join_keys,
+sessionization windows over a hot user) was asserted, never exercised
+against actually-skewed data. These dirs close that axis:
+
+  data/skewed/        — derived from sf0.01, all ten tables, for the
+                        FULL-registry parity sweep (SKEW_rN.json):
+      events.user_id    ~20% of rows remapped to one hot user
+      documents.lang    ~80% of rows remapped to one dominant lang
+      lineitem.l_suppkey ~25% of rows remapped to one hot supplier
+  data/skewed_bench/   — same rules over sf0.1 (600k lineitem, 100k
+                        events), fact tables replicated REP x with
+                        offset surrogate keys, for the salted-vs-plain
+                        timing comparison (scripts/skew_bench.py).
+
+Skew rules are pure modular arithmetic on the surrogate keys (no RNG,
+no hash function that could differ across library versions), so
+regeneration is byte-stable for a given fixture generation. Remapped
+values are EXISTING domain values (the min key of each dimension), so
+FK integrity and accepted-value domains survive — the pathology under
+test is distribution, not validity.
+
+Usage: python scripts/make_skewed.py [--force]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SKEW_DIR = os.path.join(REPO, "data", "skewed")
+SKEW_BENCH_DIR = os.path.join(REPO, "data", "skewed_bench")
+SRC_PARITY = "/root/testdata/sf0.01"
+SRC_BENCH = "/root/testdata/sf0.1"
+REP = 16  # replication factor for the bench dir's fact tables
+
+
+def _gen(con, src: str, dst: str, rep: int) -> None:
+    import duckdb  # noqa: F401
+
+    from toy_map_reduce_spark.tables import TABLES, table_path
+
+    os.makedirs(dst, exist_ok=True)
+    hot_user = con.sql(
+        f"SELECT MIN(user_id) FROM read_parquet('{table_path(src, 'events')}')"
+    ).fetchone()[0]
+    hot_supp = con.sql(
+        f"SELECT MIN(s_suppkey) FROM read_parquet('{table_path(src, 'supplier')}')"
+    ).fetchone()[0]
+    max_event = con.sql(
+        f"SELECT MAX(event_id) FROM read_parquet('{table_path(src, 'events')}')"
+    ).fetchone()[0]
+    max_order = con.sql(
+        f"SELECT MAX(l_orderkey) FROM read_parquet('{table_path(src, 'lineitem')}')"
+    ).fetchone()[0]
+    max_doc = con.sql(
+        f"SELECT MAX(doc_id) FROM read_parquet('{table_path(src, 'documents')}')"
+    ).fetchone()[0]
+
+    reps = "UNNEST(range(%d)) AS r" % rep
+    transforms = {
+        # ~20% of events hit one hot user (event_id % 5 = 0); replicas
+        # offset event_id so it stays unique
+        "events": f"""
+            SELECT event_id + r * {max_event + 1} AS event_id, ts,
+                   CASE WHEN event_id % 5 = 0 THEN {hot_user} ELSE user_id END AS user_id,
+                   event_type, value, props
+            FROM read_parquet('{table_path(src, 'events')}'), (SELECT {reps})
+        """,
+        # ~80% of documents collapse to one dominant lang
+        "documents": f"""
+            SELECT doc_id + r * {max_doc + 1} AS doc_id, text,
+                   CASE WHEN doc_id % 5 <> 0 THEN 'en' ELSE lang END AS lang,
+                   source, n_chars
+            FROM read_parquet('{table_path(src, 'documents')}'), (SELECT {reps})
+        """,
+        # ~25% of lineitem rows hit one hot supplier
+        "lineitem": f"""
+            SELECT * REPLACE (
+                   l_orderkey + r * {max_order + 1} AS l_orderkey,
+                   CASE WHEN (l_orderkey + l_linenumber) % 4 = 0
+                        THEN {hot_supp} ELSE l_suppkey END AS l_suppkey)
+            FROM read_parquet('{table_path(src, 'lineitem')}'), (SELECT {reps})
+        """,
+    }
+    for t in TABLES:
+        out = table_path(dst, t)
+        if os.path.exists(out):
+            continue
+        sql = transforms.get(t)
+        if sql is None:
+            sql = f"SELECT * FROM read_parquet('{table_path(src, t)}')"
+        con.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+
+
+def ensure_skewed(force: bool = False) -> str:
+    """Regenerate data/skewed (parity dir, rep=1) if missing; return it."""
+    import duckdb
+
+    from toy_map_reduce_spark.tables import TABLES, table_path
+
+    if force:
+        for d in (SKEW_DIR, SKEW_BENCH_DIR):
+            for t in TABLES:
+                p = table_path(d, t)
+                if os.path.exists(p):
+                    os.remove(p)
+    con = duckdb.connect()
+    _gen(con, SRC_PARITY, SKEW_DIR, rep=1)
+    con.close()
+    return SKEW_DIR
+
+
+def ensure_skewed_bench(force: bool = False) -> str:
+    """Regenerate data/skewed_bench (timing dir, sf0.1 x REP) if missing."""
+    import duckdb
+
+    con = duckdb.connect()
+    _gen(con, SRC_BENCH, SKEW_BENCH_DIR, rep=REP)
+    con.close()
+    return SKEW_BENCH_DIR
+
+
+if __name__ == "__main__":
+    force = "--force" in sys.argv
+    print(ensure_skewed(force))
+    print(ensure_skewed_bench(force))

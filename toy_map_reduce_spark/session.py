@@ -22,12 +22,17 @@ def get_spark(
     app_name: str = "toy_map_reduce_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the SparkSession.
 
     ``shuffle_partitions`` defaults to the core count: at local test scale
     the Spark default of 200 just fragments tiny datasets; on a real
     cluster AQE coalesces to the right size at runtime anyway.
+
+    ``extra_conf`` lets a measurement harness layer startup-only confs
+    (e.g. scripts/skew_bench.py re-enables the UI for the task-metrics
+    REST API) — remember the FIRST session in a process wins its config.
     """
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or cores
@@ -70,6 +75,8 @@ def get_spark(
         # 128 GiB, size the heap like the executor fleet it stands in for
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
