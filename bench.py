@@ -54,10 +54,38 @@ def _boot_info() -> dict:
     return info
 
 
+def _calibrate(spark, runs: int = 3) -> float:
+    """Deterministic CPU probe (r10 verdict task 4): min wall time of a
+    fixed JVM workload — xxhash64+sum over range(3.2e9), 32 even splits, no
+    data dependence, no shuffle — stamped into BENCH_DETAIL as
+    ``boot.calib_sec``. bench_regress divides per-query times by the
+    calib ratio before classifying a CROSS-BOOT comparison, so a uniform
+    host-speed change (r9→r10 measured 1.23x when the VM moved to a
+    2.10 GHz host) self-corrects instead of widening the no-detect band."""
+    from pyspark.sql import functions as F
+
+    # shiftright keeps the summed terms ≤ 2^32 so ANSI mode can't overflow
+    # the long accumulator over 3.2e9 rows
+    df = spark.range(0, 3_200_000_000, 1, 32).select(
+        F.sum(F.shiftright(F.xxhash64("id"), 32)).alias("h")
+    )
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        materialize(df)
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("tmr-bench")
     specs = {n: s for n, s in all_specs().items() if s.bench}
+
+    # CPU calibration BEFORE any query work, on the cold-but-settled JVM —
+    # same position every round so the probe measures the host, not the
+    # bench's residue
+    calib_sec = _calibrate(spark)
 
     # All queries share ONE session/JVM by design: a fresh JVM per family
     # would add ~10 s × families of pure startup and measure Spark's boot,
@@ -159,7 +187,7 @@ def main() -> int:
         "s_tier": sorted(n for n, s in specs.items() if s.tier == "S"),
         # boot/host stamp: bench_regress warns on cross-boot comparisons
         # (uniform ±7-20% drift is machine noise, not a regression)
-        "boot": _boot_info(),
+        "boot": {**_boot_info(), "calib_sec": calib_sec},
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

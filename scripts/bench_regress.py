@@ -31,10 +31,14 @@ gate — the one-command form of the two-step the r6-r8 READMEs assembled
 by hand.
 
 When both files carry a ``boot`` stamp (bench.py r9) and the boot ids
-differ, the summary carries ``boot_note``: cross-boot runs drift ±7-20%
-UNIFORMLY on this VM class, so uniform inflation across the board is
-machine noise — only per-query outliers against that backdrop are real.
-The note WARNS; it never fails the gate by itself.
+differ, cross-boot handling applies (r10 verdict task 4): if both sides
+also carry ``boot.calib_sec`` (deterministic CPU probe, bench.py r11),
+every new-side time is DIVIDED by the probe ratio before classification
+— host-speed drift self-corrects and remaining flags are real, closing
+the hole where a genuine uniform regression (bad session conf) was
+indistinguishable from machine noise. Without the probe on both sides,
+the summary falls back to the r9 ``boot_note`` warning (uniform ±7-20%
+drift is machine noise; only per-query outliers are real).
 """
 
 from __future__ import annotations
@@ -124,6 +128,30 @@ def main() -> int:
     new_q = new.get("queries", {})
     old_floor = old.get("floor_sec")
     new_floor = new.get("floor_sec")
+
+    # cross-boot calibration (r10 verdict task 4): when the two runs come
+    # from different boots AND both carry the deterministic CPU probe
+    # (bench.py boot.calib_sec), divide every new-side time by the probe
+    # ratio before classifying. r10's VM moved hosts mid-round and the
+    # whole curve inflated a uniform 1.23x — the boot_note correctly said
+    # "don't chase it", but that also meant a REAL uniform regression
+    # (a bad session conf) would have been invisible. The probe separates
+    # the two: host-speed drift moves the probe identically; an engine
+    # regression does not move the probe at all.
+    old_boot_d = old.get("boot") or {}
+    new_boot_d = new.get("boot") or {}
+    calib_ratio = None
+    if (
+        old_boot_d.get("boot_id")
+        and new_boot_d.get("boot_id")
+        and old_boot_d["boot_id"] != new_boot_d["boot_id"]
+        and old_boot_d.get("calib_sec")
+        and new_boot_d.get("calib_sec")
+    ):
+        calib_ratio = round(new_boot_d["calib_sec"] / old_boot_d["calib_sec"], 4)
+
+    def _norm(t: float) -> float:
+        return t / calib_ratio if calib_ratio else t
     s_tier = set(new.get("s_tier", [])) if (
         old_floor is not None and new_floor is not None
     ) else set()
@@ -133,15 +161,19 @@ def main() -> int:
         if name not in old_mm:
             continue
         old_max = old_mm[name][1]
-        cmp_new, cmp_old, abs_floor = new_min, old_max, ABS_FLOOR_SEC
+        cmp_new, cmp_old, abs_floor = _norm(new_min), old_max, ABS_FLOOR_SEC
         if name in s_tier:
             # floor-adjusted compare: what the query's LOGIC costs above
-            # the measured start/stop constant on each side
-            cmp_new = max(0.0, new_min - new_floor)
+            # the measured start/stop constant on each side (floor
+            # subtracted BEFORE normalization — the floor is measured on
+            # the new machine, so it scales with the same host speed)
+            cmp_new = _norm(max(0.0, new_min - new_floor))
             cmp_old = max(0.0, old_max - old_floor)
             abs_floor = ABS_FLOOR_SEC_S
         if cmp_new > NOISE_FACTOR * cmp_old and cmp_new - cmp_old > abs_floor:
             rec = {"old_minmax": old_mm[name], "new_min": new_min}
+            if calib_ratio:
+                rec["new_min_calibrated"] = round(_norm(new_min), 4)
             if name in s_tier:
                 rec["floor_adjusted"] = {
                     "new": round(cmp_new, 4), "old_max": round(cmp_old, 4),
@@ -172,7 +204,8 @@ def main() -> int:
             rec = regressions[name]
             rec["warm_min"] = wm
             old_max = rec["old_minmax"][1]
-            if wm <= old_max:
+            # warm re-time runs on the NEW machine — same normalization
+            if _norm(wm) <= old_max:
                 rec["verdict"] = "noise: warm_min within the old noise band"
                 adjudicated_noise[name] = regressions.pop(name)
             else:
@@ -198,14 +231,27 @@ def main() -> int:
         "floor_new": new_floor,
         "n_floor_adjusted": len(s_tier & set(new_q) & set(old_mm)),
     }
-    old_boot = (old.get("boot") or {}).get("boot_id")
-    new_boot = (new.get("boot") or {}).get("boot_id")
+    old_boot = old_boot_d.get("boot_id")
+    new_boot = new_boot_d.get("boot_id")
     if old_boot and new_boot and old_boot != new_boot:
-        summary["boot_note"] = (
-            "cross-boot comparison (boot ids differ): expect ±7-20% UNIFORM "
-            "drift — do not chase across-the-board inflation; adjudicate "
-            "per-query outliers with bench_warm (see module docstring)"
-        )
+        if calib_ratio:
+            summary["calib"] = {
+                "old_sec": old_boot_d["calib_sec"],
+                "new_sec": new_boot_d["calib_sec"],
+                "ratio": calib_ratio,
+            }
+            summary["boot_note"] = (
+                f"cross-boot comparison: new-side times divided by the CPU "
+                f"probe ratio {calib_ratio} before classifying — host-speed "
+                f"drift is corrected, so any remaining flags are REAL"
+            )
+        else:
+            summary["boot_note"] = (
+                "cross-boot comparison (boot ids differ) and no calib_sec on "
+                "both sides: expect ±7-20% UNIFORM drift — do not chase "
+                "across-the-board inflation; adjudicate per-query outliers "
+                "with bench_warm (see module docstring)"
+            )
     print(json.dumps(summary))
     if regressions:
         return 1
