@@ -36,6 +36,12 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or cores
+    # SPARK_GRAFT_MASTER overrides the master URL (scripts/
+    # localcluster_smoke.py sets local-cluster[2,4,2048]: real executor
+    # PROCESSES, real serialization boundary — the one execution surface
+    # in-process local[N] threads can't exercise). Default stays
+    # local[cores,2].
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores},2]")
     builder = (
         # local[cores, 2] = maxFailures 2: local mode defaults to
         # fail-fast (1 attempt), but the engine contract inherits the
@@ -45,7 +51,7 @@ def get_spark(
         # locally keeps that semantic live (and tested:
         # tests/test_properties.py::test_task_retry_recovers...)
         # while still surfacing deterministic bugs on the second attempt.
-        SparkSession.builder.master(f"local[{cores},2]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
