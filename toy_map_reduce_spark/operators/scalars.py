@@ -49,6 +49,12 @@ FROM customer
 @register("scalar_string", "G", oracle=_SCALAR_STRING_ORACLE,
           doc="String functions: case, substr, concat, length, regexp_extract, pad, replace, reverse, LIKE")
 def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine scope note (r11, same boundary as scalar_unicode /
+    scalar_phonetic): upper()/lower() agree between the JVM and DuckDB
+    only outside the one-to-many SpecialCasing set ('ß'→'SS' on the JVM,
+    per-codepoint 'ẞ' in DuckDB's utf8proc). c_name is ASCII in every
+    fixture generation, and the claim is scoped to that — a non-ASCII
+    name fixture would need the scalar_phonetic normalization."""
     cust = load(spark, sf_dir, "customer")
     return cust.select(
         "c_custkey",
