@@ -10,8 +10,17 @@
 #      sf0.01 sweeps (forced SMJ, AQE off — r10)
 #   3. the registry-wide order-independence sweep at sf0.001 (r10 —
 #      every oracle-backed query layout-perturbation-invariant)
-#   4. the per-query bench regression gate (only if a fresh
-#      BENCH_DETAIL.json exists next to a prior round's file)
+#   4. the oracle-stability sweep (r11 — 30x repeats on the edge
+#      degenerate dir + NULL-sort-key lint; DuckDB 1.0 evaluates sorts
+#      with NULL keys nondeterministically, so a one-run-green oracle
+#      is not evidence)
+#   5. the local-cluster execution smoke (r11 — the 50-key driver window
+#      on real executor processes, local-cluster[2,4,2048])
+#   6. the memory-pressure spill smoke (r11 — heavy tail at 2g heap /
+#      memory.fraction 0.2, parity under observed multi-GB spill)
+#   7. the per-query bench regression gate (only if a fresh
+#      BENCH_DETAIL.json exists next to a prior round's file;
+#      cross-boot comparisons normalized by boot.calib_sec since r11)
 #
 # Exit non-zero if anything is red. Cite the one-line result in the round's
 # closing commit message.
@@ -20,19 +29,25 @@ cd "$(dirname "$0")/.."
 
 fail=0
 
-echo "== handoff gate 1/5: full pytest (sf0.001) =="
+echo "== handoff gate 1/7: full pytest (incl. degenerate + skewed + oracle-stability suites) =="
 python -m pytest tests/ -q || fail=1
 
-echo "== handoff gate 2/5: parity sweep (3 SFs + perturbed-plan sf0.01) =="
+echo "== handoff gate 2/7: parity sweep (3 SFs + perturbed-plan sf0.01) =="
 ./scripts/parity_gate.sh || fail=1
 
-echo "== handoff gate 3/5: order-independence sweep (sf0.001) =="
+echo "== handoff gate 3/7: order-independence sweep (sf0.001) =="
 python scripts/determinism_report.py DETERMINISM.json || fail=1
 
-echo "== handoff gate 4/5: oracle-stability sweep (30x edge + lint) =="
+echo "== handoff gate 4/7: oracle-stability sweep (30x edge + lint) =="
 python scripts/oracle_stability.py --dirs edge --repeats 30 --out ORACLE_STABILITY.json || fail=1
 
-echo "== handoff gate 5/5: bench regression =="
+echo "== handoff gate 5/7: local-cluster execution smoke (real executor processes) =="
+python scripts/localcluster_smoke.py LOCALCLUSTER.json || fail=1
+
+echo "== handoff gate 6/7: memory-pressure spill smoke =="
+python scripts/spill_smoke.py SPILL.json || fail=1
+
+echo "== handoff gate 7/7: bench regression =="
 # highest ROUND, not newest mtime: a fresh checkout gives every r*.json
 # the same mtime and ls -t tie-breaks arbitrarily (observed: picked r4
 # over r5, resurrecting regressions the r5 baseline already absorbs)
