@@ -30,6 +30,12 @@ below the old max move to ``adjudicated_noise`` and no longer fail the
 gate — the one-command form of the two-step the r6-r8 READMEs assembled
 by hand.
 
+Watch tier (r12): growth past ``WATCH_FACTOR`` (1.5x) the old ceiling
+but under the 2x fail line is reported under ``watch`` and, with
+``--adjudicate``, warm-adjudicated exactly like a regression — the
+verdict (noise vs real growth) lands in the entry instead of the drift
+passing silently. Watch entries never change the exit code.
+
 When both files carry a ``boot`` stamp (bench.py r9) and the boot ids
 differ, cross-boot handling applies (r10 verdict task 4): if both sides
 also carry ``boot.calib_sec`` (deterministic CPU probe, bench.py r11),
@@ -49,6 +55,12 @@ import subprocess
 import sys
 
 NOISE_FACTOR = 2.0  # fail only on >2x growth beyond the old noise ceiling
+# Watch tier (r11 verdict task 2): growth past 1.5x the old ceiling but
+# under the 2x fail line never fails the gate, but it no longer passes
+# SILENTLY — watch entries are reported, and --adjudicate runs the
+# bench_warm protocol on them exactly like regressions (r11's
+# multimodal_arrow_map drifted 1.80x and nobody adjudicated it).
+WATCH_FACTOR = 1.5
 ABS_FLOOR_SEC = 0.15  # ignore regressions smaller than this in absolute terms
 
 # S-tier (streaming) entries carry a measured per-query start/stop floor
@@ -84,11 +96,15 @@ INTENTIONAL: dict[str, dict] = {
 }
 
 
-def _adjudicate(names: list[str], sf) -> dict[str, float]:
+def _adjudicate(names: list[str], sf) -> tuple[dict[str, float], dict]:
     """Run the bench_warm protocol on ``names`` in ONE fresh subprocess
-    (fresh JVM = the quiet-JVM premise) and return {name: warm_min}.
-    Returns {} when the subprocess fails — callers treat missing names
-    as un-adjudicated (still regressions)."""
+    (fresh JVM = the quiet-JVM premise) and return ({name: warm_min},
+    meta) where meta carries the warm run's OWN calib probe + boot id
+    (bench_warm --calib): the warm rerun executes on the machine running
+    the gate NOW, which need not be either BENCH_DETAIL's boot, so its
+    normalization ratio must come from a fresh probe, not the old-vs-new
+    file ratio (r11 advisor). Returns ({}, {}) when the subprocess fails
+    — callers treat missing names as un-adjudicated (still regressions)."""
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")
     cmd = [
@@ -96,6 +112,7 @@ def _adjudicate(names: list[str], sf) -> dict[str, float]:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_warm.py"),
         *names,
         "--passes=6",
+        "--calib",
     ]
     try:
         out = subprocess.run(
@@ -103,10 +120,11 @@ def _adjudicate(names: list[str], sf) -> dict[str, float]:
         )
         line = out.stdout.strip().splitlines()[-1]
         rep = json.loads(line)
-        return {n: q["warm_min"] for n, q in rep.get("queries", {}).items()}
+        meta = {k: rep[k] for k in ("calib_sec", "boot_id") if k in rep}
+        return {n: q["warm_min"] for n, q in rep.get("queries", {}).items()}, meta
     except Exception as exc:  # noqa: BLE001 — adjudication is best-effort
         print(f"adjudication failed: {exc}", file=sys.stderr)
-        return {}
+        return {}, {}
 
 
 def main() -> int:
@@ -157,6 +175,7 @@ def main() -> int:
     ) else set()
     regressions = {}
     intentional = {}
+    watch = {}
     for name, new_min in new_q.items():
         if name not in old_mm:
             continue
@@ -170,15 +189,17 @@ def main() -> int:
             cmp_new = _norm(max(0.0, new_min - new_floor))
             cmp_old = max(0.0, old_max - old_floor)
             abs_floor = ABS_FLOOR_SEC_S
-        if cmp_new > NOISE_FACTOR * cmp_old and cmp_new - cmp_old > abs_floor:
-            rec = {"old_minmax": old_mm[name], "new_min": new_min}
-            if calib_ratio:
-                rec["new_min_calibrated"] = round(_norm(new_min), 4)
-            if name in s_tier:
-                rec["floor_adjusted"] = {
-                    "new": round(cmp_new, 4), "old_max": round(cmp_old, 4),
-                    "new_floor": new_floor, "old_floor": old_floor,
-                }
+        if cmp_new - cmp_old <= abs_floor:
+            continue
+        rec = {"old_minmax": old_mm[name], "new_min": new_min}
+        if calib_ratio:
+            rec["new_min_calibrated"] = round(_norm(new_min), 4)
+        if name in s_tier:
+            rec["floor_adjusted"] = {
+                "new": round(cmp_new, 4), "old_max": round(cmp_old, 4),
+                "new_floor": new_floor, "old_floor": old_floor,
+            }
+        if cmp_new > NOISE_FACTOR * cmp_old:
             exc = INTENTIONAL.get(name)
             if exc and old_max <= exc["old_max_at_most"]:
                 rec["reason"] = exc["reason"]
@@ -191,12 +212,38 @@ def main() -> int:
                         f"excused rewrite — treated as a real regression"
                     )
                 regressions[name] = rec
+        elif cmp_new > WATCH_FACTOR * cmp_old:
+            rec["growth"] = round(cmp_new / cmp_old, 3) if cmp_old else None
+            watch[name] = rec
 
-    # one quiet-JVM warm pass over everything still flagged (--adjudicate):
-    # warm_min at or below the old noise ceiling reclassifies as noise
+    # one quiet-JVM warm pass over everything still flagged (--adjudicate),
+    # watch-tier entries included (r11 verdict task 2): warm_min at or
+    # below the old noise ceiling reclassifies as noise
     adjudicated_noise: dict[str, dict] = {}
-    if adjudicate and regressions:
-        warm = _adjudicate(sorted(regressions), new.get("sf"))
+    warm_meta: dict = {}
+    if adjudicate and (regressions or watch):
+        warm, warm_meta = _adjudicate(
+            sorted(set(regressions) | set(watch)), new.get("sf")
+        )
+        # The warm rerun executes on the machine running the gate NOW —
+        # which may be a THIRD boot (re-adjudicating old artifacts after a
+        # host move). Normalize it by its own fresh probe against the OLD
+        # side, never by the old-vs-new file ratio (r11 advisor):
+        #   same boot as the old baseline  -> no normalization
+        #   different boot, probes on both -> fresh-probe ratio
+        #   probe missing                  -> fall back to the file ratio
+        warm_ratio = None
+        if warm_meta.get("boot_id") and old_boot_d.get("boot_id"):
+            if warm_meta["boot_id"] == old_boot_d["boot_id"]:
+                warm_ratio = 1.0
+            elif warm_meta.get("calib_sec") and old_boot_d.get("calib_sec"):
+                warm_ratio = round(
+                    warm_meta["calib_sec"] / old_boot_d["calib_sec"], 4
+                )
+
+        def _norm_warm(t: float) -> float:
+            return t / warm_ratio if warm_ratio else _norm(t)
+
         for name in list(regressions):
             wm = warm.get(name)
             if wm is None:
@@ -204,13 +251,24 @@ def main() -> int:
             rec = regressions[name]
             rec["warm_min"] = wm
             old_max = rec["old_minmax"][1]
-            # warm re-time runs on the NEW machine — same normalization
-            if _norm(wm) <= old_max:
+            if _norm_warm(wm) <= old_max:
                 rec["verdict"] = "noise: warm_min within the old noise band"
                 adjudicated_noise[name] = regressions.pop(name)
             else:
                 rec["verdict"] = (
                     "real: warm_min above the old noise ceiling — read the plan"
+                )
+        for name, rec in watch.items():
+            wm = warm.get(name)
+            if wm is None:
+                continue
+            rec["warm_min"] = wm
+            if _norm_warm(wm) <= rec["old_minmax"][1]:
+                rec["verdict"] = "noise: warm_min within the old noise band"
+            else:
+                rec["verdict"] = (
+                    "real growth (under the 2x gate): warm_min above the old "
+                    "noise ceiling — read the plan or pin INTENTIONAL"
                 )
 
     summary = {
@@ -221,6 +279,8 @@ def main() -> int:
         "removed": sorted(set(old_mm) - set(new_q)),
         "n_regressions": len(regressions),
         "regressions": regressions,
+        "n_watch": len(watch),
+        "watch": watch,
         "n_intentional": len(intentional),
         "intentional": intentional,
         "n_adjudicated_noise": len(adjudicated_noise),
@@ -231,6 +291,8 @@ def main() -> int:
         "floor_new": new_floor,
         "n_floor_adjusted": len(s_tier & set(new_q) & set(old_mm)),
     }
+    if warm_meta:
+        summary["warm_calib"] = warm_meta
     old_boot = old_boot_d.get("boot_id")
     new_boot = new_boot_d.get("boot_id")
     if old_boot and new_boot and old_boot != new_boot:

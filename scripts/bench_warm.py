@@ -22,12 +22,19 @@ warm?", and the protocol is:
    materially above it = a real plan change — go read the plan.
 
 Usage:
-    python scripts/bench_warm.py q1 q2 ... [--passes N] [--no-prewarm]
+    python scripts/bench_warm.py q1 q2 ... [--passes N] [--no-prewarm] [--calib]
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python scripts/bench_warm.py orders_rfm
 
 Prints one JSON line:
     {"sf": ..., "passes": N, "staging": {...},
      "queries": {name: {"warm_min": s, "all": [...]}}}
+
+``--calib`` additionally runs bench.py's deterministic CPU probe in THIS
+process and stamps ``calib_sec`` + ``boot_id`` into the line, so an
+adjudicator invoked from a boot neither BENCH_DETAIL came from can
+normalize the warm re-time against the host it actually ran on instead
+of the stale old-vs-new probe ratio (r11 advisor,
+scripts/bench_regress.py:207).
 """
 from __future__ import annotations
 
@@ -48,6 +55,7 @@ def main() -> int:
     names: list[str] = []
     passes = 6
     prewarm = True
+    calib = False
     argv = sys.argv[1:]
     i = 0
     try:
@@ -55,6 +63,8 @@ def main() -> int:
             a = argv[i]
             if a == "--no-prewarm":
                 prewarm = False
+            elif a == "--calib":
+                calib = True
             elif a == "--passes":
                 i += 1
                 passes = int(argv[i])
@@ -79,6 +89,17 @@ def main() -> int:
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
+
+    calib_info: dict = {}
+    if calib:
+        from bench import _calibrate  # repo-root bench.py, same probe
+
+        calib_info["calib_sec"] = _calibrate(spark)
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as fh:
+                calib_info["boot_id"] = fh.read().strip()
+        except OSError:
+            pass
 
     staging: dict[str, float] = {}
     if prewarm:
@@ -106,7 +127,8 @@ def main() -> int:
     except ValueError:
         sf_val = sf
     print(json.dumps(
-        {"sf": sf_val, "passes": passes, "staging": staging, "queries": out}
+        {"sf": sf_val, "passes": passes, "staging": staging,
+         **calib_info, "queries": out}
     ))
     return 0
 

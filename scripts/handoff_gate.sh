@@ -14,8 +14,11 @@
 #      degenerate dir + NULL-sort-key lint; DuckDB 1.0 evaluates sorts
 #      with NULL keys nondeterministically, so a one-run-green oracle
 #      is not evidence)
-#   5. the local-cluster execution smoke (r11 — the 50-key driver window
-#      on real executor processes, local-cluster[2,4,2048])
+#   5. the local-cluster execution parity sweep (r11 smoke; FULL
+#      414-query registry since r12 — serialization is per-query, and
+#      the pickled surfaces that actually broke (in-UDF deferred package
+#      imports, embedded-Derby dual-boot) all lived outside the old
+#      50-key window; real executor processes, local-cluster[2,4,2048])
 #   6. the memory-pressure spill smoke (r11 — heavy tail at 2g heap /
 #      memory.fraction 0.2, parity under observed multi-GB spill)
 #   7. the per-query bench regression gate (only if a fresh
@@ -41,8 +44,8 @@ python scripts/determinism_report.py DETERMINISM.json || fail=1
 echo "== handoff gate 4/7: oracle-stability sweep (30x edge + lint) =="
 python scripts/oracle_stability.py --dirs edge --repeats 30 --out ORACLE_STABILITY.json || fail=1
 
-echo "== handoff gate 5/7: local-cluster execution smoke (real executor processes) =="
-python scripts/localcluster_smoke.py LOCALCLUSTER.json || fail=1
+echo "== handoff gate 5/7: local-cluster execution parity (FULL registry, real executor processes) =="
+python scripts/localcluster_smoke.py --full LOCALCLUSTER.json || fail=1
 
 echo "== handoff gate 6/7: memory-pressure spill smoke =="
 python scripts/spill_smoke.py SPILL.json || fail=1

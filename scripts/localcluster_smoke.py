@@ -8,14 +8,19 @@ executor) can hide forever. ``local-cluster[2,4,2048]`` launches real
 worker PROCESSES — separate JVMs, real RPC, real serialization boundary
 — the closest single-box stand-in for a multi-executor cluster.
 
-This smoke runs the external driver's 50-key CORRECTNESS window (the
+Default mode runs the external driver's 50-key CORRECTNESS window (the
 first 50 registry keys alphabetically — identical selection rule) at
 sf0.001 under local-cluster, comparing each oracle-backed query against
 DuckDB with the standard canonical comparison, and writes a
-CORRECTNESS-shaped artifact.
+CORRECTNESS-shaped artifact. ``--full`` (r11 verdict task 1) widens the
+sweep to the ENTIRE registry: serialization bugs are per-query (Python
+DataSource pickling, UDTF classes, applyInPandasWithState closures all
+live outside the a–j window), so only a full sweep proves every query
+crosses a real process boundary.
 
 Usage:
     python scripts/localcluster_smoke.py LOCALCLUSTER_r11.json
+    python scripts/localcluster_smoke.py --full LOCALCLUSTER_r12.json
 
 NOTE: must run in a FRESH process (the first SparkSession in a process
 wins its master); the script sets SPARK_GRAFT_MASTER itself and refuses
@@ -37,7 +42,9 @@ MASTER = "local-cluster[2,4,2048]"
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "LOCALCLUSTER.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    full = "--full" in sys.argv[1:]
+    out_path = args[0] if args else "LOCALCLUSTER.json"
 
     os.environ["SPARK_GRAFT_MASTER"] = MASTER
     # two 2048 MB executors can't take the local-mode 24g driver default,
@@ -65,6 +72,17 @@ def main() -> int:
     # 1 (the driver); local-cluster must report 3 (driver + 2 executors).
     spark.sparkContext.parallelize(range(16), 16).map(lambda x: x * x).count()
     n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+    # The whole point of this gate is the real process boundary: if the
+    # session silently fell back to single-process execution (env var
+    # lost, master override broken), every parity result below exercises
+    # nothing the gate exists for — fail RED, don't report green
+    # (r11 advisor, scripts/localcluster_smoke.py:125).
+    if n_exec < 3:
+        print(
+            f"refusing: expected >=3 block managers (driver + 2 executors), "
+            f"saw {n_exec} — tasks are NOT running on real executor processes"
+        )
+        return 2
 
     duck = duckdb.connect()
     for t in TABLES:
@@ -73,7 +91,7 @@ def main() -> int:
         )
 
     specs = all_specs()
-    window = sorted(specs)[:WINDOW]
+    window = sorted(specs) if full else sorted(specs)[:WINDOW]
     report: dict[str, dict] = {}
     n_pass = n_rows_only = n_fail = 0
     from toy_map_reduce_spark.functions.ranks import release_scratch
@@ -114,7 +132,8 @@ def main() -> int:
         "master": MASTER,
         "n_executors_seen": n_exec,
         "sf_dir": SF_DIR,
-        "window": WINDOW,
+        "window": len(window),
+        "full_registry": full,
         "oracle_pass": n_pass,
         "rows_only": n_rows_only,
         "fail": n_fail,

@@ -19,16 +19,28 @@ against actually-skewed data. These dirs close that axis:
 
 Skew rules are pure modular arithmetic on the surrogate keys (no RNG,
 no hash function that could differ across library versions), so
-regeneration is byte-stable for a given fixture generation. Remapped
-values are EXISTING domain values (the min key of each dimension), so
-FK integrity and accepted-value domains survive — the pathology under
-test is distribution, not validity.
+regeneration is deterministic for a given fixture generation. Remapped
+values are EXISTING domain values (the min key of each dimension), and
+replication offsets every side of a surrogate-key relationship by the
+SAME constant (lineitem.l_orderkey with orders.o_orderkey;
+documents.doc_id with embeddings.vec_id), so FK integrity and
+accepted-value domains survive in BOTH dirs — the pathology under test
+is distribution, not validity. (r11 advisor: rep>1 used to replicate
+lineitem/documents without their parents, silently shrinking
+orders-lineitem and documents-embeddings joins to 1/rep scale.)
+
+Freshness is keyed on a _manifest.json stamped into each dir: source
+file sizes+mtimes, the replication factor, and a generator version. A
+mismatch (regenerated source fixtures, new generator rules) triggers a
+full rebuild — per-file existence checks alone let a stale dir silently
+mix fixture generations (r11 advisor).
 
 Usage: python scripts/make_skewed.py [--force]
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -40,14 +52,47 @@ SKEW_BENCH_DIR = os.path.join(REPO, "data", "skewed_bench")
 SRC_PARITY = "/root/testdata/sf0.01"
 SRC_BENCH = "/root/testdata/sf0.1"
 REP = 16  # replication factor for the bench dir's fact tables
+GEN_VERSION = 2  # bump on any transform-rule change to force a rebuild
 
 
-def _gen(con, src: str, dst: str, rep: int) -> None:
+def _fingerprint(src: str, rep: int) -> dict:
+    from toy_map_reduce_spark.tables import TABLES, table_path
+
+    return {
+        "gen_version": GEN_VERSION,
+        "rep": rep,
+        "src": src,
+        "sources": {
+            t: [os.path.getsize(p), int(os.path.getmtime(p))]
+            for t in TABLES
+            if os.path.exists(p := table_path(src, t))
+        },
+    }
+
+
+def _gen(con, src: str, dst: str, rep: int, force: bool = False) -> None:
     import duckdb  # noqa: F401
 
     from toy_map_reduce_spark.tables import TABLES, table_path
 
     os.makedirs(dst, exist_ok=True)
+    manifest_path = os.path.join(dst, "_manifest.json")
+    want = _fingerprint(src, rep)
+    if not force and os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as fh:
+                if json.load(fh) == want and all(
+                    os.path.exists(table_path(dst, t)) for t in TABLES
+                ):
+                    return
+        except (OSError, ValueError):
+            pass
+    # stale / partial / pre-manifest dir: rebuild everything
+    for t in TABLES:
+        p = table_path(dst, t)
+        if os.path.exists(p):
+            os.remove(p)
+
     hot_user = con.sql(
         f"SELECT MIN(user_id) FROM read_parquet('{table_path(src, 'events')}')"
     ).fetchone()[0]
@@ -57,11 +102,17 @@ def _gen(con, src: str, dst: str, rep: int) -> None:
     max_event = con.sql(
         f"SELECT MAX(event_id) FROM read_parquet('{table_path(src, 'events')}')"
     ).fetchone()[0]
-    max_order = con.sql(
-        f"SELECT MAX(l_orderkey) FROM read_parquet('{table_path(src, 'lineitem')}')"
+    # offsets shared across BOTH sides of a surrogate-key relationship,
+    # so replicated FKs land on replicated PKs (r11 advisor FK fix)
+    k_order = con.sql(
+        f"""SELECT GREATEST(
+              (SELECT MAX(l_orderkey) FROM read_parquet('{table_path(src, 'lineitem')}')),
+              (SELECT MAX(o_orderkey) FROM read_parquet('{table_path(src, 'orders')}')))"""
     ).fetchone()[0]
-    max_doc = con.sql(
-        f"SELECT MAX(doc_id) FROM read_parquet('{table_path(src, 'documents')}')"
+    k_doc = con.sql(
+        f"""SELECT GREATEST(
+              (SELECT MAX(doc_id) FROM read_parquet('{table_path(src, 'documents')}')),
+              (SELECT MAX(vec_id) FROM read_parquet('{table_path(src, 'embeddings')}')))"""
     ).fetchone()[0]
 
     reps = "UNNEST(range(%d)) AS r" % rep
@@ -76,7 +127,7 @@ def _gen(con, src: str, dst: str, rep: int) -> None:
         """,
         # ~80% of documents collapse to one dominant lang
         "documents": f"""
-            SELECT doc_id + r * {max_doc + 1} AS doc_id, text,
+            SELECT doc_id + r * {k_doc + 1} AS doc_id, text,
                    CASE WHEN doc_id % 5 <> 0 THEN 'en' ELSE lang END AS lang,
                    source, n_chars
             FROM read_parquet('{table_path(src, 'documents')}'), (SELECT {reps})
@@ -84,46 +135,51 @@ def _gen(con, src: str, dst: str, rep: int) -> None:
         # ~25% of lineitem rows hit one hot supplier
         "lineitem": f"""
             SELECT * REPLACE (
-                   l_orderkey + r * {max_order + 1} AS l_orderkey,
+                   l_orderkey + r * {k_order + 1} AS l_orderkey,
                    CASE WHEN (l_orderkey + l_linenumber) % 4 = 0
                         THEN {hot_supp} ELSE l_suppkey END AS l_suppkey)
             FROM read_parquet('{table_path(src, 'lineitem')}'), (SELECT {reps})
         """,
     }
+    if rep > 1:
+        # parents of replicated facts replicate with the SAME offsets so
+        # orders-lineitem and documents-embeddings joins keep 1:1 FK
+        # coverage at every replica (rep=1 keeps the plain copy: r=0
+        # offsets are the identity and the copy preserves row order)
+        transforms["orders"] = f"""
+            SELECT * REPLACE (o_orderkey + r * {k_order + 1} AS o_orderkey)
+            FROM read_parquet('{table_path(src, 'orders')}'), (SELECT {reps})
+        """
+        transforms["embeddings"] = f"""
+            SELECT * REPLACE (vec_id + r * {k_doc + 1} AS vec_id)
+            FROM read_parquet('{table_path(src, 'embeddings')}'), (SELECT {reps})
+        """
     for t in TABLES:
         out = table_path(dst, t)
-        if os.path.exists(out):
-            continue
         sql = transforms.get(t)
         if sql is None:
             sql = f"SELECT * FROM read_parquet('{table_path(src, t)}')"
         con.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+    with open(manifest_path, "w") as fh:
+        json.dump(want, fh, indent=1, sort_keys=True)
 
 
 def ensure_skewed(force: bool = False) -> str:
-    """Regenerate data/skewed (parity dir, rep=1) if missing; return it."""
+    """Regenerate data/skewed (parity dir, rep=1) if stale; return it."""
     import duckdb
 
-    from toy_map_reduce_spark.tables import TABLES, table_path
-
-    if force:
-        for d in (SKEW_DIR, SKEW_BENCH_DIR):
-            for t in TABLES:
-                p = table_path(d, t)
-                if os.path.exists(p):
-                    os.remove(p)
     con = duckdb.connect()
-    _gen(con, SRC_PARITY, SKEW_DIR, rep=1)
+    _gen(con, SRC_PARITY, SKEW_DIR, rep=1, force=force)
     con.close()
     return SKEW_DIR
 
 
 def ensure_skewed_bench(force: bool = False) -> str:
-    """Regenerate data/skewed_bench (timing dir, sf0.1 x REP) if missing."""
+    """Regenerate data/skewed_bench (timing dir, sf0.1 x REP) if stale."""
     import duckdb
 
     con = duckdb.connect()
-    _gen(con, SRC_BENCH, SKEW_BENCH_DIR, rep=REP)
+    _gen(con, SRC_BENCH, SKEW_BENCH_DIR, rep=REP, force=force)
     con.close()
     return SKEW_BENCH_DIR
 

@@ -86,3 +86,30 @@ def test_missing_probe_falls_back_to_warning(tmp_path):
     assert rc == 0
     assert "calib" not in s
     assert "drift" in s.get("boot_note", "")
+
+
+def test_watch_tier_reports_without_failing(tmp_path):
+    # q1 grows to 1.9 vs old_max 1.1 (1.73x): past the 1.5x watch line,
+    # under the 2x fail line — must pass the gate but land in `watch`,
+    # never silently (r11's multimodal_arrow_map at 1.80x was invisible)
+    new = _detail({"q1": 1.9, "q2": 2.0}, "boot-A", 1.0)
+    rc, s = _run(tmp_path, OLD, new)
+    assert rc == 0 and s["n_regressions"] == 0
+    assert s["n_watch"] == 1 and "q1" in s["watch"]
+    assert s["watch"]["q1"]["growth"] == round(1.9 / 1.1, 3)
+
+
+def test_under_watch_line_stays_silent(tmp_path):
+    # 1.4x the old ceiling: below WATCH_FACTOR — neither tier fires
+    new = _detail({"q1": 1.5, "q2": 2.0}, "boot-A", 1.0)
+    rc, s = _run(tmp_path, OLD, new)
+    assert rc == 0 and s["n_regressions"] == 0 and s["n_watch"] == 0
+
+
+def test_watch_abs_floor_guards_subsecond_jitter(tmp_path):
+    # 1.8x growth but only +0.08 s absolute: under ABS_FLOOR_SEC — a
+    # sub-100ms query's scheduler jitter must not page anyone
+    old = _detail({"q1": 0.09, "q2": 2.0}, "boot-A", 1.0)
+    new = _detail({"q1": 0.179, "q2": 2.0}, "boot-A", 1.0)
+    rc, s = _run(tmp_path, old, new)
+    assert rc == 0 and s["n_watch"] == 0 and s["n_regressions"] == 0

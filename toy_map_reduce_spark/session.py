@@ -18,6 +18,53 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+_SHIPPED: set[str] = set()  # application ids the package zip was added to
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    local[N] hides a whole bug class: driver and executors share one
+    process, so executor-side Python workers inherit the driver's
+    sys.path and any ``from toy_map_reduce_spark...`` import inside a UDF
+    resolves by accident. On real executor processes (local-cluster, a
+    real cluster) nothing ships the package, and every deferred in-UDF
+    import dies with ModuleNotFoundError — exactly what the r12
+    full-registry local-cluster sweep caught on the multimodal codec
+    family. The fix is the canonical deployment pattern (spark-submit
+    --py-files): zip the package once (cached under .layout_cache/, keyed
+    on the newest source mtime) and addPyFile it at session build, so the
+    code travels with the job no matter where the worker runs.
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    paths: list[str] = []
+    latest = 0.0
+    for dirpath, dirs, files in os.walk(pkg_dir):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(dirpath, f)
+                paths.append(p)
+                latest = max(latest, os.path.getmtime(p))
+    out = os.path.join(root, ".layout_cache", f"pkg_{int(latest)}.zip")
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = f"{out}.tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in paths:
+                z.write(p, os.path.relpath(p, root))
+        os.replace(tmp, out)
+    sc.addPyFile(out)
+    _SHIPPED.add(app_id)
+
+
 def get_spark(
     app_name: str = "toy_map_reduce_spark",
     cores: int | None = None,
@@ -85,4 +132,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark

@@ -89,6 +89,78 @@ def _derby_base(sf_dir: str) -> str:
     return _scratch(sf_dir, f"derby_{key}")
 
 
+def _derby_roundtrip_driver_side(
+    spark: SparkSession, df: DataFrame, url: str, table: str
+) -> DataFrame:
+    """Derby-roundtrip path for multi-process masters (r12 local-cluster
+    sweep finding): embedded Derby boots one engine PER JVM and holds an
+    exclusive ``db.lck`` on the database dir, so Spark's JDBC writer —
+    driver DDL connection plus executor task connections — is a
+    guaranteed dual-boot crash the moment executors are separate
+    processes. Production multi-process JDBC talks to a NETWORK database
+    server (every executor a client); embedded Derby is the zero-service
+    test stand-in and is single-process by design. So under a
+    multi-process master every connection is pinned to the one JVM py4j
+    can reach — the driver: write the dimension-sized input over
+    java.sql, read it back through the same JDBC type mapping, and
+    re-parallelize. Driver-side is the honest shape here too — the query
+    ingests a 25-row dimension, exactly the metadata-feed case the
+    docstring scopes JDBC to; the 100 TB fact path stays parquet."""
+    jvm = spark._jvm
+    type_map = {"bigint": "BIGINT", "int": "INTEGER",
+                "double": "DOUBLE", "string": "VARCHAR(255)"}
+    cols = [(f.name, type_map[f.dataType.simpleString()]) for f in df.schema.fields]
+    con = jvm.java.sql.DriverManager.getConnection(url)  # type: ignore[union-attr]
+    try:
+        st = con.createStatement()
+        try:
+            st.executeUpdate(f"DROP TABLE {table}")
+        except Exception:
+            pass  # first run: table does not exist yet
+        st.executeUpdate(
+            f"CREATE TABLE {table} ("
+            + ", ".join(f"{n} {t}" for n, t in cols) + ")"
+        )
+        ps = con.prepareStatement(
+            f"INSERT INTO {table} VALUES ({', '.join('?' * len(cols))})"
+        )
+        for row in df.collect():
+            for i, (n, t) in enumerate(cols, start=1):
+                v = row[n]
+                if v is None:
+                    ps.setNull(i, jvm.java.sql.Types.NULL)  # type: ignore[union-attr]
+                elif t == "BIGINT":
+                    ps.setLong(i, int(v))
+                elif t == "INTEGER":
+                    ps.setInt(i, int(v))
+                elif t == "DOUBLE":
+                    ps.setDouble(i, float(v))
+                else:
+                    ps.setString(i, str(v))
+            ps.addBatch()
+        ps.executeBatch()
+        rs = st.executeQuery(
+            f"SELECT {', '.join(n for n, _ in cols)} FROM {table}"
+        )
+        out_rows = []
+        while rs.next():
+            vals = []
+            for i, (_n, t) in enumerate(cols, start=1):
+                if t == "BIGINT":
+                    v: object = rs.getLong(i)
+                elif t == "INTEGER":
+                    v = rs.getInt(i)
+                elif t == "DOUBLE":
+                    v = rs.getDouble(i)
+                else:
+                    v = rs.getString(i)
+                vals.append(None if rs.wasNull() else v)
+            out_rows.append(tuple(vals))
+    finally:
+        con.close()
+    return spark.createDataFrame(out_rows, df.schema)
+
+
 _JDBC_ROUNDTRIP_ORACLE = """
 SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
        CAST(COUNT(*) AS BIGINT) AS n_nations,
@@ -128,8 +200,14 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    write_jdbc(nation, url, "nation_rt", driver=_DERBY_DRIVER)
-    back = read_jdbc(spark, url, "nation_rt", driver=_DERBY_DRIVER)
+    if spark.sparkContext.master.startswith("local["):
+        # single JVM: the full Spark JDBC dialect/type-mapping path
+        write_jdbc(nation, url, "nation_rt", driver=_DERBY_DRIVER)
+        back = read_jdbc(spark, url, "nation_rt", driver=_DERBY_DRIVER)
+    else:
+        # separate executor JVMs: embedded Derby is single-process —
+        # pin every connection to the driver (see helper docstring)
+        back = _derby_roundtrip_driver_side(spark, nation, url, "nation_rt")
     return back.groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey")).agg(
         F.count(F.lit(1)).alias("n_nations"),
         F.sum("n_nationkey").cast("long").alias("sum_key"),
