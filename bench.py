@@ -77,10 +77,63 @@ def _calibrate(spark, runs: int = 3) -> float:
     return round(best, 4)
 
 
+# The dedup family whose r10 bench promotion moved the 32-way signature
+# aggregate into the shared prewarmed staging pass: their headline (warm,
+# staging-amortized) numbers are not comparable to r9's in-query-staging
+# numbers, so BENCH_DETAIL also publishes their COLD cost — fresh JVM, no
+# prewarm, single pass, staging paid in-query (r11 verdict task 6).
+COLD_FAMILY = (
+    "dedup_near",
+    "dedup_near_verified",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+)
+
+
+def _cold_family_timings(sf_dir: str) -> dict:
+    """Run bench.py on COLD_FAMILY in a fresh subprocess (fresh JVM) in
+    cold mode and return its per-query timings for the ``cold`` section."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "cold_detail.json")
+        env = dict(os.environ)
+        env.update(
+            {
+                "SPARK_GRAFT_BENCH_COLD": "1",
+                "SPARK_GRAFT_BENCH_ONLY": ",".join(COLD_FAMILY),
+                "SPARK_GRAFT_BENCH_DETAIL_PATH": path,
+                "SPARK_GRAFT_SF_DIR": sf_dir,
+            }
+        )
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, timeout=900, check=True,
+            )
+            with open(path) as fh:
+                cold = json.load(fh)
+            return {
+                "queries": cold["queries"],
+                "note": (
+                    "fresh JVM, no prewarm, single pass — shared staging "
+                    "paid in-query; the apples-to-apples basis for "
+                    "cross-round dedup speedup claims"
+                ),
+            }
+        except Exception as exc:  # noqa: BLE001 — cold section is additive
+            return {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("tmr-bench")
     specs = {n: s for n, s in all_specs().items() if s.bench}
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        wanted = set(only.split(","))
+        specs = {n: s for n, s in specs.items() if n in wanted}
 
     # CPU calibration BEFORE any query work, on the cold-but-settled JVM —
     # same position every round so the probe measures the host, not the
@@ -159,6 +212,26 @@ def main() -> int:
         name: (spread[name][0] if name in spread else -1.0) for name in per_pass[-1]
     }
 
+    # Post-run calibration probe (r11 verdict task 5): ambient VM
+    # contention can inflate a whole run 20%+ with 10x single-query
+    # outliers on the SAME boot (BENCH_r11: probe 1.388 vs 0.840
+    # same-boot). Re-running the probe AFTER the timed window makes the
+    # artifact self-report: pre/post disagreeing >20% means the host was
+    # not quiet while the queries ran — treat the numbers as contended
+    # and re-run, don't chase regressions in them.
+    calib_post = _calibrate(spark) if not cold else None
+    contended = bool(
+        calib_post is not None
+        and abs(calib_post - calib_sec) / calib_sec > 0.2
+    )
+    if contended:
+        print(
+            f"bench: CONTENDED run — calib probe moved {calib_sec} -> "
+            f"{calib_post} across the timed window; re-run before "
+            f"recording this artifact",
+            file=sys.stderr,
+        )
+
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -186,11 +259,22 @@ def main() -> int:
         "floor_sec": floor_sec,
         "s_tier": sorted(n for n, s in specs.items() if s.tier == "S"),
         # boot/host stamp: bench_regress warns on cross-boot comparisons
-        # (uniform ±7-20% drift is machine noise, not a regression)
-        "boot": {**_boot_info(), "calib_sec": calib_sec},
+        # (uniform ±7-20% drift is machine noise, not a regression);
+        # calib_sec_post brackets the timed window — `contended` is the
+        # self-reported "this run is not evidence" flag
+        "boot": {**_boot_info(), "calib_sec": calib_sec,
+                 "calib_sec_post": calib_post},
+        "contended": contended,
         "sf": sf_val,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    if not cold and not only:
+        # cold no-prewarm numbers for the staging-amortized dedup family
+        # (fresh subprocess AFTER the timed window, so its CPU use can't
+        # pollute the headline numbers)
+        detail["cold"] = _cold_family_timings(sf_dir)
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr)

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Generate data/sf1_bench — a benign sf1-EQUIVALENT corpus (10x sf0.1)
+for the two-decade scaling fit (r11 verdict task 4).
+
+The scaling smoke fit one decade (sf0.01 -> sf0.1); a superlinear term
+with a small constant can hide inside one decade and dominate the next.
+This corpus gives the smoke a second decade (sf0.1 -> ~sf1: 6M lineitem,
+1M events, 50k documents) without waiting on fixture generation.
+
+Construction (DuckDB, deterministic, no RNG): every scaling table is
+replicated REP=10x with per-replica key offsets, mirroring how TPC-H SF
+actually grows — MORE keys, not fatter keys — so per-key join/window
+cardinality stays constant and only data volume scales:
+
+  * surrogate keys offset by r*K with K shared across BOTH sides of each
+    relationship (l_orderkey with o_orderkey, o_custkey with c_custkey,
+    l_suppkey/l_partkey with their dims, doc_id with vec_id), so FK
+    integrity survives replication exactly;
+  * documents.text is per-replica CHARACTER-ROTATED (translate() over a
+    rotated alphabet, length/token structure preserved): verbatim copies
+    would make every doc a 10-way near-duplicate and blow the LSH
+    candidate-pair count up quadratically — a DATA artifact masquerading
+    as an engine scaling failure;
+  * embeddings.embedding is per-replica component-ROTATED (same norm,
+    genuinely different direction) so ANN hash buckets don't densify
+    10x for the same reason;
+  * region/nation stay fixed (constant dims, as in TPC-H).
+
+Freshness is keyed on the same _manifest.json scheme as make_skewed.
+
+Usage: python scripts/make_scale.py [--force]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_DIR = os.path.join(REPO, "data", "sf1_bench")
+SRC = "/root/testdata/sf0.1"
+REP = 10
+GEN_VERSION = 1
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+
+
+def _fingerprint() -> dict:
+    from toy_map_reduce_spark.tables import TABLES, table_path
+
+    return {
+        "gen_version": GEN_VERSION,
+        "rep": REP,
+        "src": SRC,
+        "sources": {
+            t: [os.path.getsize(p), int(os.path.getmtime(p))]
+            for t in TABLES
+            if os.path.exists(p := table_path(SRC, t))
+        },
+    }
+
+
+def ensure_sf1_bench(force: bool = False) -> str:
+    import duckdb
+
+    from toy_map_reduce_spark.tables import TABLES, table_path
+
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    manifest_path = os.path.join(SCALE_DIR, "_manifest.json")
+    want = _fingerprint()
+    if not force and os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as fh:
+                if json.load(fh) == want and all(
+                    os.path.exists(table_path(SCALE_DIR, t)) for t in TABLES
+                ):
+                    return SCALE_DIR
+        except (OSError, ValueError):
+            pass
+    for t in TABLES:
+        p = table_path(SCALE_DIR, t)
+        if os.path.exists(p):
+            os.remove(p)
+
+    con = duckdb.connect()
+
+    def _max(table: str, col: str) -> int:
+        return con.sql(
+            f"SELECT MAX({col}) FROM read_parquet('{table_path(SRC, table)}')"
+        ).fetchone()[0]
+
+    # shared per-relationship offset constants (PK side and FK side move
+    # by the SAME r*K, so every replicated FK lands on a replicated PK)
+    k_order = max(_max("lineitem", "l_orderkey"), _max("orders", "o_orderkey")) + 1
+    k_cust = _max("customer", "c_custkey") + 1
+    k_supp = _max("supplier", "s_suppkey") + 1
+    k_part = _max("part", "p_partkey") + 1
+    k_event = _max("events", "event_id") + 1
+    k_user = _max("events", "user_id") + 1
+    k_doc = max(_max("documents", "doc_id"), _max("embeddings", "vec_id")) + 1
+
+    reps = f"UNNEST(range({REP})) AS r"
+    # per-replica alphabet rotation: substr of a doubled alphabet — the
+    # r=0 replica is the identity, so the original corpus is a subset
+    rot_l = f"substr('{_LOWER + _LOWER}', r + 1, 26)"
+    rot_u = f"substr('{_UPPER + _UPPER}', r + 1, 26)"
+    transforms = {
+        "customer": f"SELECT * REPLACE (c_custkey + r * {k_cust} AS c_custkey)",
+        "supplier": f"SELECT * REPLACE (s_suppkey + r * {k_supp} AS s_suppkey)",
+        "part": f"SELECT * REPLACE (p_partkey + r * {k_part} AS p_partkey)",
+        "orders": f"""SELECT * REPLACE (
+                o_orderkey + r * {k_order} AS o_orderkey,
+                o_custkey + r * {k_cust} AS o_custkey)""",
+        "lineitem": f"""SELECT * REPLACE (
+                l_orderkey + r * {k_order} AS l_orderkey,
+                l_partkey + r * {k_part} AS l_partkey,
+                l_suppkey + r * {k_supp} AS l_suppkey)""",
+        "events": f"""SELECT * REPLACE (
+                event_id + r * {k_event} AS event_id,
+                user_id + r * {k_user} AS user_id)""",
+        "documents": f"""SELECT * REPLACE (
+                doc_id + r * {k_doc} AS doc_id,
+                translate(text, '{_LOWER + _UPPER}', {rot_l} || {rot_u}) AS text)""",
+        "embeddings": f"""SELECT * REPLACE (
+                vec_id + r * {k_doc} AS vec_id,
+                embedding[(r + 1):] || embedding[1:r] AS embedding)""",
+    }
+    for t in TABLES:
+        body = transforms.get(t)
+        if body is None:  # region/nation: fixed dims
+            sql = f"SELECT * FROM read_parquet('{table_path(SRC, t)}')"
+        else:
+            sql = (
+                f"{body} FROM read_parquet('{table_path(SRC, t)}'), (SELECT {reps})"
+            )
+        con.sql(f"COPY ({sql}) TO '{table_path(SCALE_DIR, t)}' (FORMAT PARQUET)")
+    con.close()
+    with open(manifest_path, "w") as fh:
+        json.dump(want, fh, indent=1, sort_keys=True)
+    return SCALE_DIR
+
+
+if __name__ == "__main__":
+    print(ensure_sf1_bench("--force" in sys.argv))

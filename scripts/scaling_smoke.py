@@ -1,24 +1,35 @@
 #!/usr/bin/env python
 """Empirical scaling-curve smoke for the bench heavy tail (r9 verdict
-task 5): time the most expensive queries at sf0.01 and sf0.1 (10x the
-rows) and assert the growth exponent — the log-log slope
-log10(t_big / t_small) — stays <= 1.2.
+task 5; two-decade fit since r12): time the most expensive queries at
+sf0.01, sf0.1, and the sf1-equivalent benign corpus (10x the rows per
+step, scripts/make_scale.py) and assert the growth exponent — the
+log-log slope log10(t_big / t_small) per decade — stays <= 1.2 in
+EVERY decade.
 
 This is the empirical complement to plan reading: a superlinear blowup
 (an accidental quadratic in a pair op, an O(n^2) LSH bucket that the
 df-cap was supposed to bound) shows up as a slope near 2 long before
-sf1-scale data exists to prove it. Fixed per-query overhead (JVM task
-scheduling, plan compilation) biases the measured slope DOWN, so the
-1.2 gate is conservative against false alarms while still catching a
-quadratic (slope ~2) or a shuffle-explosion (slope >> 1) outright.
+cluster-scale data exists to prove it. Fixed per-query overhead (JVM
+task scheduling, plan compilation) biases the measured slope DOWN, so
+the 1.2 gate is conservative against false alarms while still catching
+a quadratic (slope ~2) or a shuffle-explosion (slope >> 1) outright.
+One decade can still smooth over a superlinear term with a small
+constant — the second decade (r11 verdict task 4) is where such a term
+must surface, so the gate applies PER DECADE, not to the average.
+
+The shared dedup staging stage (shingles/signatures, paid once per
+corpus outside the per-query timings) is fitted as its own entry
+``dedup_staging`` — it is the single biggest stage a 100 TB dedup run
+would execute, and per-query slopes can't see it.
 
 Streaming (S-tier) queries are excluded: their time is dominated by the
 measured ~0.6 s query-start/stop floor, which makes a slope meaningless.
 
 Usage:
-    python scripts/scaling_smoke.py SCALING_r10.json          # top 10 from latest BENCH_DETAIL_r*.json
-    python scripts/scaling_smoke.py out.json q1 q2 ...        # explicit queries
+    python scripts/scaling_smoke.py SCALING_r12.json       # top 10 from latest BENCH_DETAIL_r*.json
+    python scripts/scaling_smoke.py out.json q1 q2 ...     # explicit queries
     SLOPE_MAX=1.3 TOP_N=15 python scripts/scaling_smoke.py out.json
+    DECADES=1 python scripts/scaling_smoke.py out.json     # legacy one-decade mode
 """
 
 from __future__ import annotations
@@ -30,12 +41,13 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_SMALL = "/root/testdata/sf0.01"
-SF_BIG = "/root/testdata/sf0.1"
-SF_RATIO = 10.0
+SF_MID = "/root/testdata/sf0.1"
+SF_RATIO = 10.0  # rows ratio of each adjacent dir pair
 
 
 def pick_queries(n: int) -> list[str]:
@@ -54,16 +66,20 @@ def pick_queries(n: int) -> list[str]:
     return [k for k, _ in sorted(timed.items(), key=lambda kv: -kv[1])[:n]]
 
 
-def time_queries(spark, names: list[str], sf_dir: str, passes: int = 2) -> dict[str, float]:
+def time_queries(
+    spark, names: list[str], sf_dir: str, passes: int = 2
+) -> dict[str, float]:
     from toy_map_reduce_spark.functions.ranks import release_scratch
     from toy_map_reduce_spark.operators.dedup import prewarm_staging
     from toy_map_reduce_spark.registry import all_specs
 
     specs = all_specs()
-    # shared dedup staging outside the timed window — same attribution
-    # rule as bench.py; the slope must measure the query, not the stage
-    prewarm_staging(spark, sf_dir)
-    best: dict[str, float] = {}
+    # shared dedup staging outside the per-query timed window — same
+    # attribution rule as bench.py; per-query slopes must measure the
+    # query, not the stage. The stage itself is timed and reported as
+    # the synthetic entry "dedup_staging" (cold, single measurement).
+    staging = prewarm_staging(spark, sf_dir)
+    best: dict[str, float] = {"dedup_staging": round(sum(staging.values()), 4)}
     for _ in range(passes):
         for name in names:
             t0 = time.perf_counter()
@@ -80,33 +96,51 @@ def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
     names = sys.argv[2:] or pick_queries(int(os.environ.get("TOP_N", "10")))
     slope_max = float(os.environ.get("SLOPE_MAX", "1.2"))
+    decades = int(os.environ.get("DECADES", "2"))
 
     from toy_map_reduce_spark.session import get_spark
 
-    spark = get_spark("scaling-smoke")
-    small = time_queries(spark, names, SF_SMALL)
-    spark.catalog.clearCache()  # drop sf0.01 staging before the big run
-    big = time_queries(spark, names, SF_BIG)
+    sf_dirs = [SF_SMALL, SF_MID]
+    if decades >= 2:
+        from make_scale import ensure_sf1_bench
 
+        sf_dirs.append(ensure_sf1_bench())
+
+    spark = get_spark("scaling-smoke")
+    per_dir: list[dict[str, float]] = []
+    for d in sf_dirs:
+        spark.catalog.clearCache()  # drop the previous dir's staging
+        per_dir.append(time_queries(spark, names, d))
+
+    entries = ["dedup_staging"] + list(names)
     report: dict[str, dict] = {}
     worst = ("", -math.inf)
-    for name in names:
-        slope = math.log10(big[name] / small[name]) / math.log10(SF_RATIO)
-        report[name] = {
-            "sec_sf0.01": round(small[name], 4),
-            "sec_sf0.1": round(big[name], 4),
-            "slope": round(slope, 3),
-            "ok": slope <= slope_max,
-        }
-        if slope > worst[1]:
-            worst = (name, slope)
+    for name in entries:
+        rec: dict = {}
+        slopes = []
+        for i, d in enumerate(sf_dirs):
+            rec[f"sec_{os.path.basename(d.rstrip('/'))}"] = round(
+                per_dir[i][name], 4
+            )
+        for i in range(1, len(sf_dirs)):
+            s = math.log10(per_dir[i][name] / per_dir[i - 1][name]) / math.log10(
+                SF_RATIO
+            )
+            slopes.append(round(s, 3))
+        rec["slopes"] = slopes
+        rec["worst_slope"] = max(slopes)
+        rec["ok"] = all(s <= slope_max for s in slopes)
+        report[name] = rec
+        if rec["worst_slope"] > worst[1]:
+            worst = (name, rec["worst_slope"])
     out = {
         "_summary": {
-            "queries": len(names),
+            "queries": len(entries),
             "slope_max": slope_max,
-            "worst": {"query": worst[0], "slope": round(worst[1], 3)},
+            "decades": len(sf_dirs) - 1,
+            "worst": {"query": worst[0], "slope": worst[1]},
             "fail": sum(1 for r in report.values() if not r["ok"]),
-            "sf_pair": [SF_SMALL, SF_BIG],
+            "sf_dirs": sf_dirs,
         },
         "queries": report,
     }

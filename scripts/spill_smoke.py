@@ -10,16 +10,28 @@ This smoke starves the engine on purpose:
     spark.memory.fraction 0.2  (execution+storage ≈ 350 MB total)
     spark.sql.shuffle.partitions 8 (bigger per-task working sets)
 
-then runs the heavy-tail queries (same top-N-by-cost selection as
-scaling_smoke) over the amplified corpus, asserting (a) completion, (b) oracle parity —
+then runs a widened selection (r11 verdict task 3 — the r11 smoke
+covered 10 dedup/percentile-heavy queries; the sort-based-shuffle
+families had never executed under pressure):
+
+    * the heavy-tail queries (same top-N-by-cost selection as
+      scaling_smoke),
+    * the big-sort shuffle families the first smoke missed —
+      window_median, window_gaps_islands, sort_limit_offset,
+      graph_pagerank, stream_chained_windows (streaming state store
+      under a starved heap),
+    * the external driver's full 50-key CORRECTNESS window (first 50
+      registry keys alphabetically — the same selection rule),
+
+over the amplified corpus, asserting (a) completion, (b) oracle parity —
 answers must be IDENTICAL under memory pressure, the whole point of a
 spillable operator — and (c) that pressure actually happened: the REST
 API's per-stage memory/disk spill counters must be nonzero across the
 run, otherwise the smoke silently proved nothing.
 
 Usage:
-    python scripts/spill_smoke.py SPILL_r11.json
-    TOP_N=10 python scripts/spill_smoke.py out.json
+    python scripts/spill_smoke.py SPILL_r12.json
+    TOP_N=10 WINDOW=50 python scripts/spill_smoke.py out.json
 """
 
 from __future__ import annotations
@@ -43,9 +55,21 @@ SF_DIR = os.path.join(
 )
 
 
+# sort-based-shuffle families added in r12: per-key window sorts, a
+# global order-by, an iterative join loop, and a stateful stream
+SHUFFLE_FAMILIES = [
+    "window_median",
+    "window_gaps_islands",
+    "sort_limit_offset",
+    "graph_pagerank",
+    "stream_chained_windows",
+]
+
+
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SPILL.json"
     top_n = int(os.environ.get("TOP_N", "10"))
+    window = int(os.environ.get("WINDOW", "50"))
 
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = "2g"
 
@@ -61,7 +85,12 @@ def main() -> int:
     from make_skewed import ensure_skewed_bench
 
     ensure_skewed_bench()
-    names = pick_queries(top_n)
+    from toy_map_reduce_spark.registry import all_specs as _specs_fn
+
+    driver_window = sorted(_specs_fn())[:window]
+    names = list(dict.fromkeys(
+        pick_queries(top_n) + SHUFFLE_FAMILIES + driver_window
+    ))
     spark = get_spark(
         "tmr-spill-smoke",
         shuffle_partitions=8,
