@@ -52,7 +52,7 @@ SKEW_BENCH_DIR = os.path.join(REPO, "data", "skewed_bench")
 SRC_PARITY = "/root/testdata/sf0.01"
 SRC_BENCH = "/root/testdata/sf0.1"
 REP = 16  # replication factor for the bench dir's fact tables
-GEN_VERSION = 2  # bump on any transform-rule change to force a rebuild
+GEN_VERSION = 3  # bump on any transform-rule change to force a rebuild
 
 
 def _fingerprint(src: str, rep: int) -> dict:
@@ -143,11 +143,26 @@ def _gen(con, src: str, dst: str, rep: int, force: bool = False) -> None:
     }
     if rep > 1:
         # parents of replicated facts replicate with the SAME offsets so
-        # orders-lineitem and documents-embeddings joins keep 1:1 FK
-        # coverage at every replica (rep=1 keeps the plain copy: r=0
-        # offsets are the identity and the copy preserves row order)
+        # orders-lineitem, orders-customer and documents-embeddings joins
+        # keep 1:1 FK coverage at every replica (rep=1 keeps the plain
+        # copy: r=0 offsets are the identity and the copy preserves row
+        # order). o_custkey offsets WITH customer so per-customer order
+        # sets keep their original shape — replicating orders onto the
+        # same custkeys would manufacture exact o_totalprice ties per
+        # customer, flipping engine-defined argmin/argmax tie-breaking
+        # (agg_min_max_by is scoped to tie-free input). The skew targets
+        # (events.user_id, lineitem.l_suppkey) deliberately stay
+        # UN-offset: their replica pile-up IS the hot key under test.
+        k_cust = con.sql(
+            f"SELECT MAX(c_custkey) FROM read_parquet('{table_path(src, 'customer')}')"
+        ).fetchone()[0]
+        transforms["customer"] = f"""
+            SELECT * REPLACE (c_custkey + r * {k_cust + 1} AS c_custkey)
+            FROM read_parquet('{table_path(src, 'customer')}'), (SELECT {reps})
+        """
         transforms["orders"] = f"""
-            SELECT * REPLACE (o_orderkey + r * {k_order + 1} AS o_orderkey)
+            SELECT * REPLACE (o_orderkey + r * {k_order + 1} AS o_orderkey,
+                              o_custkey + r * {k_cust + 1} AS o_custkey)
             FROM read_parquet('{table_path(src, 'orders')}'), (SELECT {reps})
         """
         transforms["embeddings"] = f"""
