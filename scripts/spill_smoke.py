@@ -91,8 +91,16 @@ def main() -> int:
     names = list(dict.fromkeys(
         pick_queries(top_n) + SHUFFLE_FAMILIES + driver_window
     ))
+    # 8 cores, not local[32]: a 2g heap at 32 concurrent tasks is
+    # 64 MB/task — no production executor runs that ratio, and the
+    # unmanaged per-task allocations (spill-merge read-ahead buffers,
+    # codegen) OOM the JVM before the managed memory ever spills.
+    # 8 cores / 2g mirrors a genuinely starved but production-shaped
+    # executor (the r12 widened run OOMed at 32 threads; the point of
+    # the smoke is parity UNDER spill, not death by thread count).
     spark = get_spark(
         "tmr-spill-smoke",
+        cores=8,
         shuffle_partitions=8,
         extra_conf={
             "spark.memory.fraction": "0.2",
@@ -114,7 +122,11 @@ def main() -> int:
     specs = all_specs()
     report: dict[str, dict] = {}
     n_pass = n_rows_only = n_fail = 0
+    import time as _time
+
     for name in names:
+        print(f"spill_smoke: {name} ...", file=sys.stderr, flush=True)
+        _t0 = _time.time()
         spec = specs[name]
         rec: dict = {"hash_match": None, "err": None}
         try:
@@ -138,14 +150,21 @@ def main() -> int:
             n_fail += 1
         finally:
             release_scratch()
+        rec["sec"] = round(_time.time() - _t0, 1)
         report[name] = rec
     duck.close()
 
-    # did anything actually spill? (sum over all completed stages)
-    with urllib.request.urlopen(f"{api}/stages?status=COMPLETE") as r:
-        stages = json.loads(r.read())
-    mem_spill = sum(s.get("memoryBytesSpilled", 0) for s in stages)
-    disk_spill = sum(s.get("diskBytesSpilled", 0) for s in stages)
+    # did anything actually spill? (sum over all completed stages) —
+    # fetched defensively: if the starved JVM died mid-run, the parity
+    # records above are still worth writing out
+    mem_spill = disk_spill = 0
+    try:
+        with urllib.request.urlopen(f"{api}/stages?status=COMPLETE") as r:
+            stages = json.loads(r.read())
+        mem_spill = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+        disk_spill = sum(s.get("diskBytesSpilled", 0) for s in stages)
+    except Exception as exc:  # noqa: BLE001
+        print(f"spill_smoke: REST fetch failed: {exc}", file=sys.stderr)
 
     summary = {
         "sf_dir": SF_DIR,
