@@ -54,14 +54,26 @@ def _boot_info() -> dict:
     return info
 
 
-def _calibrate(spark, runs: int = 3) -> float:
+# calib_version 2 (r12): probes are JIT-WARMED before timing. The v1
+# cold-JVM probe carried first-execution C2-compilation noise (measured:
+# 3.2s first run -> 0.79 settled min on an idle box), which made the
+# pre-vs-post contention compare structurally asymmetric (pre cold, post
+# warm after ~780 queries ≈ a built-in 1.2x) and put a QUIET machine at
+# the flag line. bench_regress must not normalize across differing calib
+# versions — the ratio would mix JIT maturity with host speed.
+CALIB_VERSION = 2
+
+
+def _calibrate(spark, runs: int = 3, warmup: int = 2) -> float:
     """Deterministic CPU probe (r10 verdict task 4): min wall time of a
     fixed JVM workload — xxhash64+sum over range(3.2e9), 32 even splits, no
     data dependence, no shuffle — stamped into BENCH_DETAIL as
     ``boot.calib_sec``. bench_regress divides per-query times by the
     calib ratio before classifying a CROSS-BOOT comparison, so a uniform
     host-speed change (r9→r10 measured 1.23x when the VM moved to a
-    2.10 GHz host) self-corrects instead of widening the no-detect band."""
+    2.10 GHz host) self-corrects instead of widening the no-detect band.
+    ``warmup`` untimed executions first, so the number measures the host,
+    not whole-stage-codegen JIT compilation (see CALIB_VERSION)."""
     from pyspark.sql import functions as F
 
     # shiftright keeps the summed terms ≤ 2^32 so ANSI mode can't overflow
@@ -69,6 +81,8 @@ def _calibrate(spark, runs: int = 3) -> float:
     df = spark.range(0, 3_200_000_000, 1, 32).select(
         F.sum(F.shiftright(F.xxhash64("id"), 32)).alias("h")
     )
+    for _ in range(warmup):
+        materialize(df)
     best = float("inf")
     for _ in range(runs):
         t0 = time.time()
@@ -116,6 +130,10 @@ def _cold_family_timings(sf_dir: str) -> dict:
                 cold = json.load(fh)
             return {
                 "queries": cold["queries"],
+                # the cold pass is SINGLE-shot by definition, so it
+                # carries full ambient variance (observed 2x run-to-run
+                # on one boot); its own probe gives readers the context
+                "calib_sec": cold.get("boot", {}).get("calib_sec"),
                 "note": (
                     "fresh JVM, no prewarm, single pass — shared staging "
                     "paid in-query; the apples-to-apples basis for "
@@ -263,7 +281,8 @@ def main() -> int:
         # calib_sec_post brackets the timed window — `contended` is the
         # self-reported "this run is not evidence" flag
         "boot": {**_boot_info(), "calib_sec": calib_sec,
-                 "calib_sec_post": calib_post},
+                 "calib_sec_post": calib_post,
+                 "calib_version": CALIB_VERSION},
         "contended": contended,
         "sf": sf_val,
     }

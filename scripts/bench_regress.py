@@ -120,7 +120,11 @@ def _adjudicate(names: list[str], sf) -> tuple[dict[str, float], dict]:
         )
         line = out.stdout.strip().splitlines()[-1]
         rep = json.loads(line)
-        meta = {k: rep[k] for k in ("calib_sec", "boot_id") if k in rep}
+        meta = {
+            k: rep[k]
+            for k in ("calib_sec", "boot_id", "calib_version")
+            if k in rep
+        }
         return {n: q["warm_min"] for n, q in rep.get("queries", {}).items()}, meta
     except Exception as exc:  # noqa: BLE001 — adjudication is best-effort
         print(f"adjudication failed: {exc}", file=sys.stderr)
@@ -165,6 +169,10 @@ def main() -> int:
         and old_boot_d["boot_id"] != new_boot_d["boot_id"]
         and old_boot_d.get("calib_sec")
         and new_boot_d.get("calib_sec")
+        # probes must share JIT-maturity semantics: v1 timed a cold JVM,
+        # v2 warms the plan first — a v1/v2 ratio would mix compilation
+        # cost with host speed (bench.py CALIB_VERSION)
+        and old_boot_d.get("calib_version", 1) == new_boot_d.get("calib_version", 1)
     ):
         calib_ratio = round(new_boot_d["calib_sec"] / old_boot_d["calib_sec"], 4)
 
@@ -236,7 +244,12 @@ def main() -> int:
         if warm_meta.get("boot_id") and old_boot_d.get("boot_id"):
             if warm_meta["boot_id"] == old_boot_d["boot_id"]:
                 warm_ratio = 1.0
-            elif warm_meta.get("calib_sec") and old_boot_d.get("calib_sec"):
+            elif (
+                warm_meta.get("calib_sec")
+                and old_boot_d.get("calib_sec")
+                and warm_meta.get("calib_version", 1)
+                == old_boot_d.get("calib_version", 1)
+            ):
                 warm_ratio = round(
                     warm_meta["calib_sec"] / old_boot_d["calib_sec"], 4
                 )

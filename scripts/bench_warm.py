@@ -92,9 +92,10 @@ def main() -> int:
 
     calib_info: dict = {}
     if calib:
-        from bench import _calibrate  # repo-root bench.py, same probe
+        from bench import CALIB_VERSION, _calibrate  # repo-root bench.py
 
         calib_info["calib_sec"] = _calibrate(spark)
+        calib_info["calib_version"] = CALIB_VERSION
         try:
             with open("/proc/sys/kernel/random/boot_id") as fh:
                 calib_info["boot_id"] = fh.read().strip()

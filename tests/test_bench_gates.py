@@ -88,6 +88,19 @@ def test_missing_probe_falls_back_to_warning(tmp_path):
     assert "drift" in s.get("boot_note", "")
 
 
+def test_calib_version_mismatch_skips_normalization(tmp_path):
+    # v1 probes timed a cold JVM, v2 warms the plan first: a cross-boot
+    # v1/v2 ratio mixes JIT compilation with host speed, so the gate
+    # must fall back to the boot_note warning instead of normalizing
+    old = _detail({"q1": 1.0, "q2": 2.0}, "boot-A", 1.0)
+    new = _detail({"q1": 2.5, "q2": 5.0}, "boot-B", 2.5)
+    new["boot"]["calib_version"] = 2
+    rc, s = _run(tmp_path, old, new)
+    assert "calib" not in s
+    assert "drift" in s.get("boot_note", "")
+    assert rc == 1  # un-normalized 2.5x growth fails, as it should
+
+
 def test_watch_tier_reports_without_failing(tmp_path):
     # q1 grows to 1.9 vs old_max 1.1 (1.73x): past the 1.5x watch line,
     # under the 2x fail line — must pass the gate but land in `watch`,
