@@ -556,8 +556,10 @@ def test_bench_regress_boot_note_and_adjudication(tmp_path, monkeypatch, capsys)
     po.write_text(json.dumps(base))
     pn.write_text(json.dumps(new))
 
+    # _adjudicate returns (warm_mins, meta) since r12; an empty meta
+    # exercises the fallback warm normalization path (_norm)
     monkeypatch.setattr(
-        br, "_adjudicate", lambda names, sf: {"q_a": 1.05, "q_b": 2.4}
+        br, "_adjudicate", lambda names, sf: ({"q_a": 1.05, "q_b": 2.4}, {})
     )
     monkeypatch.setattr(
         sys, "argv", ["bench_regress.py", str(po), str(pn), "--adjudicate"]
@@ -580,7 +582,7 @@ def test_bench_regress_boot_note_and_adjudication(tmp_path, monkeypatch, capsys)
 
     # all flagged entries adjudicate as noise -> gate passes
     monkeypatch.setattr(
-        br, "_adjudicate", lambda names, sf: {"q_a": 1.05, "q_b": 1.08}
+        br, "_adjudicate", lambda names, sf: ({"q_a": 1.05, "q_b": 1.08}, {})
     )
     monkeypatch.setattr(
         sys, "argv", ["bench_regress.py", str(po), str(pn), "--adjudicate"]
