@@ -204,51 +204,86 @@ def main() -> int:
 
         floor_sec = measure_streaming_floor(spark, sf_dir)
 
-    per_pass: list[dict[str, float]] = []
-    for p in range(n_passes):
-        timings: dict[str, float] = {}
-        for name, spec in specs.items():
-            t0 = time.perf_counter()
-            try:
-                materialize(spec.builder(spark, sf_dir))
-                timings[name] = round(time.perf_counter() - t0, 4)
-            except Exception as exc:  # a broken query shouldn't zero the bench
-                if p == n_passes - 1:
-                    print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-                timings[name] = -1.0
-            # release rank-primitive scratch persists OUTSIDE the timed
-            # window: the CacheManager holds them strongly, and letting
-            # them pile up inflates every later query with GC pressure
-            release_scratch()
-        per_pass.append(timings)
-    spread = {
-        name: [min(ts), max(ts)]
-        for name in per_pass[-1]
-        if (ts := [pp[name] for pp in per_pass if pp[name] >= 0])
-    }
-    timings = {
-        name: (spread[name][0] if name in spread else -1.0) for name in per_pass[-1]
-    }
-
-    # Post-run calibration probe (r11 verdict task 5): ambient VM
-    # contention can inflate a whole run 20%+ with 10x single-query
-    # outliers on the SAME boot (BENCH_r11: probe 1.388 vs 0.840
-    # same-boot). Re-running the probe AFTER the timed window makes the
-    # artifact self-report: pre/post disagreeing >20% means the host was
-    # not quiet while the queries ran — treat the numbers as contended
-    # and re-run, don't chase regressions in them.
-    calib_post = _calibrate(spark) if not cold else None
-    contended = bool(
-        calib_post is not None
-        and abs(calib_post - calib_sec) / calib_sec > 0.2
+    # Contention-retry protocol (r12 verdict task 1): a contended run is
+    # "not evidence" by the flag's own definition, yet r12's driver-visible
+    # artifact WAS one (289.5 s contended vs the adjudicated 271.6 s quiet
+    # rerun). So bench.py no longer finalizes a contended attempt while it
+    # has retries left: each attempt is bracketed by its own pre/post calib
+    # probes, and if they disagree >20% the whole timed window re-runs
+    # (bounded, SPARK_GRAFT_BENCH_MAX_ATTEMPTS, default 3). Only if every
+    # attempt is contended does the artifact ship contended:true — with the
+    # full attempt history stamped in, so a reader sees the host never went
+    # quiet rather than mistaking ambient load for a plan change. Warm
+    # retries are safe under the min-of-passes convention: caches being
+    # warmer on attempt 2 can only tighten a minimum, never inflate it.
+    max_attempts = 1 if cold else int(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "3")
     )
-    if contended:
+    attempts: list[dict] = []
+    calib_pre = calib_sec
+    for attempt in range(max_attempts):
+        if attempt > 0:
+            calib_pre = _calibrate(spark)
+        per_pass: list[dict[str, float]] = []
+        for p in range(n_passes):
+            timings: dict[str, float] = {}
+            for name, spec in specs.items():
+                t0 = time.perf_counter()
+                try:
+                    materialize(spec.builder(spark, sf_dir))
+                    timings[name] = round(time.perf_counter() - t0, 4)
+                except Exception as exc:  # a broken query shouldn't zero the bench
+                    if p == n_passes - 1:
+                        print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                    timings[name] = -1.0
+                # release rank-primitive scratch persists OUTSIDE the timed
+                # window: the CacheManager holds them strongly, and letting
+                # them pile up inflates every later query with GC pressure
+                release_scratch()
+            per_pass.append(timings)
+        spread = {
+            name: [min(ts), max(ts)]
+            for name in per_pass[-1]
+            if (ts := [pp[name] for pp in per_pass if pp[name] >= 0])
+        }
+        timings = {
+            name: (spread[name][0] if name in spread else -1.0)
+            for name in per_pass[-1]
+        }
+
+        # Post-attempt calibration probe (r11 verdict task 5): ambient VM
+        # contention can inflate a whole run 20%+ with 10x single-query
+        # outliers on the SAME boot (BENCH_r11: probe 1.388 vs 0.840
+        # same-boot). Pre/post disagreeing >20% means the host was not
+        # quiet while the queries ran — retry rather than record.
+        calib_post = _calibrate(spark) if not cold else None
+        contended = bool(
+            calib_post is not None
+            and abs(calib_post - calib_pre) / calib_pre > 0.2
+        )
+        attempts.append(
+            {
+                "calib_pre": calib_pre,
+                "calib_post": calib_post,
+                "contended": contended,
+                "total": round(
+                    sum(t for t in timings.values() if t >= 0), 4
+                ),
+            }
+        )
+        if not contended:
+            break
         print(
-            f"bench: CONTENDED run — calib probe moved {calib_sec} -> "
-            f"{calib_post} across the timed window; re-run before "
-            f"recording this artifact",
+            f"bench: CONTENDED attempt {attempt + 1}/{max_attempts} — calib "
+            f"probe moved {calib_pre} -> {calib_post} across the timed "
+            f"window"
+            + (
+                "; retrying" if attempt + 1 < max_attempts
+                else "; retries exhausted — artifact ships contended:true"
+            ),
             file=sys.stderr,
         )
+    calib_sec = calib_pre  # the probe that brackets the RECORDED attempt
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -284,6 +319,9 @@ def main() -> int:
                  "calib_sec_post": calib_post,
                  "calib_version": CALIB_VERSION},
         "contended": contended,
+        # every attempt's probe bracket + total — on a contended:true
+        # artifact this shows the host never went quiet across all retries
+        "attempts": attempts,
         "sf": sf_val,
     }
     if not cold and not only:

@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""Generate data/sf1_bench — a benign sf1-EQUIVALENT corpus (10x sf0.1)
-for the two-decade scaling fit (r11 verdict task 4).
+"""Generate benign scale-equivalent corpora for the scaling fit:
+data/sf1_bench (10x sf0.1, r11 verdict task 4) and data/sf3_bench
+(30x sf0.1, r12 verdict task 6 — third scaling step for the dedup
+family).
 
 The scaling smoke fit one decade (sf0.01 -> sf0.1); a superlinear term
 with a small constant can hide inside one decade and dominate the next.
-This corpus gives the smoke a second decade (sf0.1 -> ~sf1: 6M lineitem,
-1M events, 50k documents) without waiting on fixture generation.
+These corpora extend the fit to sf1 (6M lineitem, 1M events, 50k
+documents) and sf3 without waiting on fixture generation.
 
 Construction (DuckDB, deterministic, no RNG): every scaling table is
-replicated REP=10x with per-replica key offsets, mirroring how TPC-H SF
+replicated REP x with per-replica key offsets, mirroring how TPC-H SF
 actually grows — MORE keys, not fatter keys — so per-key join/window
 cardinality stays constant and only data volume scales:
 
@@ -17,18 +19,21 @@ cardinality stays constant and only data volume scales:
     l_suppkey/l_partkey with their dims, doc_id with vec_id), so FK
     integrity survives replication exactly;
   * documents.text is per-replica CHARACTER-ROTATED (translate() over a
-    rotated alphabet, length/token structure preserved): verbatim copies
-    would make every doc a 10-way near-duplicate and blow the LSH
-    candidate-pair count up quadratically — a DATA artifact masquerading
-    as an engine scaling failure;
+    (r mod 26)-rotated alphabet, length/token structure preserved):
+    verbatim copies would make every doc an REP-way near-duplicate and
+    blow the LSH candidate-pair count up quadratically — a DATA artifact
+    masquerading as an engine scaling failure. Above 26 replicas the
+    rotations repeat (r and r+26 share an alphabet), but the shared
+    shingle vocabulary still hashes to DIFFERENT doc pairs, so candidate
+    growth stays linear in REP;
   * embeddings.embedding is per-replica component-ROTATED (same norm,
     genuinely different direction) so ANN hash buckets don't densify
-    10x for the same reason;
+    REP x for the same reason (REP must stay below the embedding dim, 64);
   * region/nation stay fixed (constant dims, as in TPC-H).
 
 Freshness is keyed on the same _manifest.json scheme as make_skewed.
 
-Usage: python scripts/make_scale.py [--force]
+Usage: python scripts/make_scale.py [--force] [--sf3]
 """
 
 from __future__ import annotations
@@ -40,49 +45,50 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCALE_DIR = os.path.join(REPO, "data", "sf1_bench")
 SRC = "/root/testdata/sf0.1"
-REP = 10
-GEN_VERSION = 1
+GEN_VERSION = 2  # v2: EXCLUDE (r) — replica counter no longer leaks into schemas
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
 
 
-def _fingerprint() -> dict:
+def _fingerprint(rep: int) -> dict:
     from toy_map_reduce_spark.tables import TABLES, table_path
 
     return {
         "gen_version": GEN_VERSION,
-        "rep": REP,
+        "rep": rep,
         "src": SRC,
         "sources": {
-            t: [os.path.getsize(p), int(os.path.getmtime(p))]
+            # sizes only — mtimes are machine/checkout-local and would force
+            # a spurious full rebuild on any other host (r12 advisor)
+            t: os.path.getsize(p)
             for t in TABLES
             if os.path.exists(p := table_path(SRC, t))
         },
     }
 
 
-def ensure_sf1_bench(force: bool = False) -> str:
+def _ensure(dst: str, rep: int, force: bool = False) -> str:
     import duckdb
 
     from toy_map_reduce_spark.tables import TABLES, table_path
 
-    os.makedirs(SCALE_DIR, exist_ok=True)
-    manifest_path = os.path.join(SCALE_DIR, "_manifest.json")
-    want = _fingerprint()
+    assert rep < 64, "embedding component-rotation needs rep < dim (64)"
+    os.makedirs(dst, exist_ok=True)
+    manifest_path = os.path.join(dst, "_manifest.json")
+    want = _fingerprint(rep)
     if not force and os.path.exists(manifest_path):
         try:
             with open(manifest_path) as fh:
                 if json.load(fh) == want and all(
-                    os.path.exists(table_path(SCALE_DIR, t)) for t in TABLES
+                    os.path.exists(table_path(dst, t)) for t in TABLES
                 ):
-                    return SCALE_DIR
+                    return dst
         except (OSError, ValueError):
             pass
     for t in TABLES:
-        p = table_path(SCALE_DIR, t)
+        p = table_path(dst, t)
         if os.path.exists(p):
             os.remove(p)
 
@@ -103,29 +109,31 @@ def ensure_sf1_bench(force: bool = False) -> str:
     k_user = _max("events", "user_id") + 1
     k_doc = max(_max("documents", "doc_id"), _max("embeddings", "vec_id")) + 1
 
-    reps = f"UNNEST(range({REP})) AS r"
+    reps = f"UNNEST(range({rep})) AS r"
     # per-replica alphabet rotation: substr of a doubled alphabet — the
-    # r=0 replica is the identity, so the original corpus is a subset
-    rot_l = f"substr('{_LOWER + _LOWER}', r + 1, 26)"
-    rot_u = f"substr('{_UPPER + _UPPER}', r + 1, 26)"
+    # r=0 replica is the identity, so the original corpus is a subset;
+    # r % 26 keeps the substring a full 26 chars at any REP (a short "to"
+    # string would make translate() DELETE characters)
+    rot_l = f"substr('{_LOWER + _LOWER}', (r % 26) + 1, 26)"
+    rot_u = f"substr('{_UPPER + _UPPER}', (r % 26) + 1, 26)"
     transforms = {
-        "customer": f"SELECT * REPLACE (c_custkey + r * {k_cust} AS c_custkey)",
-        "supplier": f"SELECT * REPLACE (s_suppkey + r * {k_supp} AS s_suppkey)",
-        "part": f"SELECT * REPLACE (p_partkey + r * {k_part} AS p_partkey)",
-        "orders": f"""SELECT * REPLACE (
+        "customer": f"SELECT * EXCLUDE (r) REPLACE (c_custkey + r * {k_cust} AS c_custkey)",
+        "supplier": f"SELECT * EXCLUDE (r) REPLACE (s_suppkey + r * {k_supp} AS s_suppkey)",
+        "part": f"SELECT * EXCLUDE (r) REPLACE (p_partkey + r * {k_part} AS p_partkey)",
+        "orders": f"""SELECT * EXCLUDE (r) REPLACE (
                 o_orderkey + r * {k_order} AS o_orderkey,
                 o_custkey + r * {k_cust} AS o_custkey)""",
-        "lineitem": f"""SELECT * REPLACE (
+        "lineitem": f"""SELECT * EXCLUDE (r) REPLACE (
                 l_orderkey + r * {k_order} AS l_orderkey,
                 l_partkey + r * {k_part} AS l_partkey,
                 l_suppkey + r * {k_supp} AS l_suppkey)""",
-        "events": f"""SELECT * REPLACE (
+        "events": f"""SELECT * EXCLUDE (r) REPLACE (
                 event_id + r * {k_event} AS event_id,
                 user_id + r * {k_user} AS user_id)""",
-        "documents": f"""SELECT * REPLACE (
+        "documents": f"""SELECT * EXCLUDE (r) REPLACE (
                 doc_id + r * {k_doc} AS doc_id,
                 translate(text, '{_LOWER + _UPPER}', {rot_l} || {rot_u}) AS text)""",
-        "embeddings": f"""SELECT * REPLACE (
+        "embeddings": f"""SELECT * EXCLUDE (r) REPLACE (
                 vec_id + r * {k_doc} AS vec_id,
                 embedding[(r + 1):] || embedding[1:r] AS embedding)""",
     }
@@ -137,12 +145,23 @@ def ensure_sf1_bench(force: bool = False) -> str:
             sql = (
                 f"{body} FROM read_parquet('{table_path(SRC, t)}'), (SELECT {reps})"
             )
-        con.sql(f"COPY ({sql}) TO '{table_path(SCALE_DIR, t)}' (FORMAT PARQUET)")
+        con.sql(f"COPY ({sql}) TO '{table_path(dst, t)}' (FORMAT PARQUET)")
     con.close()
     with open(manifest_path, "w") as fh:
         json.dump(want, fh, indent=1, sort_keys=True)
-    return SCALE_DIR
+    return dst
+
+
+def ensure_sf1_bench(force: bool = False) -> str:
+    return _ensure(os.path.join(REPO, "data", "sf1_bench"), rep=10, force=force)
+
+
+def ensure_sf3_bench(force: bool = False) -> str:
+    return _ensure(os.path.join(REPO, "data", "sf3_bench"), rep=30, force=force)
 
 
 if __name__ == "__main__":
-    print(ensure_sf1_bench("--force" in sys.argv))
+    force = "--force" in sys.argv
+    print(ensure_sf1_bench(force))
+    if "--sf3" in sys.argv:
+        print(ensure_sf3_bench(force))

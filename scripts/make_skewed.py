@@ -30,7 +30,8 @@ lineitem/documents without their parents, silently shrinking
 orders-lineitem and documents-embeddings joins to 1/rep scale.)
 
 Freshness is keyed on a _manifest.json stamped into each dir: source
-file sizes+mtimes, the replication factor, and a generator version. A
+file sizes (mtimes are machine-local), the replication factor, and a
+generator version. A
 mismatch (regenerated source fixtures, new generator rules) triggers a
 full rebuild — per-file existence checks alone let a stale dir silently
 mix fixture generations (r11 advisor).
@@ -52,7 +53,7 @@ SKEW_BENCH_DIR = os.path.join(REPO, "data", "skewed_bench")
 SRC_PARITY = "/root/testdata/sf0.01"
 SRC_BENCH = "/root/testdata/sf0.1"
 REP = 16  # replication factor for the bench dir's fact tables
-GEN_VERSION = 3  # bump on any transform-rule change to force a rebuild
+GEN_VERSION = 4  # bump on any transform-rule change to force a rebuild
 
 
 def _fingerprint(src: str, rep: int) -> dict:
@@ -63,7 +64,9 @@ def _fingerprint(src: str, rep: int) -> dict:
         "rep": rep,
         "src": src,
         "sources": {
-            t: [os.path.getsize(p), int(os.path.getmtime(p))]
+            # sizes only — mtimes are machine/checkout-local and would force
+            # a spurious full rebuild on any other host (r12 advisor)
+            t: os.path.getsize(p)
             for t in TABLES
             if os.path.exists(p := table_path(src, t))
         },
@@ -134,7 +137,7 @@ def _gen(con, src: str, dst: str, rep: int, force: bool = False) -> None:
         """,
         # ~25% of lineitem rows hit one hot supplier
         "lineitem": f"""
-            SELECT * REPLACE (
+            SELECT * EXCLUDE (r) REPLACE (
                    l_orderkey + r * {k_order + 1} AS l_orderkey,
                    CASE WHEN (l_orderkey + l_linenumber) % 4 = 0
                         THEN {hot_supp} ELSE l_suppkey END AS l_suppkey)
@@ -157,16 +160,16 @@ def _gen(con, src: str, dst: str, rep: int, force: bool = False) -> None:
             f"SELECT MAX(c_custkey) FROM read_parquet('{table_path(src, 'customer')}')"
         ).fetchone()[0]
         transforms["customer"] = f"""
-            SELECT * REPLACE (c_custkey + r * {k_cust + 1} AS c_custkey)
+            SELECT * EXCLUDE (r) REPLACE (c_custkey + r * {k_cust + 1} AS c_custkey)
             FROM read_parquet('{table_path(src, 'customer')}'), (SELECT {reps})
         """
         transforms["orders"] = f"""
-            SELECT * REPLACE (o_orderkey + r * {k_order + 1} AS o_orderkey,
+            SELECT * EXCLUDE (r) REPLACE (o_orderkey + r * {k_order + 1} AS o_orderkey,
                               o_custkey + r * {k_cust + 1} AS o_custkey)
             FROM read_parquet('{table_path(src, 'orders')}'), (SELECT {reps})
         """
         transforms["embeddings"] = f"""
-            SELECT * REPLACE (vec_id + r * {k_doc + 1} AS vec_id)
+            SELECT * EXCLUDE (r) REPLACE (vec_id + r * {k_doc + 1} AS vec_id)
             FROM read_parquet('{table_path(src, 'embeddings')}'), (SELECT {reps})
         """
     for t in TABLES:

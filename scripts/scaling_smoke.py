@@ -47,7 +47,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_SMALL = "/root/testdata/sf0.01"
 SF_MID = "/root/testdata/sf0.1"
-SF_RATIO = 10.0  # rows ratio of each adjacent dir pair
+SF_RATIO = 10.0  # rows ratio of a full-decade dir pair
 
 
 def pick_queries(n: int) -> list[str]:
@@ -76,10 +76,18 @@ def time_queries(
     specs = all_specs()
     # shared dedup staging outside the per-query timed window — same
     # attribution rule as bench.py; per-query slopes must measure the
-    # query, not the stage. The stage itself is timed and reported as
-    # the synthetic entry "dedup_staging" (cold, single measurement).
-    staging = prewarm_staging(spark, sf_dir)
-    best: dict[str, float] = {"dedup_staging": round(sum(staging.values()), 4)}
+    # query, not the stage. The stage itself is reported as the synthetic
+    # entry "dedup_staging", timed over the same min-of-passes convention
+    # as the queries (r12 advisor: a single cold shot can eat one GC
+    # pause and flake the whole gated slope fit) — clearCache between
+    # passes so each pass re-materializes, keep the last pass's caches
+    # live for the query timings.
+    staging_secs = math.inf
+    for _ in range(passes):
+        spark.catalog.clearCache()
+        staging = prewarm_staging(spark, sf_dir)
+        staging_secs = min(staging_secs, sum(staging.values()))
+    best: dict[str, float] = {"dedup_staging": round(staging_secs, 4)}
     for _ in range(passes):
         for name in names:
             t0 = time.perf_counter()
@@ -101,10 +109,20 @@ def main() -> int:
     from toy_map_reduce_spark.session import get_spark
 
     sf_dirs = [SF_SMALL, SF_MID]
+    ratios = [SF_RATIO]
     if decades >= 2:
         from make_scale import ensure_sf1_bench
 
         sf_dirs.append(ensure_sf1_bench())
+        ratios.append(SF_RATIO)
+    if decades >= 3:
+        # third step (r12 verdict task 6): sf1 -> sf3-equivalent, a 3x
+        # rows ratio — the slope normalizes by log10(3), so the gate is
+        # ratio-correct even though the step is 0.48 of a decade
+        from make_scale import ensure_sf3_bench
+
+        sf_dirs.append(ensure_sf3_bench())
+        ratios.append(3.0)
 
     spark = get_spark("scaling-smoke")
     per_dir: list[dict[str, float]] = []
@@ -124,7 +142,7 @@ def main() -> int:
             )
         for i in range(1, len(sf_dirs)):
             s = math.log10(per_dir[i][name] / per_dir[i - 1][name]) / math.log10(
-                SF_RATIO
+                ratios[i - 1]
             )
             slopes.append(round(s, 3))
         rec["slopes"] = slopes
@@ -138,6 +156,7 @@ def main() -> int:
             "queries": len(entries),
             "slope_max": slope_max,
             "decades": len(sf_dirs) - 1,
+            "ratios": ratios,
             "worst": {"query": worst[0], "slope": worst[1]},
             "fail": sum(1 for r in report.values() if not r["ok"]),
             "sf_dirs": sf_dirs,

@@ -35,25 +35,36 @@ def _ship_package(spark: SparkSession) -> None:
     --py-files): zip the package once (cached under .layout_cache/, keyed
     on the newest source mtime) and addPyFile it at session build, so the
     code travels with the job no matter where the worker runs.
+
+    The cache key is a digest over every file's (relpath, size,
+    mtime_ns): max(mtime) truncated to seconds (the old key) reused a
+    stale zip for two edits landing in the same second and never changed
+    at all when a file was deleted — executors silently running
+    different code than the driver, falsifying the local-cluster parity
+    gate this exists to serve.
     """
     sc = spark.sparkContext
     app_id = sc.applicationId
     if app_id in _SHIPPED:
         return
+    import hashlib
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
     paths: list[str] = []
-    latest = 0.0
+    digest = hashlib.sha256()
     for dirpath, dirs, files in os.walk(pkg_dir):
         dirs[:] = [d for d in dirs if d != "__pycache__"]
         for f in sorted(files):
             if f.endswith(".py"):
                 p = os.path.join(dirpath, f)
                 paths.append(p)
-                latest = max(latest, os.path.getmtime(p))
-    out = os.path.join(root, ".layout_cache", f"pkg_{int(latest)}.zip")
+                st = os.stat(p)
+                digest.update(
+                    f"{os.path.relpath(p, root)}\0{st.st_size}\0{st.st_mtime_ns}\n".encode()
+                )
+    out = os.path.join(root, ".layout_cache", f"pkg_{digest.hexdigest()[:16]}.zip")
     if not os.path.exists(out):
         os.makedirs(os.path.dirname(out), exist_ok=True)
         tmp = f"{out}.tmp{os.getpid()}"

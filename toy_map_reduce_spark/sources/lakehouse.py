@@ -128,7 +128,15 @@ def _derby_roundtrip_driver_side(
             for i, (n, t) in enumerate(cols, start=1):
                 v = row[n]
                 if v is None:
-                    ps.setNull(i, jvm.java.sql.Types.NULL)  # type: ignore[union-attr]
+                    # JDBC setNull wants the parameter's DECLARED type;
+                    # Derby rejects java.sql.Types.NULL outright.
+                    sql_types = jvm.java.sql.Types  # type: ignore[union-attr]
+                    null_type = {
+                        "BIGINT": sql_types.BIGINT,
+                        "INTEGER": sql_types.INTEGER,
+                        "DOUBLE": sql_types.DOUBLE,
+                    }.get(t, sql_types.VARCHAR)
+                    ps.setNull(i, null_type)
                 elif t == "BIGINT":
                     ps.setLong(i, int(v))
                 elif t == "INTEGER":
