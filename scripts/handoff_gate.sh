@@ -41,8 +41,10 @@ echo "== handoff gate 2/7: parity sweep (3 SFs + perturbed-plan sf0.01) =="
 echo "== handoff gate 3/7: order-independence sweep (sf0.001) =="
 python scripts/determinism_report.py DETERMINISM.json || fail=1
 
-echo "== handoff gate 4/7: oracle-stability sweep (30x edge + lint) =="
-python scripts/oracle_stability.py --dirs edge --repeats 30 --out ORACLE_STABILITY.json || fail=1
+echo "== handoff gate 4/7: oracle-stability sweep (30x edge+one+empty + lint) =="
+# all three degenerate dirs since r13 (r12 covered only edge; the r12
+# verdict asked for the full rotation back — ~12 min per dir)
+python scripts/oracle_stability.py --dirs edge one empty --repeats 30 --out ORACLE_STABILITY.json || fail=1
 
 echo "== handoff gate 5/7: local-cluster execution parity (FULL registry, real executor processes) =="
 python scripts/localcluster_smoke.py --full LOCALCLUSTER.json || fail=1

@@ -21,6 +21,9 @@ crosses a real process boundary.
 Usage:
     python scripts/localcluster_smoke.py LOCALCLUSTER_r11.json
     python scripts/localcluster_smoke.py --full LOCALCLUSTER_r12.json
+    python scripts/localcluster_smoke.py --full --sf /root/testdata/sf0.01 OUT.json
+        (r12 verdict task 4: one decade up — real data VOLUME through the
+        serialization boundary, not just every query shape)
 
 NOTE: must run in a FRESH process (the first SparkSession in a process
 wins its master); the script sets SPARK_GRAFT_MASTER itself and refuses
@@ -42,8 +45,14 @@ MASTER = "local-cluster[2,4,2048]"
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    full = "--full" in sys.argv[1:]
+    global SF_DIR
+    argv = sys.argv[1:]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        SF_DIR = argv[i + 1]
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    full = "--full" in argv
     out_path = args[0] if args else "LOCALCLUSTER.json"
 
     os.environ["SPARK_GRAFT_MASTER"] = MASTER

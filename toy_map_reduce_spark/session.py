@@ -32,9 +32,9 @@ def _ship_package(spark: SparkSession) -> None:
     import dies with ModuleNotFoundError — exactly what the r12
     full-registry local-cluster sweep caught on the multimodal codec
     family. The fix is the canonical deployment pattern (spark-submit
-    --py-files): zip the package once (cached under .layout_cache/, keyed
-    on the newest source mtime) and addPyFile it at session build, so the
-    code travels with the job no matter where the worker runs.
+    --py-files): zip the package once (cached under .layout_cache/) and
+    addPyFile it at session build, so the code travels with the job no
+    matter where the worker runs.
 
     The cache key is a digest over every file's (relpath, size,
     mtime_ns): max(mtime) truncated to seconds (the old key) reused a
