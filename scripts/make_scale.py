@@ -18,14 +18,15 @@ cardinality stays constant and only data volume scales:
     relationship (l_orderkey with o_orderkey, o_custkey with c_custkey,
     l_suppkey/l_partkey with their dims, doc_id with vec_id), so FK
     integrity survives replication exactly;
-  * documents.text is per-replica CHARACTER-ROTATED (translate() over a
-    (r mod 26)-rotated alphabet, length/token structure preserved):
+  * documents.text is per-replica PERMUTED (translate() over an affine
+    alphabet map i -> m*i + c mod 26, length/token structure preserved):
     verbatim copies would make every doc an REP-way near-duplicate and
     blow the LSH candidate-pair count up quadratically — a DATA artifact
-    masquerading as an engine scaling failure. Above 26 replicas the
-    rotations repeat (r and r+26 share an alphabet), but the shared
-    shingle vocabulary still hashes to DIFFERENT doc pairs, so candidate
-    growth stays linear in REP;
+    masquerading as an engine scaling failure. Plain (r mod 26) rotation
+    did exactly that at REP=30 (measured: 40k verbatim-duplicate docs in
+    sf3_bench, dedup_containment slope 2.1 — corpus artifact, not
+    engine); the affine family (m cycling the 12 units of Z26, c = r mod
+    26) gives 312 distinct permutations, identity at r=0;
   * embeddings.embedding is per-replica component-ROTATED (same norm,
     genuinely different direction) so ANN hash buckets don't densify
     REP x for the same reason (REP must stay below the embedding dim, 64);
@@ -46,7 +47,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.1"
-GEN_VERSION = 2  # v2: EXCLUDE (r) — replica counter no longer leaks into schemas
+GEN_VERSION = 3  # v3: affine text permutations (v2's rotation wrapped at 26
+# replicas, making r and r+26 verbatim text duplicates); v2: EXCLUDE (r)
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
@@ -110,12 +112,21 @@ def _ensure(dst: str, rep: int, force: bool = False) -> str:
     k_doc = max(_max("documents", "doc_id"), _max("embeddings", "vec_id")) + 1
 
     reps = f"UNNEST(range({rep})) AS r"
-    # per-replica alphabet rotation: substr of a doubled alphabet — the
-    # r=0 replica is the identity, so the original corpus is a subset;
-    # r % 26 keeps the substring a full 26 chars at any REP (a short "to"
-    # string would make translate() DELETE characters)
-    rot_l = f"substr('{_LOWER + _LOWER}', (r % 26) + 1, 26)"
-    rot_u = f"substr('{_UPPER + _UPPER}', (r % 26) + 1, 26)"
+
+    # per-replica affine alphabet permutation i -> m*i + c (mod 26): r=0 is
+    # the identity (m=1, c=0) so the original corpus is a subset; every
+    # r < 312 gets a DISTINCT permutation (no verbatim-duplicate replicas)
+    def _perm(alphabet: str, r: int) -> str:
+        m = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)[(r // 26) % 12]
+        c = r % 26
+        return "".join(alphabet[(m * i + c) % 26] for i in range(26))
+
+    rot_l = "CASE r " + " ".join(
+        f"WHEN {r} THEN '{_perm(_LOWER, r)}'" for r in range(rep)
+    ) + " END"
+    rot_u = "CASE r " + " ".join(
+        f"WHEN {r} THEN '{_perm(_UPPER, r)}'" for r in range(rep)
+    ) + " END"
     transforms = {
         "customer": f"SELECT * EXCLUDE (r) REPLACE (c_custkey + r * {k_cust} AS c_custkey)",
         "supplier": f"SELECT * EXCLUDE (r) REPLACE (s_suppkey + r * {k_supp} AS s_suppkey)",

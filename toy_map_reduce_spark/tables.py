@@ -134,13 +134,18 @@ def _read_path(sf_dir: str, name: str) -> str:
         st = os.stat(src)
         pf = pq.ParquetFile(src)
         rows = pf.metadata.num_rows
-        if pf.metadata.num_row_groups > 1:
-            return src  # already splittable
         k = min(
             _MAX_GROUPS,
             max(1, rows // _ROWS_PER_GROUP_DIVISOR.get(name, _DEFAULT_ROWS_PER_GROUP)),
         )
-        if k <= 1:
+        # re-chunk when the file has FEWER groups than the target, not
+        # only when it has exactly one: a DuckDB-written corpus carries
+        # ~122k-row groups, so a 150k-row documents file is "2 groups" —
+        # and since a row group is the minimum read unit, the whole
+        # text/similarity family ran 2-way on 32 cores (caught by the r13
+        # three-step scaling fit: staging slope 1.62 at sf1->sf3, pure
+        # scan-parallelism starvation, not compute growth)
+        if pf.metadata.num_row_groups >= k or k <= 1:
             return src
         tag = f"{st.st_size}_{int(st.st_mtime)}_{k}"
         dest_dir = os.path.join(
