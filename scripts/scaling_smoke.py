@@ -66,6 +66,28 @@ def pick_queries(n: int) -> list[str]:
     return [k for k, _ in sorted(timed.items(), key=lambda kv: -kv[1])[:n]]
 
 
+def _staging_isolated(sf_dir: str, passes: int) -> float:
+    """min-of-passes staging cost from a fresh subprocess (fresh JVM):
+    clearCache between passes so each pass re-materializes."""
+    import subprocess
+
+    code = (
+        "import sys, time, json; sys.path.insert(0, %r); "
+        "from toy_map_reduce_spark.session import get_spark; "
+        "from toy_map_reduce_spark.operators.dedup import prewarm_staging; "
+        "spark = get_spark('staging-fit'); best = float('inf')\n"
+        "for _ in range(%d):\n"
+        "    spark.catalog.clearCache()\n"
+        "    best = min(best, sum(prewarm_staging(spark, %r).values()))\n"
+        "print(json.dumps({'staging': best}))"
+    ) % (REPO, passes, sf_dir)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800, check=True,
+    )
+    return round(json.loads(out.stdout.strip().splitlines()[-1])["staging"], 4)
+
+
 def time_queries(
     spark, names: list[str], sf_dir: str, passes: int = 2
 ) -> dict[str, float]:
@@ -77,17 +99,18 @@ def time_queries(
     # shared dedup staging outside the per-query timed window — same
     # attribution rule as bench.py; per-query slopes must measure the
     # query, not the stage. The stage itself is reported as the synthetic
-    # entry "dedup_staging", timed over the same min-of-passes convention
-    # as the queries (r12 advisor: a single cold shot can eat one GC
-    # pause and flake the whole gated slope fit) — clearCache between
-    # passes so each pass re-materializes, keep the last pass's caches
-    # live for the query timings.
-    staging_secs = math.inf
-    for _ in range(passes):
-        spark.catalog.clearCache()
-        staging = prewarm_staging(spark, sf_dir)
-        staging_secs = min(staging_secs, sum(staging.values()))
-    best: dict[str, float] = {"dedup_staging": round(staging_secs, 4)}
+    # entry "dedup_staging", timed min-of-passes (r12 advisor: a single
+    # cold shot can eat one GC pause and flake the gated slope fit) in an
+    # ISOLATED fresh subprocess: measured in this shared session, sf3
+    # staging read 25.1 s vs 10.5 s in a clean session (r13) — the 2.4x
+    # is GC/codegen residue from the hundreds of query executions before
+    # it, i.e. session history masquerading as a scaling exponent. The
+    # in-session prewarm below still runs (untimed) so per-query timings
+    # keep their staging-amortized convention.
+    best: dict[str, float] = {
+        "dedup_staging": _staging_isolated(sf_dir, passes)
+    }
+    prewarm_staging(spark, sf_dir)
     for _ in range(passes):
         for name in names:
             t0 = time.perf_counter()
@@ -125,10 +148,20 @@ def main() -> int:
         ratios.append(3.0)
 
     spark = get_spark("scaling-smoke")
+    # bracket the whole fit with bench.py's deterministic CPU probes —
+    # the r13 first cut recorded a fit where EVERY sf0.1 entry ran
+    # 1.5-3x its quiet value (ambient multi-tenant load, loadavg 14 with
+    # zero local processes); a slope computed from contended timings is
+    # not evidence in either direction, so the artifact self-reports.
+    from bench import _calibrate
+
+    calib_pre = _calibrate(spark)
     per_dir: list[dict[str, float]] = []
     for d in sf_dirs:
         spark.catalog.clearCache()  # drop the previous dir's staging
         per_dir.append(time_queries(spark, names, d))
+    calib_post = _calibrate(spark)
+    contended = abs(calib_post - calib_pre) / calib_pre > 0.2
 
     entries = ["dedup_staging"] + list(names)
     report: dict[str, dict] = {}
@@ -148,6 +181,15 @@ def main() -> int:
         rec["slopes"] = slopes
         rec["worst_slope"] = max(slopes)
         rec["ok"] = all(s <= slope_max for s in slopes)
+        if name.startswith(("sim_topk", "sim_knn", "sim_ann")):
+            # these benchmark queries draw their QUERY PANEL from the
+            # corpus itself (vec_id % QUERY_STRIDE), so total work is
+            # (panel size ∝ N) × (per-query probe cost) — the raw slope
+            # carries a +1 exponent by benchmark construction; the
+            # engine-relevant per-query exponent is slope - 1 (a fixed
+            # production query stream only pays the per-query part)
+            rec["panel_scales_with_corpus"] = True
+            rec["per_query_slopes"] = [round(s - 1.0, 3) for s in slopes]
         report[name] = rec
         if rec["worst_slope"] > worst[1]:
             worst = (name, rec["worst_slope"])
@@ -159,6 +201,9 @@ def main() -> int:
             "ratios": ratios,
             "worst": {"query": worst[0], "slope": worst[1]},
             "fail": sum(1 for r in report.values() if not r["ok"]),
+            "calib_pre": calib_pre,
+            "calib_post": calib_post,
+            "contended": contended,
             "sf_dirs": sf_dirs,
         },
         "queries": report,
@@ -166,6 +211,13 @@ def main() -> int:
     print(json.dumps(out["_summary"]))
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
+    if contended:
+        print(
+            "scaling_smoke: CONTENDED run (calib probe "
+            f"{calib_pre} -> {calib_post}) — slopes are not evidence; rerun",
+            file=sys.stderr,
+        )
+        return 1
     return 1 if out["_summary"]["fail"] else 0
 
 
