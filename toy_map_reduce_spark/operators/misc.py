@@ -330,13 +330,30 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     long_df = orders.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {pairs}) as (col_name, v)"
     )
-    profiled = long_df.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
-        F.countDistinct("v").alias("n_distinct"),
+    # r13 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # old one-shot groupBy mixed countDistinct with plain aggregates, so
+    # Catalyst planned it as Expand (x2 row duplication of the stacked
+    # corpus) + a shuffle carrying BOTH copies. Aggregating to the
+    # (col_name, v) distinct-value table first is fully map-side
+    # combinable, the shuffle is bounded by |distinct values| instead of
+    # 2x|rows|, and every profile stat is then exact arithmetic over the
+    # value table: n = sum(cnt), n_null = cnt of the NULL group,
+    # n_distinct = count of non-null groups, avg_len = the
+    # frequency-weighted mean (bit-identical: Spark's avg over ints is
+    # the same exact long sum / long count division). Oracle unchanged,
+    # hash-verified at all three SFs.
+    g1 = long_df.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    profiled = g1.groupBy("col_name").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0)).alias("n_null"),
+        F.count("v").alias("n_distinct"),
         F.min("v").alias("min_str"),
         F.max("v").alias("max_str"),
-        F.round(F.avg(F.length("v")), 4).alias("avg_len"),
+        F.round(
+            F.sum(F.length("v") * F.col("cnt"))
+            / F.sum(F.when(F.col("v").isNotNull(), F.col("cnt"))),
+            4,
+        ).alias("avg_len"),
     )
     # a zero-row table still has a profile row per column (n=0) — the
     # oracle's per-column global aggregates emit them, the stack+groupBy

@@ -163,7 +163,17 @@ def _make_signature_udf():
                 out[idx] = b
         return pd.Series(out)
 
-    return signatures
+    # asNondeterministic: guide §4.4 — posexplode(outer=false) pushes a
+    # `size(_sigs) > 0 AND isnotnull(_sigs)` filter below the projection,
+    # and the optimizer then evaluates the UDF twice (once under the
+    # pushed filter, once for the projected column): the r13 baseline
+    # plan showed 2 ArrowEvalPython nodes per side, i.e. the full 64-dim
+    # projection kernel ran twice over every vector. The function is
+    # genuinely deterministic (md5-derived plane literals); the mark only
+    # forbids the optimizer from duplicating it, yielding one
+    # ArrowEvalPython per side. Candidate set and results are unchanged
+    # (oracle-verified).
+    return signatures.asNondeterministic()
 
 
 # The signature CTEs recompute the SAME md5-derived plane tensor as
