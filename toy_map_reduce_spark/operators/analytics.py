@@ -721,24 +721,40 @@ GROUP BY days.d
               "count — the engagement dashboard's stickiness inputs")
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A trailing-window COUNT DISTINCT is not window-expressible (frames
-    can't dedup), so the scalable form is exactly this: reduce events to
-    (day, user) once — the heavy, map-side-combining step — then
-    range-join the tiny day spine over a 7-day band and count distinct
-    per day. Join fan-out is ≤ 7 rows per (day, user): linear, bounded,
-    skew-free."""
+    can't dedup), so the scalable form is: reduce events to (day, user)
+    once — the heavy, map-side-combining step — then credit each activity
+    to the 7 trailing windows it belongs to and count distinct per day.
+    Join fan-out is exactly 7 rows per (day, user): linear, bounded,
+    skew-free.
+
+    r13 optimization (guide §3.1/§3.3): the old form range-joined the day
+    spine to the facts ((d >= day-6) AND (d <= day)), a pure non-equi
+    predicate that plans as BroadcastNestedLoopJoin — |days| x |acts|
+    predicate evaluations, i.e. QUADRATIC in timeline length (a year of
+    days = 365 passes over the activity table; the r13 baseline plan
+    carried the BNLJ node). Exploding the 7-day offset per activity row
+    turns it into a broadcast EQUI join against the day spine (hash
+    probe, 7 rows per act regardless of timeline length); the spine join
+    also restores the original semantics exactly — a window day with no
+    same-day activity never appears, same as the range join. Same rows,
+    hash-verified at all three SFs; plan: BroadcastNestedLoopJoin ->
+    BroadcastHashJoin."""
     ev = load(spark, sf_dir, "events")
     acts = ev.select(
         F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
     ).distinct()
     days = acts.select("d").distinct().withColumnRenamed("d", "day")
-    joined = days.join(
-        acts,
-        (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAYS"))
-        & (F.col("d") <= F.col("day")),
+    expanded = acts.select(
+        "d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k")
+    ).select(
+        F.timestamp_add("DAY", F.col("k"), F.col("d")).alias("day"),
+        "user_id",
+        (F.col("k") == 0).alias("same_day"),
     )
+    joined = expanded.join(F.broadcast(days), "day")
     return joined.groupBy("day").agg(
         F.count_distinct(
-            F.when(F.col("d") == F.col("day"), F.col("user_id"))
+            F.when(F.col("same_day"), F.col("user_id"))
         ).cast("bigint").alias("dau"),
         F.count_distinct("user_id").cast("bigint").alias("wau"),
     )

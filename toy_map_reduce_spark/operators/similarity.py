@@ -264,13 +264,21 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") != F.col("q_id")),
         )
         .select("q_id", "q_e", "q_nrm", "vec_id", "e", "nrm")
-        .dropDuplicates(["q_id", "vec_id"])
     )
+    # r13 optimization (guide §2.3 — shuffle keys, not payloads): the old
+    # shape dropDuplicates'd the candidate pairs BEFORE scoring, so the
+    # dedup exchange carried both 64-dim double vectors (~1 KB/row,
+    # SortAggregate over array columns). Scoring first makes the dedup a
+    # hash aggregate over (q_id, vec_id, sim) — ~24 bytes/row, ~40x fewer
+    # shuffle bytes per candidate. A pair colliding in k tables is scored
+    # k<=8 times map-side (same vectors -> bit-identical sim, so
+    # max() == the value), which is cheaper than shuffling the vectors
+    # even once. Results hash-identical at all three SFs.
     scored = cand.select(
         "q_id",
         "vec_id",
         (_dot(F.col("q_e"), F.col("e")) / (F.col("q_nrm") * F.col("nrm"))).alias("sim"),
-    )
+    ).groupBy("q_id", "vec_id").agg(F.max("sim").alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
