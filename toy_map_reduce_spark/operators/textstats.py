@@ -942,6 +942,7 @@ def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen folds over the vocab table, and the compression
     report is one aggregate weighted by word frequency — the
     tokens-per-byte number a tokenizer change is judged by."""
+    from toy_map_reduce_spark.functions.ranks import register_scratch
     from toy_map_reduce_spark.functions.text import norm_text
 
     docs = load(spark, sf_dir, "documents")
@@ -965,7 +966,22 @@ def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tokens_per_char"),
     )
-    words.unpersist()
+    # r13 optimization: this used to be words.unpersist() right here —
+    # but `out` is LAZY and derives from `words`, so dropping the cache
+    # before the caller materializes the result forced the final
+    # compression aggregate to RECOMPUTE the corpus-wide word-frequency
+    # pass from the documents scan, silently breaking the "corpus
+    # touched once" contract the docstring claims (training actions hit
+    # the cache; the returned plan did not). Enrolling the cache in the
+    # rank-scratch lifecycle instead keeps it alive through the caller's
+    # materialization and releases it at the established boundary
+    # (bench.py / bench_subset / parity call release_scratch per query).
+    # Interleaved same-session A/B at sf0.1: a wash (2.60 vs 2.75 s
+    # min-of-4 — documents is 5k rows locally, so the recomputed pass is
+    # free); the point is the asymptote: `words` is VOCAB-sized while
+    # its recompute is a CORPUS-sized explode+groupBy, i.e. the old code
+    # paid one extra full corpus pass per run at scale.
+    register_scratch(words)
     return out
 
 
