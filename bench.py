@@ -91,6 +91,41 @@ def _calibrate(spark, runs: int = 3, warmup: int = 2) -> float:
     return round(best, 4)
 
 
+_MEM_PROBE = None  # 2 GiB int64 stream, built once per process
+
+
+def _calibrate_mem(runs: int = 3) -> float:
+    """Memory-bandwidth probe (r13 verdict task 5). The r13 closing runs
+    exposed a ±12% whole-run drift mode that the xxhash ALU probe does
+    NOT see (the slowest run had the FASTEST probes): the drift hits
+    scans and shuffles — memory-subsystem work — while the register-
+    resident ALU loop sails through. This probe is the complement: min
+    wall time of a full sequential pass (numpy int64 sum, a single
+    C-level stream far larger than any cache) over a 2 GiB driver-side
+    array. Deliberately NOT a Spark job: no task scheduling, no codegen,
+    no CacheManager residue — the number moves only when DRAM/interconnect
+    throughput does, which is exactly the mode the xxhash probe missed.
+    The contention flag requires BOTH probes steady across the timed
+    window (either one disagreeing >20% marks the attempt contended).
+    The array is built once per process and reused by every probe site;
+    it lives in Python memory, outside the JVM heap, so it adds no GC
+    pressure to the queries it brackets."""
+    import numpy as np
+
+    global _MEM_PROBE
+    if _MEM_PROBE is None:
+        # arange, not zeros: the kernel's lazy zero pages would turn the
+        # "scan" into a single-page cache loop
+        _MEM_PROBE = np.arange(256_000_000, dtype=np.int64)
+        _MEM_PROBE.sum()  # fault every page in before timing
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        _MEM_PROBE.sum()
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 # The dedup family whose r10 bench promotion moved the 32-way signature
 # aggregate into the shared prewarmed staging pass: their headline (warm,
 # staging-amortized) numbers are not comparable to r9's in-query-staging
@@ -105,43 +140,69 @@ COLD_FAMILY = (
 
 
 def _cold_family_timings(sf_dir: str) -> dict:
-    """Run bench.py on COLD_FAMILY in a fresh subprocess (fresh JVM) in
-    cold mode and return its per-query timings for the ``cold`` section."""
+    """Run bench.py on COLD_FAMILY in fresh subprocesses (fresh JVM each)
+    in cold mode and return per-query timings for the ``cold`` section.
+
+    min-of-2 FRESH JVMS since r14 (r13 verdict task 6): the r13 cold
+    section was single-shot, so a 3x ambient swing (cold dedup_near
+    28.0 s vs 9.2 s in r12) was unclassifiable — real cold-path
+    regression or noisy host, no way to tell. Each attempt is still a
+    genuine cold pass (its own JVM, no prewarm, staging paid in-query,
+    single in-JVM pass); running TWO of them and taking the per-query
+    min keeps cold semantics while bounding one-shot ambient inflation,
+    exactly the min-of-passes convention the warm section uses. Both
+    attempts' probe brackets ship so a reader can see which one was
+    quiet."""
     import subprocess
     import tempfile
 
-    with tempfile.TemporaryDirectory() as td:
-        path = os.path.join(td, "cold_detail.json")
-        env = dict(os.environ)
-        env.update(
-            {
-                "SPARK_GRAFT_BENCH_COLD": "1",
-                "SPARK_GRAFT_BENCH_ONLY": ",".join(COLD_FAMILY),
-                "SPARK_GRAFT_BENCH_DETAIL_PATH": path,
-                "SPARK_GRAFT_SF_DIR": sf_dir,
-            }
-        )
-        try:
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, timeout=900, check=True,
+    results: list[dict] = []
+    for _ in range(2):
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "cold_detail.json")
+            env = dict(os.environ)
+            env.update(
+                {
+                    "SPARK_GRAFT_BENCH_COLD": "1",
+                    "SPARK_GRAFT_BENCH_ONLY": ",".join(COLD_FAMILY),
+                    "SPARK_GRAFT_BENCH_DETAIL_PATH": path,
+                    "SPARK_GRAFT_SF_DIR": sf_dir,
+                }
             )
-            with open(path) as fh:
-                cold = json.load(fh)
-            return {
+            try:
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, timeout=900, check=True,
+                )
+                with open(path) as fh:
+                    results.append(json.load(fh))
+            except Exception as exc:  # noqa: BLE001 — cold section is additive
+                if not results:
+                    return {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    merged: dict[str, float] = {}
+    for cold in results:
+        for name, t in cold["queries"].items():
+            if t >= 0 and (name not in merged or t < merged[name]):
+                merged[name] = t
+    return {
+        "queries": merged,
+        "attempts": [
+            {
                 "queries": cold["queries"],
-                # the cold pass is SINGLE-shot by definition, so it
-                # carries full ambient variance (observed 2x run-to-run
-                # on one boot); its own probe gives readers the context
                 "calib_sec": cold.get("boot", {}).get("calib_sec"),
-                "note": (
-                    "fresh JVM, no prewarm, single pass — shared staging "
-                    "paid in-query; the apples-to-apples basis for "
-                    "cross-round dedup speedup claims"
-                ),
+                "calib_sec_post": cold.get("boot", {}).get("calib_sec_post"),
+                "calib_mem_sec": cold.get("boot", {}).get("calib_mem_sec"),
+                "calib_mem_sec_post": cold.get("boot", {}).get("calib_mem_sec_post"),
+                "contended": cold.get("contended"),
             }
-        except Exception as exc:  # noqa: BLE001 — cold section is additive
-            return {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            for cold in results
+        ],
+        "note": (
+            "min of 2 fresh-JVM single-pass attempts, no prewarm — "
+            "shared staging paid in-query; the apples-to-apples basis "
+            "for cross-round dedup speedup claims"
+        ),
+    }
 
 
 def main() -> int:
@@ -186,6 +247,21 @@ def main() -> int:
     # Cold mode skips prewarm AND the floor probes entirely (r8 advisor):
     # they warm codegen/footer caches and persist the dedup staging, which
     # silently changed what the single "cold" pass was measuring.
+    # Materialize the ingest-time layout normalization (tables._read_path
+    # re-chunk) up front and report its cost explicitly (r13 verdict task
+    # 9): the re-chunked copies are disk-cached across runs, so on a warm
+    # checkout this is ~0 s — but on a fresh checkout whichever query
+    # first scanned each table silently paid the one-time rewrite inside
+    # its timed window. Same visibility treatment as staging_sec.
+    layout_sec = None
+    if not cold:
+        from toy_map_reduce_spark.tables import TABLES, _read_path
+
+        t0 = time.perf_counter()
+        for t in TABLES:
+            _read_path(sf_dir, t)
+        layout_sec = round(time.perf_counter() - t0, 4)
+
     staging: dict[str, float] = {}
     if not cold and os.environ.get("SPARK_GRAFT_BENCH_NO_PREWARM", "") != "1":
         from toy_map_reduce_spark.operators.dedup import prewarm_staging
@@ -221,9 +297,11 @@ def main() -> int:
     )
     attempts: list[dict] = []
     calib_pre = calib_sec
+    mem_pre = _calibrate_mem()
     for attempt in range(max_attempts):
         if attempt > 0:
             calib_pre = _calibrate(spark)
+            mem_pre = _calibrate_mem()
         per_pass: list[dict[str, float]] = []
         for p in range(n_passes):
             timings: dict[str, float] = {}
@@ -251,20 +329,29 @@ def main() -> int:
             for name in per_pass[-1]
         }
 
-        # Post-attempt calibration probe (r11 verdict task 5): ambient VM
-        # contention can inflate a whole run 20%+ with 10x single-query
-        # outliers on the SAME boot (BENCH_r11: probe 1.388 vs 0.840
-        # same-boot). Pre/post disagreeing >20% means the host was not
-        # quiet while the queries ran — retry rather than record.
-        calib_post = _calibrate(spark) if not cold else None
+        # Post-attempt calibration probes (r11 verdict task 5; mem probe
+        # r13 verdict task 5): ambient VM contention can inflate a whole
+        # run 20%+ with 10x single-query outliers on the SAME boot
+        # (BENCH_r11: probe 1.388 vs 0.840 same-boot), and the r13
+        # closing runs drifted ±12% with STEADY xxhash probes — a
+        # memory-bandwidth mode the ALU loop can't see. Either probe
+        # disagreeing >20% pre-vs-post means the host was not quiet
+        # while the queries ran — retry rather than record. Cold mode
+        # stamps its probes too (r13 verdict task 6: the single-shot
+        # cold numbers need their own quiet-host evidence) but never
+        # retries — a second in-JVM pass would no longer be cold.
+        calib_post = _calibrate(spark)
+        mem_post = _calibrate_mem()
         contended = bool(
-            calib_post is not None
-            and abs(calib_post - calib_pre) / calib_pre > 0.2
+            abs(calib_post - calib_pre) / calib_pre > 0.2
+            or abs(mem_post - mem_pre) / mem_pre > 0.2
         )
         attempts.append(
             {
                 "calib_pre": calib_pre,
                 "calib_post": calib_post,
+                "calib_mem_pre": mem_pre,
+                "calib_mem_post": mem_post,
                 "contended": contended,
                 "total": round(
                     sum(t for t in timings.values() if t >= 0), 4
@@ -307,6 +394,9 @@ def main() -> int:
         # caches); this line just makes the cost visible and attributable
         "staging_sec": round(sum(staging.values()), 4),
         "staging": staging,
+        # one-time parquet re-chunk cost (tables._read_path layout cache),
+        # paid outside the timed window and disk-cached across runs
+        "layout_sec": layout_sec,
         # measured streaming start/stop floor + which queries pay it;
         # bench_regress compares S-tier entries floor-adjusted
         "floor_sec": floor_sec,
@@ -317,6 +407,13 @@ def main() -> int:
         # self-reported "this run is not evidence" flag
         "boot": {**_boot_info(), "calib_sec": calib_sec,
                  "calib_sec_post": calib_post,
+                 # driver-side DRAM-bandwidth probe (r13 verdict task 5);
+                 # NOT used for cross-boot normalization (calib_sec keeps
+                 # that role, so calib_version stays 2) — only for the
+                 # contended flag, where it catches the scan-side drift
+                 # mode the ALU probe misses
+                 "calib_mem_sec": mem_pre,
+                 "calib_mem_sec_post": mem_post,
                  "calib_version": CALIB_VERSION},
         "contended": contended,
         # every attempt's probe bracket + total — on a contended:true

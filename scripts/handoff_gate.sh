@@ -32,8 +32,14 @@ cd "$(dirname "$0")/.."
 
 fail=0
 
-echo "== handoff gate 1/7: full pytest (incl. degenerate + skewed + oracle-stability suites) =="
+echo "== handoff gate 1/7: default pytest (driver-window tier) =="
 python -m pytest tests/ -q || fail=1
+
+echo "== handoff gate 1b/7: sweep-tier pytest (full-registry parity/degenerate/skewed sweeps) =="
+# the sweep tier is deselected from the default run (pytest.ini, r14:
+# the driver's verify window truncated the 42-min full suite at 83%) but
+# every handoff still runs it here in full
+python -m pytest tests/ -q -m sweep || fail=1
 
 echo "== handoff gate 2/7: parity sweep (3 SFs + perturbed-plan sf0.01) =="
 ./scripts/parity_gate.sh || fail=1

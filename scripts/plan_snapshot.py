@@ -26,6 +26,11 @@ from toy_map_reduce_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
+    # argv guard (r13 advisor): no args / unknown names get the usage
+    # line, not a bare IndexError/KeyError traceback
+    if len(sys.argv) < 2:
+        print(__doc__, file=sys.stderr)
+        return 2
     outdir = sys.argv[1]
     names = sys.argv[2:]
     os.makedirs(outdir, exist_ok=True)
@@ -33,6 +38,10 @@ def main() -> int:
     spark = get_spark("tmr-plan-snapshot")
     specs = all_specs()
     if names:
+        unknown = [n for n in names if n not in specs]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
         specs = {n: specs[n] for n in names}
     else:
         specs = {n: s for n, s in specs.items() if s.bench}

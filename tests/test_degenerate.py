@@ -37,6 +37,12 @@ from toy_map_reduce_spark.tables import TABLES, table_path
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"))
 
+# sweep tier (r14): 414 queries x 3 variants + 399 oracle-stability
+# repeats — deselected from the default run (pytest.ini), executed by
+# scripts/handoff_gate.sh gate 1b; the same degenerate dirs are also
+# swept 30x by handoff gate 4 (scripts/oracle_stability.py).
+pytestmark = pytest.mark.sweep
+
 SPECS = all_specs()
 VARIANTS = ("empty", "one", "edge")
 

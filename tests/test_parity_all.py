@@ -8,6 +8,11 @@ import pytest
 from tests.parity import run_parity
 from toy_map_reduce_spark.registry import all_specs
 
+# sweep tier (r14): deselected from the default run (see pytest.ini),
+# executed by scripts/handoff_gate.sh gate 1b and mirrored by the
+# driver's own full-registry sf0.01 correctness gate.
+pytestmark = pytest.mark.sweep
+
 SPECS = all_specs()
 
 

@@ -750,6 +750,17 @@ def test_no_single_partition_exchange_feeds_from_raw_scan(spark, sf_dir):
     )
 
 
+def test_multimodal_features_single_python_boundary(spark, sf_dir):
+    # r14 fusion (guide §4.2/§4.5): synth + decode run in ONE mapInPandas
+    # pass, so the payload blob never crosses the Arrow boundary — the r13
+    # shape chained two MapInPandas nodes and serialized every blob
+    # Python -> JVM -> Python with no JVM work in between. This pins the
+    # fused shape: exactly one Python eval node, and no shuffle.
+    plan = plan_of(spark, sf_dir, "multimodal_features", mode="simple")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, "decode pass must stay narrow"
+
+
 def test_no_row_python_udf_outside_udf_surface(spark, sf_dir):
     # "Python only off the hot path": row-at-a-time Python UDFs
     # (BatchEvalPython — each row round-trips pickled through a Python

@@ -31,6 +31,11 @@ from toy_map_reduce_spark.tables import TABLES, table_path
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"))
 
+# sweep tier (r14): full registry vs a skew-regenerated corpus —
+# deselected from the default run (pytest.ini), executed by
+# scripts/handoff_gate.sh gate 1b.
+pytestmark = pytest.mark.sweep
+
 SPECS = all_specs()
 
 

@@ -111,12 +111,12 @@ def parts_for(n_rows: int, spark, rows_per_part: int = 1 << 16) -> int:
     return max(2, min(cap, -(-int(n_rows) // rows_per_part)))
 
 
-_SCRATCH_PREFIXES = ("_s_", "_off_", "_tot_")
+_SCRATCH_PREFIXES = ("_s_", "_off_", "_tot_", "_loc_")
 
 
 def _validate_names(df, rn_col, cumsums, totals, n_col) -> None:
     """Reject silent scratch-name collisions (r6 advisor): the primitive
-    manufactures _pid/_n plus _s_/_off_/_tot_-prefixed temporaries, so an
+    manufactures _pid/_n plus _s_/_off_/_tot_/_loc_-prefixed temporaries, so an
     input column or output key that lands on one of those names would be
     clobbered or mis-wired rather than erroring."""
     bad_in = [
@@ -126,7 +126,7 @@ def _validate_names(df, rn_col, cumsums, totals, n_col) -> None:
     if bad_in:
         raise ValueError(
             f"with_global_order: input columns {bad_in} collide with "
-            "reserved scratch names (_pid, _n, _s_*, _off_*, _tot_*) — "
+            "reserved scratch names (_pid, _n, _s_*, _off_*, _tot_*, _loc_*) — "
             "rename them before ranking"
         )
     overlap = set(cumsums) & set(totals)
@@ -200,10 +200,27 @@ def with_global_order(
     # offsets table: |groups| x P rows — tiny. The single-partition window
     # below (the ONLY empty-partition window in the plan, and it orders by
     # _pid — the property tests/test_plans.py pins) runs over THIS table.
+    #
+    # Whole-group totals ride the SAME window pass since r14 (guide §2.4):
+    # they are the unbounded-frame sum over the identical
+    # (partition, order) spec, so Spark computes offsets and totals in ONE
+    # Window operator over ONE evaluation of per_pid. The r13 shape
+    # derived totals from a second aggregate of per_pid joined back —
+    # which re-evaluated the per-pid aggregate (its exchanges included)
+    # once per consumer because nothing shared the un-persisted frame:
+    # agg_weighted's plan carried per_pid THREE times (offsets branch,
+    # totals branch, join) with two extra exchange pairs. Tiny data, but
+    # two whole stage barriers per rank query. The pid-ordered window sum
+    # is also deterministic where the hash-aggregate merge order was not.
     w_off = (
         Window.partitionBy(*part_cols)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     off_sel = list(part_cols) + ["_pid"]
     off_sel.append(
@@ -213,36 +230,42 @@ def with_global_order(
         off_sel.append(
             F.coalesce(F.sum(f"_s_{out}").over(w_off), F.lit(0)).alias(f"_off_{out}")
         )
+    if n_col or totals:
+        off_sel.append(F.sum("_n").over(w_all).alias("_tot_n"))
+    for out in totals:
+        off_sel.append(F.sum(f"_s_{out}").over(w_all).alias(f"_tot_{out}"))
     offsets = per_pid.select(*off_sel)
 
-    # whole-group totals come from a second aggregate of the tiny per-pid
-    # table (never a partitionBy()-less window, which would read as the
-    # single-task-sort shape the plan test forbids)
-    if n_col or totals:
-        tot_aggs = [F.sum("_n").alias("_tot_n")] + [
-            F.sum(f"_s_{out}").alias(f"_tot_{out}") for out in totals
-        ]
-        if part_cols:
-            tots = per_pid.groupBy(*part_cols).agg(*tot_aggs)
-            offsets = offsets.join(tots, part_cols)
-        else:
-            offsets = offsets.crossJoin(F.broadcast(per_pid.agg(*tot_aggs)))
-
-    joined = stamped.join(F.broadcast(offsets), part_cols + ["_pid"])
+    # Local ranks are computed over `stamped` BEFORE the offsets attach
+    # (r14, guide §2.3): the within-pid window needs an Exchange
+    # hashpartitioning(part_cols, _pid) of the full ranked frame — the
+    # one unavoidable big shuffle of this pass — and in the r13 order
+    # (join first, window second) every _off_*/_tot_* column the
+    # broadcast join had attached rode through that exchange as
+    # per-(group, pid)-constant dead weight. Window first, broadcast
+    # join after: the big exchange carries only the frame's own columns.
     w_loc = Window.partitionBy(*(part_cols + ["_pid"])).orderBy(*order_cols)
     w_loc_cum = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    local = stamped
+    if rn_col:
+        local = local.withColumn("_loc_rn", F.row_number().over(w_loc))
+    for out, src in cumsums.items():
+        local = local.withColumn(f"_loc_{out}", F.sum(src).over(w_loc_cum))
+
+    out_df = local.join(F.broadcast(offsets), part_cols + ["_pid"])
+
     drop = ["_pid", "_off_n"]
-    out_df = joined
     if rn_col:
         out_df = out_df.withColumn(
-            rn_col, (F.col("_off_n") + F.row_number().over(w_loc)).cast("bigint")
+            rn_col, (F.col("_off_n") + F.col("_loc_rn")).cast("bigint")
         )
-    for out, src in cumsums.items():
+        drop.append("_loc_rn")
+    for out in cumsums:
         out_df = out_df.withColumn(
-            out, F.col(f"_off_{out}") + F.sum(src).over(w_loc_cum)
+            out, F.col(f"_off_{out}") + F.col(f"_loc_{out}")
         )
-        drop.append(f"_off_{out}")
+        drop.extend([f"_off_{out}", f"_loc_{out}"])
     for out in totals:
         out_df = out_df.withColumn(out, F.col(f"_tot_{out}"))
         drop.append(f"_tot_{out}")

@@ -133,34 +133,69 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
               "counts. Stage joins are per-user aggregates, never row-level "
               "sequence scans")
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each stage is a groupBy(user).min(ts) joined to the next stage's
-    candidate events — 3 shuffles on the same user_id key (AQE coalesces),
-    never a per-user event-list collect. The per-stage frames shrink
-    monotonically, so later joins are broadcast-eligible at any scale."""
+    """One scan, one user_id shuffle (r14, guide §2.4). The r13 shape
+    was three stage-wise groupBy(user).min(ts) frames joined forward —
+    correct, but its executed plan derived the events scan THREE times
+    with three user_id exchanges, two broadcast joins, and three
+    single-partition count exchanges (AQE reused none of them: each
+    branch projects/filters differently, so the exchanges never
+    canonicalize equal). The stage recursion collapses into running
+    minimums over ONE per-user time-ordered window pass:
+
+      t_view_run(p)  = min view ts among events <= p — for any event at
+                       position p this equals the user's global first
+                       view ts whenever that view precedes p (order is
+                       by (ts, event_id), so earlier position <=> lower
+                       ts), which is exactly when the stage predicate
+                       ts > t_view can hold;
+      a click qualifies iff its ts > t_view_run at its position —
+                       bit-identical to "ts > MIN(view ts)" because a
+                       qualifying click necessarily sits after the
+                       first view in the order;
+      t_click_run    = the same running-min trick one level up (its
+                       window reuses the SAME (partition, order) spec,
+                       so Catalyst stacks both Window operators over one
+                       exchange + sort);
+      a purchase qualifies iff ts > t_click_run.
+
+    The funnel counts are then one per-user aggregate (no exchange —
+    the window output is already hash-clustered by user_id) and one
+    single-row rollup. Ties break exactly as before: an event at the
+    same truncated second as the stage entry fails the strict >.
+    NULL-ts events never enter a running min and never pass >, and a
+    user whose only views carry NULL ts still counts in n_view (flag,
+    not timestamp) — both matching the join formulation."""
     ev = _events_sec(spark, sf_dir)
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_sec").alias("t_view"))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts_sec") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts_sec").alias("t_click"))
+    is_view = F.col("event_type") == "view"
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    staged = (
+        ev.select("user_id", "event_type", "ts_sec", "event_id")
+        .withColumn("t_view_run", F.min(F.when(is_view, F.col("ts_sec"))).over(w_run))
+        .withColumn(
+            "qual_click_ts",
+            F.when(is_click & (F.col("ts_sec") > F.col("t_view_run")), F.col("ts_sec")),
+        )
+        .withColumn("t_click_run", F.min("qual_click_ts").over(w_run))
+        .withColumn(
+            "qual_purchase",
+            is_purchase & (F.col("ts_sec") > F.col("t_click_run")),
+        )
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts_sec") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts_sec").alias("t_purchase"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max(is_view).alias("has_view"),
+        F.max(F.col("qual_click_ts").isNotNull()).alias("has_click"),
+        F.max(F.col("qual_purchase")).alias("has_purchase"),
     )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    return per_user.agg(
+        F.count(F.when(F.col("has_view"), True)).alias("n_view"),
+        F.count(F.when(F.col("has_click"), True)).alias("n_click"),
+        F.count(F.when(F.col("has_purchase"), True)).alias("n_purchase"),
     )
 
 

@@ -339,9 +339,11 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2x|rows|, and every profile stat is then exact arithmetic over the
     # value table: n = sum(cnt), n_null = cnt of the NULL group,
     # n_distinct = count of non-null groups, avg_len = the
-    # frequency-weighted mean (bit-identical: Spark's avg over ints is
-    # the same exact long sum / long count division). Oracle unchanged,
-    # hash-verified at all three SFs.
+    # frequency-weighted mean (bit-identical: Spark's Average over
+    # integral input accumulates as double, and every summed length here
+    # is an integer-valued double far below 2^53, where doubles are
+    # exact — r13 advisor wording fix). Oracle unchanged, hash-verified
+    # at all three SFs.
     g1 = long_df.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
     profiled = g1.groupBy("col_name").agg(
         F.sum("cnt").alias("n"),

@@ -65,19 +65,30 @@ _FEATURE_SCHEMA = (
 )
 
 
-def _synth_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Executor-side fixture synthesis: expand each doc_id into a real
-    encoded media file (even ids -> 24-bit BMP, odd ids -> PCM16 WAV)."""
+_FEATURE_COLS = [
+    "doc_id", "modality", "n_bytes", "width", "height",
+    "n_samples", "sample_rate", "content_mean", "head_hex",
+]
+
+
+def _synth_extract_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused synth+decode (r14, guide §4.2/§4.5): synthesize the encoded
+    blob and immediately parse it back inside the SAME Python task. The
+    encode -> parse byte round trip is unchanged (the decoder still sees
+    only the serialized bytes, dispatched on magic numbers); what
+    disappears is the heavy payload crossing the Arrow boundary TWICE —
+    Python -> JVM after synthesis and JVM -> Python before decode — plus a
+    whole extra Python-worker eval node per partition. Only doc_id rides
+    in and the fixed-width feature row rides out, which is exactly the
+    guide's "pass only the columns the function needs" rule applied to a
+    column the JVM never needs at all."""
     from toy_map_reduce_spark.functions.media import synth_media_blob
 
     for pdf in batches:
-        blobs = [synth_media_blob(int(d)) for d in pdf["doc_id"]]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].values,
-                "payload": [b for _, b in blobs],
-            }
-        )
+        blobs = pd.Series([synth_media_blob(int(d))[1] for d in pdf["doc_id"]])
+        feats = _decode_media_batch(blobs)
+        feats.insert(0, "doc_id", pdf["doc_id"].values)
+        yield feats[_FEATURE_COLS]
 
 
 def _decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
@@ -130,18 +141,15 @@ def _decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
               "preserving (narrow, no shuffle). Rows-only + pytest pins "
               "on decoded pixel/sample values")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesis and decode run FUSED in one mapInPandas pass (r14): the
+    r13 shape chained two mapInPandas stages over the same rows, so every
+    payload blob crossed the JVM<->Python Arrow boundary twice for no
+    JVM-side work in between — at 100 TB that is the whole corpus
+    serialized, transposed, and copied two extra times. The byte-level
+    encode -> parse round trip (the thing the operator demonstrates) is
+    intact inside the task; only the redundant transport is gone."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    media = docs.mapInPandas(_synth_media, schema="doc_id long, payload binary")
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = _decode_media_batch(pdf["payload"])
-            feats.insert(0, "doc_id", pdf["doc_id"].values)
-            cols = ["doc_id", "modality", "n_bytes", "width", "height",
-                    "n_samples", "sample_rate", "content_mean", "head_hex"]
-            yield feats[cols]
-
-    return media.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+    return docs.mapInPandas(_synth_extract_media, schema=_FEATURE_SCHEMA)
 
 
 @register("multimodal_frame_sample", "X", oracle=None, bench=False,

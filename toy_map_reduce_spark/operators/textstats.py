@@ -981,6 +981,15 @@ def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # free); the point is the asymptote: `words` is VOCAB-sized while
     # its recompute is a CORPUS-sized explode+groupBy, i.e. the old code
     # paid one extra full corpus pass per run at scale.
+    #
+    # Leak surface (r13 advisor): a caller that drives this builder via
+    # __spark_entry__.queries() directly and never calls
+    # release_scratch() keeps the vocab-sized cache alive for the
+    # session lifetime. That is the documented scratch-lifecycle
+    # contract (functions/ranks.py): every harness in this repo
+    # (bench.py, bench_subset, parity, localcluster, spill) releases per
+    # query, and for any other caller Spark's ContextCleaner retires the
+    # blocks once the DataFrame is garbage-collected.
     register_scratch(words)
     return out
 

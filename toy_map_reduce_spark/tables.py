@@ -120,12 +120,28 @@ def _layout_cache_root() -> str:
     )
 
 
+_READ_PATH_MEMO: dict[tuple, str] = {}
+
+
 def _read_path(sf_dir: str, name: str) -> str:
     """Path to scan for (sf_dir, name): the original file, or a
-    re-chunked multi-row-group copy built once and cached."""
+    re-chunked multi-row-group copy built once and cached.
+
+    Memoized on (src, size, mtime_ns) since r14: the decision requires a
+    pyarrow footer parse (~10 ms) that was re-paid on every load call —
+    part of the per-query constant the r13 verdict flagged. A refreshed
+    fixture changes the stamp and re-decides."""
     src = table_path(sf_dir, name)
     if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "") == "off":
         return src
+    try:
+        st0 = os.stat(src)
+        memo_key = (src, st0.st_size, st0.st_mtime_ns)
+        hit = _READ_PATH_MEMO.get(memo_key)
+        if hit is not None and os.path.exists(hit):
+            return hit
+    except OSError:
+        memo_key = None
     try:
         import re
 
@@ -146,23 +162,44 @@ def _read_path(sf_dir: str, name: str) -> str:
         # three-step scaling fit: staging slope 1.62 at sf1->sf3, pure
         # scan-parallelism starvation, not compute growth)
         if pf.metadata.num_row_groups >= k or k <= 1:
-            return src
-        tag = f"{st.st_size}_{int(st.st_mtime)}_{k}"
-        dest_dir = os.path.join(
-            _layout_cache_root(), re.sub(r"\W+", "_", os.path.abspath(sf_dir))
-        )
-        dest = os.path.join(dest_dir, f"{name}_{tag}.parquet")
-        if os.path.exists(dest):
-            return dest
-        os.makedirs(dest_dir, exist_ok=True)
-        tmp = f"{dest}.tmp{os.getpid()}"
-        pq.write_table(
-            pf.read(), tmp, row_group_size=max(1, -(-rows // k))
-        )
-        os.replace(tmp, dest)  # atomic: concurrent builders converge
-        return dest
+            result = src
+        else:
+            tag = f"{st.st_size}_{int(st.st_mtime)}_{k}"
+            dest_dir = os.path.join(
+                _layout_cache_root(), re.sub(r"\W+", "_", os.path.abspath(sf_dir))
+            )
+            dest = os.path.join(dest_dir, f"{name}_{tag}.parquet")
+            if not os.path.exists(dest):
+                os.makedirs(dest_dir, exist_ok=True)
+                tmp = f"{dest}.tmp{os.getpid()}"
+                pq.write_table(
+                    pf.read(), tmp, row_group_size=max(1, -(-rows // k))
+                )
+                os.replace(tmp, dest)  # atomic: concurrent builders converge
+            result = dest
     except Exception:
         return src
+    if memo_key is not None:
+        _READ_PATH_MEMO[memo_key] = result
+    return result
+
+
+# Session-scoped RELATION cache (r14, guide §1/§6 — the per-query
+# constant). Measured on the r14 baseline boot: a warm ``load()`` cost
+# 107-190 ms per call — `spark.read.parquet` re-runs file listing and
+# footer schema inference in the JVM, and `_read_path` re-parses the
+# footer in pyarrow, for every one of the ~800 load calls a 389-query
+# bench makes (~60 s of the 257 s total, the largest single component of
+# the 0.45 s/query constant the r13 verdict flagged). A real catalog
+# does this once: Spark's own `spark.table()` path keeps a relation
+# cache keyed on the table identifier, which bare-path `read.parquet`
+# calls forfeit. This dict is that cache for the fixture catalog: the
+# value is the LAZY analyzed DataFrame (an immutable plan handle — no
+# rows, no results; every action still computes from the parquet
+# files), keyed on (application, resolved path, file size+mtime_ns) so
+# a new session, a different sf_dir, a refreshed fixture, or a layout-
+# cache toggle each get a fresh relation.
+_RELATION_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -182,15 +219,38 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # interpreted as UTC (parquet stores naive micros, DuckDB reads naive)
     # or every timestamp-bearing query shifts by the host timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _read_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        stamp: tuple | None = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        stamp = None
+    key = (spark.sparkContext.applicationId, path, stamp)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        # toDF(*columns): a zero-cost Project whose aliases mint FRESH
+        # output expression ids and a fresh dataset id per call. Handing
+        # every caller the literally-same Dataset broke self-join
+        # disambiguation (sim_topk_ivf joins two derivatives of one
+        # load() — "Column label#N are ambiguous"); the old code was
+        # safe only because each load() built a whole new relation. The
+        # alias layer restores that property at ~1% of the cost, and
+        # DeduplicateRelations handles the shared underlying relation
+        # exactly as it does for any df.join(df) self-join.
+        return cached.toDF(*cached.columns)
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(_read_path(sf_dir, name))
+        ev = spark.read.parquet(path)
         ts_type = dict(ev.dtypes)["ts"]
         if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw nanos long
-            return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # native timestamp/timestamp_ntz read (micros fixtures, Spark ≥ 4.1
-        # nanos): cast to TimestampType under the UTC session tz
-        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(_read_path(sf_dir, name))
+            df = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # native timestamp/timestamp_ntz read (micros fixtures, Spark
+            # ≥ 4.1 nanos): cast to TimestampType under the UTC session tz
+            df = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        df = spark.read.parquet(path)
+    _RELATION_CACHE[key] = df
+    return df.toDF(*df.columns)
