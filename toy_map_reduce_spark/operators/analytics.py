@@ -1979,9 +1979,23 @@ def events_session_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    present = (
-        seq.select("user_id", "event_type", F.sum("new_s").over(w_run).alias("session_no"))
+    # The presence table feeds THREE consumers (a-side, b-side, total),
+    # and the r13 executed plan re-derived the whole scan + session
+    # window stack for each — AQE's ReuseExchange never fired because
+    # every branch projects differently, so the exchanges never
+    # canonicalize equal. Persisting the distinct (session, type) table
+    # (bounded: sessions x types, far smaller than events) computes the
+    # stack once (r14, guide §2.4/§5; same-session ABAB at sf0.1:
+    # 0.83 -> 0.77 s min, medians 1.11 -> 0.93). Scratch-enrolled, so
+    # every harness releases it per query — no cross-query reuse.
+    from toy_map_reduce_spark.functions.ranks import register_scratch
+
+    present = register_scratch(
+        seq.select(
+            "user_id", "event_type", F.sum("new_s").over(w_run).alias("session_no")
+        )
         .distinct()
+        .persist()
     )
     total = present.select("user_id", "session_no").distinct().agg(
         F.count(F.lit(1)).alias("total")
